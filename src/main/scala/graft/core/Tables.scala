@@ -11,8 +11,13 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects unless
+    // read as a raw long (nanos since epoch). The DuckDB oracle mirrors the
+    // same value with epoch_ns(ts).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Register every table as a temp view (for SQL / NeedleQL layers). */
   def registerAll(spark: SparkSession, dir: String): Unit =

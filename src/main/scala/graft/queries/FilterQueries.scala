@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.filter.{Filter, FilterCompiler}
+import graft.functions.Distances
+
+/** Declared queries exercising the metadata-filter language (SURVEY.md §2.2)
+  * end-to-end: MongoDB-JSON parse → [[Filter]] ADT → Column compile →
+  * pushed-down scan. Each has a hand-written ANSI-SQL oracle with identical
+  * semantics.
+  */
+object FilterQueries {
+
+  private def filtered(table: String, filterJson: String) =
+    (s: org.apache.spark.sql.SparkSession, dir: String) => {
+      val df = Tables.load(s, dir, table)
+      df.filter(FilterCompiler.compile(Filter.parse(filterJson), df))
+    }
+
+  val defs: Map[String, Q] = Map(
+    // $in + $between + $and over typed columns.
+    "filter_in_between" -> Q(
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_type IN ('click', 'purchase') AND value BETWEEN 10 AND 100
+        |ORDER BY event_id""".stripMargin
+    ) { (s, dir) =>
+      filtered("events",
+        """{"$and": [{"event_type": {"$in": ["click", "purchase"]}},
+          |          {"value": {"$between": [10, 100]}}]}""".stripMargin)(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    },
+
+    // Dot-path descent into a JSON-string column (dynamic metadata model).
+    "filter_json_path" -> Q(
+      """SELECT event_type, count(*) AS n
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      filtered("events", """{"props.k": {"$gt": 50}}""")(s, dir)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+
+    // $contains / $startsWith / $ne under $or + $and.
+    "filter_string_ops" -> Q(
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE (text LIKE '%spark%' OR source LIKE 'src1%') AND lang <> 'en'
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      filtered("documents",
+        """{"$and": [{"$or": [{"text": {"$contains": "spark"}},
+          |                   {"source": {"$startsWith": "src1"}}]},
+          |          {"lang": {"$ne": "en"}}]}""".stripMargin)(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Simplified-regex dialect: anchored exact-length match, `.` = any char
+    // (reference: src/metadata.rs:1339-1394) — `^src1.$` ≡ LIKE 'src1_'.
+    "filter_regex" -> Q(
+      """SELECT source, count(*) AS n FROM documents
+        |WHERE source LIKE 'src1_'
+        |GROUP BY source ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      filtered("documents", """{"source": {"$regex": "^src1.$"}}""")(s, dir)
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .orderBy(col("source"))
+    },
+
+    // $not over a compound inner filter (false-on-missing semantics).
+    "filter_not" -> Q(
+      """SELECT event_id, event_type FROM events
+        |WHERE NOT (event_type = 'error' OR value < 50) AND user_id <= 5
+        |ORDER BY event_id""".stripMargin
+    ) { (s, dir) =>
+      filtered("events",
+        """{"$and": [{"$not": {"$or": [{"event_type": "error"},
+          |                            {"value": {"$lt": 50}}]}},
+          |          {"user_id": {"$lte": 5}}]}""".stripMargin)(s, dir)
+        .select(col("event_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    },
+
+    // count(filter) (reference: src/collection/accessors.rs:118).
+    "count_filtered" -> Q(
+      "SELECT count(*) AS n FROM events WHERE value > 100"
+    ) { (s, dir) =>
+      filtered("events", """{"value": {"$gt": 100}}""")(s, dir)
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // search_with_filter: metadata filter + exact kNN in one plan
+    // (reference: src/collection/search_methods.rs:601-664). The filter is
+    // pushed below the distance computation by Catalyst.
+    "knn_filtered" -> Q(
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |       round(1 - list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6) AS distance
+        |FROM embeddings, q
+        |WHERE label IN (1, 2, 3)
+        |ORDER BY distance, vec_id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val pred = FilterCompiler.compile(
+        Filter.parse("""{"label": {"$in": [1, 2, 3]}}"""), emb)
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      emb.filter(pred).crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("label"),
+          round(Distances.cosine(col("embedding"), col("qv")), 6).as("distance"))
+        .orderBy(col("distance").asc, col("vec_id").asc)
+        .limit(10)
+    },
+  )
+}
