@@ -1,0 +1,97 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 over DataFrames (SURVEY.md §2.4; reference:
+  * src/hybrid.rs:349-416).
+  *
+  *   score(D,Q) = Σ_t qc(t) · IDF(t) · tf·(k1+1) / (tf + k1·(1−b+b·|D|/avgdl))
+  *   IDF(t)     = ln((N − df + 0.5)/(df + 0.5) + 1)
+  *
+  * with defaults k1=1.5, b=0.75 (reference: src/hybrid.rs:26-34). Duplicate
+  * query terms contribute once per occurrence (the reference loops over the
+  * tokenized query), hence the qc(t) multiplicity factor.
+  *
+  * Scale shape: the corpus statistics are three derived tables —
+  * `term_freqs(doc_id, term, tf, dl)`, `doc_freqs(term, df)` and a 1-row
+  * `(N, avgdl)` — all computed by partial-aggregating scans. Scoring a query
+  * touches only the posting rows of the query's terms (a broadcast semi-join
+  * on a handful of terms), then one groupBy over candidate docs: no shuffle
+  * is proportional to corpus size except the one-time stats build, exactly
+  * how a 100 TB corpus must be handled. Stats are deterministic, so they can
+  * be persisted as bucketed tables and refreshed incrementally per
+  * micro-batch (reference: src/hybrid.rs:270-330 recomputes avgdl per change;
+  * our batch build recomputes once, like its `batch_index_documents`).
+  */
+object Bm25 {
+
+  final case class Config(
+      k1: Double = 1.5,
+      b: Double = 0.75,
+      stopWords: Set[String] = Tokenizer.defaultStopWords,
+      stemming: Boolean = true)
+
+  /** The derived statistics tables (cache/persist for reuse). */
+  final case class Index(
+      termFreqs: DataFrame, // doc_id, term, tf, dl
+      docFreqs: DataFrame,  // term, df
+      corpus: DataFrame,    // n, avgdl (1 row)
+      config: Config)
+
+  /** Build the statistics tables for a document corpus. */
+  def index(docs: DataFrame, idCol: Column, textCol: Column,
+            config: Config = Config()): Index = {
+    val toks = docs.select(
+      idCol.as("doc_id"),
+      Tokenizer.tokens(textCol, config.stopWords, config.stemming).as("toks"))
+    // Zero-token docs still count toward N and avgdl (reference indexes them
+    // with length 0), so dl is computed before the explode.
+    val withLen = toks.select(col("doc_id"), col("toks"),
+      size(col("toks")).cast("double").as("dl"))
+    val tf = withLen
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val corpus = withLen.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl"))
+    Index(tf, df_, corpus, config)
+  }
+
+  /** Score a free-text query; returns (doc_id, score) with score > 0, sorted
+    * descending (ties broken by doc_id for determinism; the reference's
+    * unstable sort has no distributed analogue).
+    */
+  def search(ix: Index, query: String, limit: Int): DataFrame = {
+    val terms = Tokenizer.tokenize(query, ix.config.stopWords, ix.config.stemming)
+    if (terms.isEmpty) return ix.termFreqs.sparkSession.emptyDataFrame
+      .select(lit(null).cast("long").as("doc_id"), lit(0.0).as("score"))
+    scoreTerms(ix, terms)
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(limit)
+  }
+
+  /** The scoring join for an already-tokenized query (no ordering/limit). */
+  def scoreTerms(ix: Index, terms: Seq[String]): DataFrame = {
+    val spark = ix.termFreqs.sparkSession
+    import spark.implicits._
+    val qt = terms.groupBy(identity).view.mapValues(_.size.toDouble).toSeq
+      .toDF("term", "qc")
+    val k1 = ix.config.k1
+    val b = ix.config.b
+    ix.termFreqs
+      .join(broadcast(qt), "term")                // keep only query terms
+      .join(broadcast(ix.docFreqs), "term")
+      .crossJoin(broadcast(ix.corpus))
+      .withColumn("idf", log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("lennorm", lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))
+      .withColumn("contrib",
+        col("qc") * col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * col("lennorm")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's BM25 tokenization pipeline (reference:
+  * src/hybrid.rs:258-267): lowercase → split on non-alphanumerics → drop
+  * empty/len≤1 tokens → drop stop words → Porter-stem.
+  *
+  * Two forms:
+  *   - [[tokens]]: pure built-in Column pipeline (codegen'd) — everything
+  *     except stemming, which is toggled via a UDF `transform` because
+  *     stemming is genuinely scalar string logic;
+  *   - [[tokenize]]: the same pipeline as a driver-side Scala function, used
+  *     for query strings (always tiny).
+  *
+  * The stop-word list is the reference's built-in 37-word English list
+  * (reference: src/hybrid.rs:237-247).
+  */
+object Tokenizer {
+
+  val defaultStopWords: Set[String] = Set(
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from", "has",
+    "he", "in", "is", "it", "its", "of", "on", "that", "the", "to", "was",
+    "were", "will", "with", "this", "but", "they", "have", "had", "what",
+    "when", "where", "who", "which", "why", "how")
+
+  /** Unicode-alphanumeric split, matching Rust's `char::is_alphanumeric`. */
+  private val splitPattern = "[^\\p{L}\\p{N}]+"
+
+  private val stemUdf = udf((s: String) => if (s == null) null else PorterStemmer.stem(s))
+
+  /** Column pipeline: `text` → ARRAY&lt;STRING&gt; of tokens. */
+  def tokens(text: Column,
+             stopWords: Set[String] = defaultStopWords,
+             stemming: Boolean = true): Column = {
+    val raw = split(lower(text), splitPattern)
+    val kept = filter(raw, t =>
+      length(t) > 1 && (if (stopWords.isEmpty) lit(true)
+                        else !t.isin(stopWords.toSeq: _*)))
+    if (stemming) transform(kept, t => stemUdf(t)) else kept
+  }
+
+  /** Driver-side pipeline for query strings. */
+  def tokenize(text: String,
+               stopWords: Set[String] = defaultStopWords,
+               stemming: Boolean = true): Seq[String] = {
+    val kept = text.toLowerCase
+      .split(splitPattern)
+      .filter(t => t.length > 1 && !stopWords.contains(t))
+      .toSeq
+    if (stemming) kept.map(PorterStemmer.stem) else kept
+  }
+}
