@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.text.Tokenizer
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language identification and document
+  * fingerprinting. All are pure narrow Column expressions — per-row work
+  * with no shuffle, so they stream over 100 TB at scan speed and stay inside
+  * whole-stage codegen.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token estimate: words count ~1 per ~4 chars (ceil), digits and
+    * punctuation count 1 each — a deterministic proxy for subword tokenizers
+    * where the real vocab isn't available.
+    */
+  def tokenCountBpe(text: Column): Column = {
+    val pieces = regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))
+    aggregate(pieces, lit(0),
+      (acc, p) => acc + when(p.rlike("^[A-Za-z]+$"), ceil(length(p) / lit(4.0)).cast("int"))
+        .otherwise(lit(1)))
+  }
+
+  /** Quality signals: length, punctuation ratio, stop-word ratio, mean word
+    * length — combined into a [0,1] score. Heuristics follow the common
+    * C4/Gopher-style quality-filter recipe (public data-pipeline practice).
+    */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      (length(text) - length(regexp_replace(text, "\\p{Punct}", ""))).cast("double")
+        / length(text))
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val stops = filter(toks, t => t.isin(Tokenizer.defaultStopWords.toSeq: _*))
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(stops).cast("double") / size(toks))
+  }
+
+  def meanWordLen(text: Column): Column = {
+    val toks = filter(split(trim(text), "\\s+"), t => length(t) > 0)
+    when(size(toks) === 0, 0.0)
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: rewards in-range length and word
+    * shape, penalizes punctuation soup and stop-word-free keyword stuffing.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val wordLen = meanWordLen(text)
+    val wordScore = when(wordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    val stopScore = when(stopwordRatio(text).between(0.05, 0.6), 1.0).otherwise(0.5)
+    val punctScore = lit(1.0) - least(punctRatio(text) * 2.0, lit(1.0))
+    round((lenScore + wordScore + stopScore + punctScore) / 4.0, 6)
+  }
+
+  /** Stop-word-profile language ID over a fixed language set — the classic
+    * n-gram/function-word heuristic, deterministic and SQL-expressible.
+    * Returns the language code with the highest profile-hit ratio;
+    * alphabetical tie-break; 'und' (undetermined) when nothing matches.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
+    "zh" -> Seq.empty) // non-Latin scripts need byte-range features; see below
+
+  def languageId(text: Column): Column = {
+    val toks = split(lower(trim(text)), "[^\\p{L}\\p{N}]+")
+    val hits: Seq[(String, Column)] = langProfiles.collect {
+      case (lang, words) if words.nonEmpty =>
+        lang -> size(filter(toks, t => t.isin(words: _*)))
+    }
+    // CJK detection by codepoint range; otherwise best stop-word profile.
+    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+    val best = hits.foldLeft((lit("und"), lit(0))) {
+      case ((bl, bs), (lang, s)) =>
+        // strict > keeps the alphabetically-first language on ties
+        (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
+    }
+    when(cjk > 0, "zh").otherwise(when(best._2 > 0, best._1).otherwise(lit("und")))
+  }
+
+  /** Content fingerprint for exact dedup: md5 of whitespace-normalized,
+    * lowercased text (stable across formatting differences).
+    */
+  def fingerprintMd5(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+
+  /** 64-bit rolling polynomial hash (base 31, Long wraparound) — the
+    * streaming-friendly fingerprint for shingle/chunk hashing. Exposed as a
+    * deterministic Scala function + UDF.
+    */
+  def rollingHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = h * 31L + s.charAt(i); i += 1 }
+    h
+  }
+  val rollingHashUdf = udf((s: String) => if (s == null) null else Long.box(rollingHash(s)))
+}

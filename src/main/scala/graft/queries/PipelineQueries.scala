@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.pipeline.{Dedup, TextAnalysis}
+import graft.text.Tokenizer
+
+/** Training-data-pipeline operator queries: text analysis + dedup family.
+  * MinHash/SimHash entries are rows-only (hash functions are not
+  * reproducible in ANSI SQL); everything else has an exact DuckDB oracle.
+  */
+object PipelineQueries {
+
+  private val stopList = Tokenizer.defaultStopWords.toSeq.sorted
+    .map(w => s"'$w'").mkString(", ")
+
+  /** documents ∪ (docs with id<20 re-inserted under id+10000) — a
+    * deterministic corpus with planted exact duplicates, built identically
+    * on both sides.
+    */
+  private def withPlantedDups(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    d.select(col("doc_id"), col("text"))
+      .unionAll(d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+
+  private val dupUnionSql =
+    """(SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 20)""".stripMargin
+
+  /** DuckDB replica of Dedup.shingles (3-gram, lowercased ws tokens). */
+  private val duckShingles =
+    """CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |     ELSE list_transform(range(1, len(toks) - 1),
+      |                         i -> array_to_string(toks[i:i+2], ' ')) END""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    // Token counting + quality signals (per-row narrow expressions).
+    "text_stats" -> Q(
+      s"""SELECT doc_id,
+         |       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         |       round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |                             t -> t IN ($stopList)))
+         |             / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS stop_ratio,
+         |       round(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+         |                                     t -> length(t)))
+         |             / len(string_split_regex(trim(text), '\\s+')), 6) AS mean_word_len
+         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_tokens"),
+          round(TextAnalysis.stopwordRatio(col("text")), 6).as("stop_ratio"),
+          round(TextAnalysis.meanWordLen(col("text")), 6).as("mean_word_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Composite quality score + BPE-ish token estimate.
+    "quality_score" -> Q(
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |         least(length(text) / 500.0, 1.0) AS len_score,
+         |         list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+         |                                 t -> length(t)))
+         |           / len(string_split_regex(trim(text), '\\s+')) AS wl,
+         |         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |                         t -> t IN ($stopList)))
+         |           / len(string_split_regex(lower(trim(text)), '\\s+')) AS sr,
+         |         (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+         |           / length(text) AS pr,
+         |         list_sum(list_transform(
+         |           regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'),
+         |           p -> CASE WHEN regexp_full_match(p, '[A-Za-z]+')
+         |                     THEN CAST(ceil(length(p) / 4.0) AS INT) ELSE 1 END)) AS bpe
+         |  FROM documents WHERE doc_id < 100
+         |)
+         |SELECT doc_id, bpe AS n_tokens_bpe,
+         |       round((len_score
+         |            + (CASE WHEN wl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+         |            + (CASE WHEN sr BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END)
+         |            + (1.0 - least(pr * 2.0, 1.0))) / 4.0, 6) AS quality
+         |FROM f ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountBpe(col("text")).as("n_tokens_bpe"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Stop-word-profile language ID; the fold keeps the alphabetically
+    // first language on score ties, which the CASE cascade mirrors.
+    "lang_id" -> Q(
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |         len(list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+        |             t -> t IN ('der','die','und','das','ist','nicht','ein','mit'))) AS s_de,
+        |         len(list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+        |             t -> t IN ('the','and','of','to','is','in','that','it'))) AS s_en,
+        |         len(list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+        |             t -> t IN ('el','la','de','que','y','los','en','un'))) AS s_es,
+        |         len(list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+        |             t -> t IN ('le','la','de','et','les','des','un','une'))) AS s_fr,
+        |         regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS cjk
+        |  FROM documents
+        |)
+        |SELECT CASE WHEN cjk THEN 'zh'
+        |            WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |            WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |            WHEN s_es >= s_fr THEN 'es'
+        |            ELSE 'fr' END AS pred_lang,
+        |       count(*) AS n
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(TextAnalysis.languageId(col("text")).as("pred_lang"))
+        .groupBy(col("pred_lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("pred_lang"))
+    },
+
+    // Exact dedup over a corpus with planted duplicates.
+    "dedup_exact" -> Q(
+      s"""SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         |       count(*) AS n_copies,
+         |       min(doc_id) AS keeper,
+         |       list_sort(list(doc_id)) AS ids
+         |FROM $dupUnionSql
+         |GROUP BY 1 HAVING count(*) > 1
+         |ORDER BY keeper""".stripMargin
+    ) { (s, dir) =>
+      Dedup.exact(withPlantedDups(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("keeper"))
+    },
+
+    // Exact n-gram Jaccard near-dup pairs on a bounded slice; candidate
+    // generation via shared-shingle join (maxShingleFreq=∞ here so the
+    // result set provably equals the all-pairs oracle).
+    "ngram_jaccard" -> Q(
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct($duckShingles) AS sh
+         |  FROM (SELECT doc_id,
+         |               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |                           t -> len(t) > 0) AS toks
+         |        FROM documents WHERE doc_id < 60)
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       round(len(list_intersect(a.sh, b.sh))
+         |             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh))
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin
+    ) { (s, dir) =>
+      Dedup.ngramJaccard(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 60),
+        col("doc_id"), col("text"), n = 3, threshold = 0.2,
+        maxShingleFreq = Int.MaxValue)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Embedding-cosine near-duplicate pairs (exact threshold self-join on a
+    // bounded slice; the IVF-blocked variant is the 100 TB path).
+    "embedding_near_dup" -> Q(
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(1 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS distance
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 200 AND b.vec_id < 200
+        |  AND round(1 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) <= 0.35
+        |ORDER BY id_a, id_b""".stripMargin
+    ) { (s, dir) =>
+      Dedup.embeddingNearDup(
+        Tables.load(s, dir, "embeddings").filter(col("vec_id") < 200),
+        col("vec_id"), col("embedding"), maxDistance = 0.35)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // MinHash+LSH near-dup (rows-only: hash family not SQL-reproducible).
+    // Planted exact dups guarantee est_jaccard=1 hits.
+    "minhash_lsh_dedup" -> Q.noOracle { (s, dir) =>
+      Dedup.minhashLsh(withPlantedDups(s, dir), col("doc_id"), col("text"),
+        n = 3, k = 64, bands = 16, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // SimHash near-dup within Hamming distance 3 (rows-only).
+    "simhash_near_dup" -> Q.noOracle { (s, dir) =>
+      Dedup.simhashNearDup(withPlantedDups(s, dir), col("doc_id"), col("text"),
+        n = 3, maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+  )
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, TextAnalysis}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts") {
+    val df = Seq("one two  three", "", "hi!").toDF("t")
+    val got = df.select(TextAnalysis.tokenCountWs(col("t"))).as[Int].collect().toSeq
+    assert(got == Seq(3, 0, 1))
+    val bpe = Seq("hello world", "a1!").toDF("t")
+      .select(TextAnalysis.tokenCountBpe(col("t"))).as[Int].collect().toSeq
+    // hello(2) world(2); a(1) 1(1) !(1)
+    assert(bpe == Seq(4, 3))
+  }
+
+  test("language id heuristic") {
+    val cases = Seq(
+      "the cat is in the house and it is warm" -> "en",
+      "el gato que vive en la casa y los perros" -> "es",
+      "der Hund und die Katze ist nicht das Problem" -> "de",
+      "le chien et les chats de la maison une belle" -> "fr",
+      "你好世界" -> "zh",
+      "xyzzy qwerty" -> "und")
+    val got = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.languageId(col("t"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("quality score bounded and fingerprint normalizes whitespace/case") {
+    val df = Seq("A decent length sentence with the usual words in it.",
+      "!!! ??? ...").toDF("t")
+    val q = df.select(TextAnalysis.qualityScore(col("t"))).as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(0) > q(1))
+    val fps = Seq("Hello  World", "hello world", "other").toDF("t")
+      .select(TextAnalysis.fingerprintMd5(col("t"))).as[String].collect()
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("rolling hash is the polynomial hash") {
+    assert(TextAnalysis.rollingHash("") == 0L)
+    assert(TextAnalysis.rollingHash("a") == 'a'.toLong)
+    assert(TextAnalysis.rollingHash("ab") == 'a' * 31L + 'b')
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " * 5
+  private lazy val corpus = Seq(
+    (1L, base),
+    (2L, base),                                    // exact dup of 1
+    (3L, base.replace("lazy dog", "sleepy cat")),  // near dup of 1
+    (4L, "completely different text about spark dataframes and shuffles " * 5),
+    (5L, "Yet another unrelated document talking about benchmarks only " * 5),
+  ).toDF("id", "text")
+
+  test("shingles") {
+    val got = Seq("a b c d").toDF("t")
+      .select(Dedup.shingles(col("t"), 3)).as[Seq[String]].head()
+    assert(got == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(Dedup.shingles(col("t"), 3)).as[Seq[String]].head()
+    assert(short == Seq("a b"))
+  }
+
+  test("exact dedup groups identical normalized content") {
+    val got = Dedup.exact(corpus, col("id"), col("text"))
+      .select("keeper", "n_copies").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+
+  test("ngram jaccard finds the near-dup pair") {
+    val got = Dedup.ngramJaccard(corpus, col("id"), col("text"),
+      threshold = 0.3, maxShingleFreq = Int.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)) && got.contains((2L, 3L)))
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash lsh recovers exact and near dups, skips unrelated") {
+    val got = Dedup.minhashLsh(corpus, col("id"), col("text"),
+      k = 64, bands = 32, threshold = 0.25) // r=2: catches j≈0.4 pairs w.p. ~0.99
+      .select("id_a", "id_b", "est_jaccard").as[(Long, Long, Double)].collect()
+    val pairs = got.map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(got.find(r => r._1 == 1L && r._2 == 2L).get._3 == 1.0)
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash near-dup within hamming bound") {
+    val got = Dedup.simhashNearDup(corpus, col("id"), col("text"), maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    val exact = got.find(r => r._1 == 1L && r._2 == 2L)
+    assert(exact.nonEmpty && exact.get._3 == 0)
+    assert(!got.exists(r => (r._1, r._2) == ((4L, 5L))))
+  }
+
+  test("embedding near-dup threshold join") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0.999f, 0.04f, 0f)), // ~same direction
+      (3L, Array(0f, 1f, 0f)),
+    ).toDF("id", "v")
+    val got = Dedup.embeddingNearDup(vecs, col("id"), col("v"), maxDistance = 0.01)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+}
