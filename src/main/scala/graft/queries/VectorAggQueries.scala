@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.VectorAnalytics
+
+/** Vector-aggregation queries (SURVEY.md §2.6) over `embeddings`.
+  * The DuckDB oracle rebuilds the f32-truncated centroid per group with
+  * unnest/generate_subscripts and list aggregation, mirroring the
+  * reference's f64-accumulate-then-f32-truncate semantics.
+  */
+object VectorAggQueries {
+
+  /** Shared oracle CTEs: per-label f32 centroid + per-vector distance. */
+  private val centroidByLabel =
+    """unn AS (
+      |  SELECT label, vec_id, generate_subscripts(embedding, 1) AS dim,
+      |         unnest(embedding)::DOUBLE AS x
+      |  FROM embeddings
+      |),
+      |cent AS (SELECT label, dim, avg(x)::FLOAT AS v FROM unn GROUP BY label, dim),
+      |cvec AS (SELECT label, list(v ORDER BY dim) AS c FROM cent GROUP BY label)""".stripMargin
+
+  private val globalDistances =
+    """unn AS (
+      |  SELECT generate_subscripts(embedding, 1) AS dim, unnest(embedding)::DOUBLE AS x
+      |  FROM embeddings
+      |),
+      |cent AS (SELECT dim, avg(x)::FLOAT AS v FROM unn GROUP BY dim),
+      |cvec AS (SELECT list(v ORDER BY dim) AS c FROM cent),
+      |d AS (SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], c.c::DOUBLE[]) AS dist
+      |      FROM embeddings e, cvec c)""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    // Centroid per label (reference: vector_aggregation.rs:91-116).
+    "vec_centroid" -> Q(
+      s"""WITH $centroidByLabel
+         |SELECT label, dim - 1 AS dim, round(v::DOUBLE, 6) AS value
+         |FROM cent ORDER BY label, dim""".stripMargin
+    ) { (s, dir) =>
+      VectorAnalytics.centroid(Tables.load(s, dir, "embeddings"),
+        col("embedding"), Seq(col("label")))
+        .select(col("label"), col("dim"),
+          // widen f32 -> f64 BEFORE rounding: round() on FloatType keeps
+          // float32, whose double widening is not the decimal value
+          round(col("value").cast("double"), 6).as("value"))
+        .orderBy(col("label"), col("dim"))
+    },
+
+    // Medoid of the label-0 group (reference: vector_aggregation.rs:117-162).
+    "vec_medoid" -> Q(
+      """WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0)
+        |SELECT a.vec_id,
+        |       round(sum(list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[])), 4) AS total_dist
+        |FROM sub a JOIN sub b ON a.vec_id <> b.vec_id
+        |GROUP BY a.vec_id
+        |ORDER BY total_dist, a.vec_id
+        |LIMIT 1""".stripMargin
+    ) { (s, dir) =>
+      VectorAnalytics.medoid(
+        Tables.load(s, dir, "embeddings").filter(col("label") === 0),
+        col("vec_id"), col("embedding"), "euclidean")
+        .select(col("id").as("vec_id"), round(col("total_dist"), 4).as("total_dist"))
+    },
+
+    // Spread = mean squared distance to the group centroid
+    // (reference: vector_aggregation.rs:163-185).
+    "vec_spread" -> Q(
+      s"""WITH $centroidByLabel,
+         |d AS (SELECT e.label, list_distance(e.embedding::DOUBLE[], c.c::DOUBLE[]) AS dist
+         |      FROM embeddings e JOIN cvec c USING (label))
+         |SELECT label, round(avg(dist * dist), 6) AS spread,
+         |       round(sqrt(avg(dist * dist)), 6) AS std_dev
+         |FROM d GROUP BY label ORDER BY label""".stripMargin
+    ) { (s, dir) =>
+      VectorAnalytics.spread(Tables.load(s, dir, "embeddings"),
+        col("embedding"), Seq("label"), "euclidean")
+        .select(col("label"), round(col("spread"), 6).as("spread"),
+          round(col("std_dev"), 6).as("std_dev"))
+        .orderBy(col("label"))
+    },
+
+    // Z-score outliers vs the global centroid
+    // (reference: vector_aggregation.rs:381-425), threshold 1.5.
+    "vec_outliers" -> Q(
+      s"""WITH $globalDistances,
+         |st AS (SELECT avg(dist) AS m,
+         |              sqrt(avg(dist * dist) - avg(dist) * avg(dist)) AS s,
+         |              count(*) AS n FROM d)
+         |SELECT d.vec_id, round(d.dist, 6) AS distance,
+         |       round((d.dist - st.m) / st.s, 6) AS z_score
+         |FROM d, st
+         |WHERE st.n > 2 AND st.s >= 1e-10 AND (d.dist - st.m) / st.s > 1.5
+         |ORDER BY vec_id""".stripMargin
+    ) { (s, dir) =>
+      VectorAnalytics.outliers(Tables.load(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), threshold = 1.5)
+        .select(col("id").as("vec_id"), round(col("distance"), 6).as("distance"),
+          round(col("z_score"), 6).as("z_score"))
+        .orderBy(col("vec_id"))
+    },
+
+    // Distance-to-centroid histogram, 10 bins
+    // (reference: vector_aggregation.rs:296-370).
+    "vec_distribution" -> Q(
+      s"""WITH $globalDistances,
+         |st AS (SELECT min(dist) AS mn, max(dist) AS mx FROM d),
+         |b AS (SELECT least(floor((d.dist - st.mn) /
+         |               (CASE WHEN abs(st.mx - st.mn) < 1e-10 THEN 1.0
+         |                     ELSE (st.mx - st.mn) / 10 END)), 9)::INT AS bin
+         |      FROM d, st)
+         |SELECT bin, count(*) AS bin_count FROM b GROUP BY bin ORDER BY bin""".stripMargin
+    ) { (s, dir) =>
+      VectorAnalytics.distribution(Tables.load(s, dir, "embeddings"),
+        col("embedding"), bins = 10)
+        .orderBy(col("bin"))
+    },
+
+    // KMeans cluster sizes (reference Cluster{k}: vector_aggregation.rs:
+    // 186-295) — rows-only: k-means++ init is not SQL-reproducible.
+    "vec_cluster" -> Q.noOracle { (s, dir) =>
+      VectorAnalytics.cluster(Tables.load(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), k = 10)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+        .orderBy(col("cluster"))
+    },
+  )
+}
