@@ -15,7 +15,8 @@ object SparkEntry {
   /** All declared operator queries (name -> impl + optional oracle). */
   def all: Map[String, Q] =
     AnalyticsQueries.defs ++ VectorQueries.defs ++ FilterQueries.defs ++
-      TextQueries.defs ++ PipelineQueries.defs ++ VectorAggQueries.defs
+      TextQueries.defs ++ PipelineQueries.defs ++ VectorAggQueries.defs ++
+      SearchPipelineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
