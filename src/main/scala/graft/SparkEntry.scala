@@ -16,7 +16,7 @@ object SparkEntry {
   def all: Map[String, Q] =
     AnalyticsQueries.defs ++ VectorQueries.defs ++ FilterQueries.defs ++
       TextQueries.defs ++ PipelineQueries.defs ++ VectorAggQueries.defs ++
-      SearchPipelineQueries.defs
+      SearchPipelineQueries.defs ++ AdvancedQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{CrossCollection, Mmr, MultiVec, Sparse, TermOverlap}
+import graft.functions.Distances
+
+/** Advanced-search operator queries (SURVEY.md §2.3/§2.5): sparse vectors,
+  * MaxSim multi-vector, cross-collection merge, MMR, term-overlap rerank,
+  * matryoshka two-phase.
+  */
+object AdvancedQueries {
+
+  /** Sparse view of `embeddings`: dims with |x| > 0.05 (both engines build
+    * it identically from the dense column).
+    */
+  private val duckSparse =
+    """post AS (
+      |  SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS idx,
+      |         unnest(embedding) AS value
+      |  FROM embeddings
+      |),
+      |sp AS (SELECT id, idx, value FROM post WHERE abs(value) > 0.05),
+      |q AS (SELECT idx, value AS qval FROM sp WHERE id = 0)""".stripMargin
+
+  private def sparsePostings(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Sparse.sparsify(Tables.load(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), eps = 0.05)
+
+  private def sparseQuery(s: org.apache.spark.sql.SparkSession, dir: String): Seq[(Int, Float)] =
+    sparsePostings(s, dir).filter(col("id") === 0)
+      .select(col("idx"), col("value"))
+      .collect().map(r => (r.getInt(0), r.getFloat(1))).toSeq
+
+  val defs: Map[String, Q] = Map(
+    // Sparse dot-product top-k (reference: src/indexing/sparse.rs:511-560).
+    "sparse_dot" -> Q(
+      s"""WITH $duckSparse
+         |SELECT sp.id, round(sum(sp.value::DOUBLE * q.qval::DOUBLE), 6) AS score
+         |FROM sp JOIN q USING (idx)
+         |GROUP BY sp.id
+         |ORDER BY sum(sp.value::DOUBLE * q.qval::DOUBLE) DESC, sp.id
+         |LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      Sparse.searchDot(sparsePostings(s, dir), sparseQuery(s, dir), 10)
+        .select(col("id"), round(col("score"), 6).as("score"))
+    },
+
+    // Sparse cosine top-k (reference: sparse.rs:555-610) — norms over the
+    // sparse values only.
+    "sparse_cosine" -> Q(
+      s"""WITH $duckSparse,
+         |norms AS (SELECT id, sqrt(sum(value::DOUBLE * value::DOUBLE)) AS norm FROM sp GROUP BY id),
+         |qn AS (SELECT sqrt(sum(qval::DOUBLE * qval::DOUBLE)) AS qnorm FROM q),
+         |dots AS (SELECT sp.id, sum(sp.value::DOUBLE * q.qval::DOUBLE) AS dot
+         |         FROM sp JOIN q USING (idx) GROUP BY sp.id)
+         |SELECT d.id, round(CASE WHEN n.norm > 0 THEN d.dot / (n.norm * qn.qnorm) ELSE 0 END, 6) AS score
+         |FROM dots d JOIN norms n USING (id), qn
+         |ORDER BY CASE WHEN n.norm > 0 THEN d.dot / (n.norm * qn.qnorm) ELSE 0 END DESC, d.id
+         |LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      Sparse.searchCosine(sparsePostings(s, dir), sparseQuery(s, dir), 10)
+        .select(col("id"), round(col("score"), 6).as("score"))
+    },
+
+    // MaxSim over label-groups-as-documents (reference:
+    // src/indexing/multivec.rs:206-243): each label's vectors are one
+    // document's token embeddings; query = the 4 vectors vec_id < 4.
+    "maxsim" -> Q(
+      """WITH q AS (SELECT vec_id AS qtok_id, embedding AS qvec FROM embeddings WHERE vec_id < 4),
+        |sims AS (
+        |  SELECT e.label AS doc_id, q.qtok_id,
+        |         max(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[])) AS max_sim
+        |  FROM embeddings e, q
+        |  GROUP BY e.label, q.qtok_id
+        |)
+        |SELECT doc_id, round(sum(max_sim), 6) AS score
+        |FROM sims GROUP BY doc_id
+        |ORDER BY sum(max_sim) DESC, doc_id LIMIT 5""".stripMargin
+    ) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val docTokens = emb.select(col("label").as("doc_id"),
+        col("embedding").as("vector"))
+      val qToks = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qtok_id"), col("embedding").as("qvec"))
+      MultiVec.maxSim(docTokens, qToks, k = 5)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+    },
+
+    // Two-stage MaxSim (reference: multivec.rs:275-331): centroid coarse
+    // ranking (f32-truncated centroids) keeps k×2 candidate docs, exact
+    // MaxSim re-rank.
+    "maxsim_two_stage" -> Q(
+      """WITH q AS (SELECT vec_id AS qtok_id, embedding AS qvec FROM embeddings WHERE vec_id < 4),
+        |unn AS (SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |               unnest(embedding)::DOUBLE AS x FROM embeddings),
+        |cent AS (SELECT label, dim, avg(x)::FLOAT AS v FROM unn GROUP BY label, dim),
+        |cvec AS (SELECT label, list(v ORDER BY dim) AS c FROM cent GROUP BY label),
+        |qunn AS (SELECT generate_subscripts(qvec, 1) AS dim, unnest(qvec)::DOUBLE AS x FROM q),
+        |qcent AS (SELECT dim, avg(x)::FLOAT AS v FROM qunn GROUP BY dim),
+        |qcvec AS (SELECT list(v ORDER BY dim) AS qc FROM qcent),
+        |cands AS (
+        |  SELECT c.label FROM cvec c, qcvec
+        |  ORDER BY list_cosine_similarity(c.c::DOUBLE[], qcvec.qc::DOUBLE[]) DESC, c.label
+        |  LIMIT 6
+        |),
+        |sims AS (
+        |  SELECT e.label AS doc_id, q.qtok_id,
+        |         max(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[])) AS max_sim
+        |  FROM embeddings e JOIN cands ON e.label = cands.label, q
+        |  GROUP BY e.label, q.qtok_id
+        |)
+        |SELECT doc_id, round(sum(max_sim), 6) AS score
+        |FROM sims GROUP BY doc_id
+        |ORDER BY sum(max_sim) DESC, doc_id LIMIT 3""".stripMargin
+    ) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val docTokens = emb.select(col("label").as("doc_id"),
+        col("embedding").as("vector"))
+      val qToks = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qtok_id"), col("embedding").as("qvec"))
+      MultiVec.maxSimTwoStage(docTokens, qToks, k = 3, candidateMultiplier = 2)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+    },
+
+    // Cross-collection search: two collections over the same id space with
+    // different queries; MinScore merge dedups by id keeping the lower
+    // distance (reference: src/search/cross_collection.rs:316-341).
+    "cross_collection_min" -> Q(
+      """WITH q0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |q1 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+        |a AS (
+        |  SELECT vec_id AS id, round(1 - list_cosine_similarity(embedding::DOUBLE[], q0.qv::DOUBLE[]), 6) AS distance,
+        |         'colA' AS collection
+        |  FROM embeddings, q0 ORDER BY distance, id LIMIT 20
+        |),
+        |b AS (
+        |  SELECT vec_id AS id, round(1 - list_cosine_similarity(embedding::DOUBLE[], q1.qv::DOUBLE[]), 6) AS distance,
+        |         'colB' AS collection
+        |  FROM embeddings, q1 ORDER BY distance, id LIMIT 20
+        |),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY distance, collection) AS rn
+        |  FROM u
+        |)
+        |SELECT id, distance, collection FROM best WHERE rn = 1
+        |ORDER BY distance, id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      def top20(qid: Int) = {
+        val qv = emb.filter(col("vec_id") === qid).select(col("embedding").as("qv"))
+        emb.crossJoin(broadcast(qv))
+          .select(col("vec_id").as("id"),
+            round(Distances.cosine(col("embedding"), col("qv")), 6).as("distance"))
+          .orderBy(col("distance").asc, col("id").asc)
+          .limit(20)
+      }
+      CrossCollection.merge(
+        Seq("colA" -> top20(0), "colB" -> top20(1)), k = 10,
+        CrossCollection.Merge.MinScore)
+        .select(col("id"), col("distance"), col("collection"))
+    },
+
+    // Matryoshka two-phase search (reference:
+    // src/collection/search_methods.rs:127-180): coarse top-(k×2) on the
+    // 16-dim prefix, full-dim re-rank.
+    "matryoshka" -> Q(
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |coarse AS (
+        |  SELECT e.vec_id, e.embedding, q.qv
+        |  FROM embeddings e, q
+        |  ORDER BY round(1 - list_cosine_similarity(e.embedding[1:16]::DOUBLE[], q.qv[1:16]::DOUBLE[]), 6), e.vec_id
+        |  LIMIT 20
+        |)
+        |SELECT vec_id, round(1 - list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6) AS distance
+        |FROM coarse
+        |ORDER BY distance, vec_id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val coarse = emb.crossJoin(broadcast(qv))
+        .withColumn("__coarse",
+          round(Distances.cosine(slice(col("embedding"), 1, 16),
+            slice(col("qv"), 1, 16)), 6))
+        .orderBy(col("__coarse").asc, col("vec_id").asc)
+        .limit(20)
+      coarse
+        .select(col("vec_id"),
+          round(Distances.cosine(col("embedding"), col("qv")), 6).as("distance"))
+        .orderBy(col("distance").asc, col("vec_id").asc)
+        .limit(10)
+    },
+
+    // TF-IDF term-overlap rerank (reference: src/search/reranker.rs:362-466).
+    "term_overlap_rerank" -> Q(
+      """WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 100),
+        |dterms AS (SELECT doc_id, list_distinct(string_split_regex(t, '\s+')) AS terms FROM docs),
+        |qt AS (SELECT term, count(*) AS qc
+        |       FROM (SELECT unnest(['spark', 'query', 'batch', 'data']) AS term) GROUP BY term),
+        |post AS (SELECT d.doc_id, len(d.terms) AS doc_len, unnest(d.terms) AS term FROM dterms d),
+        |m AS (SELECT post.* , qt.qc FROM post JOIN qt USING (term)),
+        |dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM m GROUP BY term),
+        |sc AS (SELECT m.doc_id, m.doc_len,
+        |              sum((ln((100 + 1.0) / (dfs.df + 1.0)) + 1.0) * m.qc) AS s
+        |       FROM m JOIN dfs USING (term) GROUP BY m.doc_id, m.doc_len)
+        |SELECT d.doc_id,
+        |       round(coalesce(sc.s / (sqrt(greatest(sc.doc_len, 1)) * 4), 0.0), 6) AS score
+        |FROM (SELECT doc_id FROM docs) d LEFT JOIN sc USING (doc_id)
+        |ORDER BY round(coalesce(sc.s / (sqrt(greatest(sc.doc_len, 1)) * 4), 0.0), 6) DESC, d.doc_id
+        |LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      TermOverlap.rerank(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 100),
+        "spark query batch data", idCol = "doc_id", textCol = "text", topK = 100)
+        .select(col("id").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)
+    },
+
+    // MMR diversification (reference: src/integrations/langchain.rs:802-856)
+    // — greedy loop over the collected top-50 pool; not SQL-expressible, so
+    // rows-only.
+    "mmr_diversify" -> Q.noOracle { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+      val pool = emb.crossJoin(broadcast(qv))
+        .withColumn("distance",
+          round(Distances.cosine(col("embedding"), col("qv")), 6))
+        .orderBy(col("distance").asc, col("vec_id").asc)
+        .limit(50)
+        .select(col("vec_id"), col("embedding"))
+      Mmr.diversify(pool, "vec_id", "embedding", query, k = 10, lambda = 0.7)
+    },
+  )
+}
