@@ -16,7 +16,8 @@ object SparkEntry {
   def all: Map[String, Q] =
     AnalyticsQueries.defs ++ VectorQueries.defs ++ FilterQueries.defs ++
       TextQueries.defs ++ PipelineQueries.defs ++ VectorAggQueries.defs ++
-      SearchPipelineQueries.defs ++ AdvancedQueries.defs
+      SearchPipelineQueries.defs ++ AdvancedQueries.defs ++
+      NeedleQLQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -40,8 +40,12 @@ object FilterCompiler {
     compile(f, schemaResolver(df.schema) _)
 
   def compile(f: Filter, resolve: String => Resolved): Column = f match {
-    case Filter.And(fs) => fs.map(compile(_, resolve)).reduceLeft(_ && _)
-    case Filter.Or(fs)  => fs.map(compile(_, resolve)).reduceLeft(_ || _)
+    // empty And = match-everything, empty Or = match-nothing (the reference's
+    // Filter::And(vec![]) pass-through, used for SIMILAR TO placeholders)
+    case Filter.And(fs) => fs.map(compile(_, resolve))
+      .reduceLeftOption(_ && _).getOrElse(lit(true))
+    case Filter.Or(fs)  => fs.map(compile(_, resolve))
+      .reduceLeftOption(_ || _).getOrElse(lit(false))
     case Filter.Not(g)  =>
       // Spark's three-valued NOT(null)=null would drop rows the reference
       // keeps: needle's NOT is boolean over a false-on-missing inner result.

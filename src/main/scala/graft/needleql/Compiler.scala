@@ -1,0 +1,310 @@
+package graft.needleql
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Ast._
+import graft.filter.{Filter, FilterOp, JValue, JNull, JNum, JStr, JBool, JArr}
+import graft.ops.{Mmr, SearchBuilder, TimeDecay}
+import graft.text.{Bm25, Rrf}
+
+/** NeedleQL session: catalog of named collections + parameter binding +
+  * statement execution (SURVEY.md §2.9; reference pipeline:
+  * src/search/query_lang/executor.rs and src/search/needleql_executor.rs).
+  *
+  * Every statement compiles to DataFrame operations — Catalyst replaces the
+  * reference's CostBasedOptimizer (its strategies collapse on the exact
+  * engine: filter-then-scan is always right, SURVEY.md §4.1). EXPLAIN
+  * returns the NeedleQL-level plan narrative plus Spark's physical plan.
+  */
+final case class CollectionDef(
+    df: DataFrame,
+    idCol: String = "id",
+    vectorCol: String = "vector",
+    metric: String = "cosine",
+    insertedAtCol: Option[String] = None,
+    textCol: Option[String] = None)
+
+class NeedleSession(val spark: SparkSession) {
+
+  val collections: mutable.LinkedHashMap[String, CollectionDef] = mutable.LinkedHashMap()
+  var params: Map[String, Any] = Map.empty
+  /** Deterministic clock for time decay (None = wall clock). */
+  var nowEpochS: Option[Long] = None
+  /** Round distances to N decimals for reproducible comparisons. */
+  var roundDistanceTo: Option[Int] = None
+
+  def register(name: String, d: CollectionDef): this.type = {
+    collections(name) = d; this
+  }
+  def bind(name: String, value: Any): this.type = {
+    params += name -> value; this
+  }
+
+  def sql(query: String): DataFrame = execute(Parser.parse(query))
+
+  def execute(stmt: Statement): DataFrame = stmt match {
+    case SelectStmt(q)        => compileQuery(q)
+    case ExplainStmt(q, _)    => explain(q)
+    case ShowCollectionsStmt  =>
+      import spark.implicits._
+      collections.keys.toSeq.toDF("collection")
+    case CreateCollectionStmt(name, opts) =>
+      val dims = opts.get("dimensions").map(_.toInt).getOrElse(0)
+      val metric = opts.getOrElse("distance", "cosine")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("vector",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.types.StructField("metadata",
+          org.apache.spark.sql.types.StringType)))
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      collections(name) = CollectionDef(empty, metric = metric)
+      status(s"created collection $name (dims=$dims, distance=$metric)")
+    case DropCollectionStmt(name) =>
+      collections.remove(name)
+      status(s"dropped collection $name")
+    case InsertStmt(coll, id, vec, meta) =>
+      val c = resolve(coll)
+      import spark.implicits._
+      val row = Seq((id, vec.toArray, meta.orNull))
+        .toDF(c.idCol, c.vectorCol, "metadata")
+      collections(coll) = c.copy(df = c.df.unionByName(row,
+        allowMissingColumns = true))
+      status(s"inserted 1 row into $coll")
+    case DeleteStmt(coll, where) =>
+      val c = resolve(coll)
+      val remaining = where match {
+        case Some(e) =>
+          val pred = graft.filter.FilterCompiler.compile(toFilter(e), c.df)
+          c.df.filter(!coalesce(pred, lit(false)))
+        case None => c.df.limit(0)
+      }
+      collections(coll) = c.copy(df = remaining)
+      status(s"deleted from $coll")
+  }
+
+  private def status(msg: String): DataFrame = {
+    import spark.implicits._
+    Seq(msg).toDF("status")
+  }
+
+  private def resolve(name: String): CollectionDef =
+    collections.getOrElse(name,
+      throw Parser.ParseError(s"Collection not found: $name"))
+
+  // ------------------------------------------------------------- SELECT
+
+  def compileQuery(q: Query): DataFrame = {
+    val c = resolve(q.from)
+    val limit = q.limit.getOrElse(10L).toInt // reference default 10
+
+    // Query vector: NEAREST_TO literal or SIMILAR TO $param
+    val similarParam = q.where.flatMap(findSimilar)
+    val queryVec: Option[Column] = q.nearestTo.map(n => lit(n.vector.toArray))
+      .orElse(similarParam.map { p =>
+        params.get(p) match {
+          case Some(v: Array[Float]) => lit(v)
+          case Some(v: Seq[_]) => lit(v.map(_.toString.toFloat).toArray)
+          case _ => throw Parser.ParseError(s"Missing vector parameter $$$p")
+        }
+      })
+    val metric = q.nearestTo.flatMap(_.distanceFn).getOrElse(c.metric)
+    val preFilter = q.where.map(toFilter).filterNot(isTrivial)
+
+    val result: DataFrame = (queryVec, q.hybrid) match {
+      case (_, Some(h)) => hybridSearch(c, h, q, limit)
+      case (Some(qv), _) =>
+        val builder = SearchBuilder(
+          df = c.df, query = qv, vecCol = col(c.vectorCol),
+          idCol = col(c.idCol), k = limit, // offset skips AFTER search (executor.rs:193-197)
+          metric = metric, preFilter = preFilter,
+          asOf = q.asOf,
+          decay = q.timeDecay.map(toDecay),
+          insertedAtCol = c.insertedAtCol.map(col),
+          nowEpochS = nowEpochS,
+          roundDistanceTo = roundDistanceTo,
+          includeCols = c.df.columns.filterNot(_ == c.idCol).toSeq)
+        builder.execute()
+      case (None, None) =>
+        val base = preFilter.fold(c.df)(f =>
+          c.df.filter(graft.filter.FilterCompiler.compile(f, c.df)))
+        val asOfd = (q.asOf, c.insertedAtCol) match {
+          case (Some(ts), Some(ins)) => base.filter(col(ins).isNull || col(ins) <= ts)
+          case _ => base
+        }
+        asOfd
+    }
+
+    val reranked = applyRerank(result, q, c, queryVec)
+    val ordered =
+      if (q.orderBy.nonEmpty)
+        reranked.orderBy(q.orderBy.map { case (cn, asc) =>
+          if (asc) col(cn).asc else col(cn).desc
+        }: _*)
+      else reranked
+    val limited =
+      if (queryVec.isEmpty && q.hybrid.isEmpty) ordered.limit(limit + q.offset.getOrElse(0L).toInt)
+      else ordered
+    // OFFSET applied post-search (reference: executor.rs:193-197)
+    val offsetted = q.offset.fold(limited)(o => limited.offset(o.toInt))
+    project(offsetted, q.select)
+  }
+
+  private def hybridSearch(c: CollectionDef, h: HybridSearch, q: Query,
+                           limit: Int): DataFrame = {
+    val textCol = c.textCol.getOrElse(
+      throw Parser.ParseError(s"Collection ${q.from} has no text column for HYBRID_SEARCH"))
+    val ix = Bm25.index(c.df, col(c.idCol), col(textCol))
+    val bmTop = Bm25.search(ix, h.text, limit * 5)
+      .withColumnRenamed("doc_id", "id")
+    val vecTop = h.vector match {
+      case Some(v) =>
+        graft.ops.Search.topK(c.df, col(c.vectorCol), lit(v.toArray),
+          limit * 5, c.metric, c.idCol)
+          .select(col(c.idCol).as("id"), col("distance"))
+      case None => // text-only: empty vector leg
+        import spark.implicits._
+        Seq.empty[(String, Double)].toDF("id", "distance")
+    }
+    Rrf.fuse(vecTop, bmTop,
+      Rrf.Config(k = h.rrfK, vectorWeight = h.vectorWeight,
+        bm25Weight = 1.0 - h.vectorWeight),
+      limit)
+  }
+
+  private def applyRerank(df: DataFrame, q: Query, c: CollectionDef,
+                          queryVec: Option[Column]): DataFrame =
+    q.rerank.map(_.strategy) match {
+      case Some(RerankStrategy.Field(colName, asc)) =>
+        df.orderBy(if (asc) col(colName).asc else col(colName).desc)
+      case Some(RerankStrategy.Mmr(lambda)) =>
+        // MMR needs the vectors: join them back, collect bounded pool
+        val k = q.limit.getOrElse(10L).toInt
+        val qv = queryVec.getOrElse(
+          throw Parser.ParseError("MMR rerank requires vector search"))
+        val pool = df.join(c.df.select(col(c.idCol), col(c.vectorCol)), c.idCol)
+        val qArr = params.values.collectFirst { case a: Array[Float] => a }
+          .getOrElse(q.nearestTo.map(_.vector.toArray).getOrElse(
+            throw Parser.ParseError("MMR rerank requires a query vector")))
+        Mmr.diversify(pool, c.idCol, c.vectorCol, qArr, k, lambda)
+      case Some(RerankStrategy.CrossEncoder(_)) | Some(RerankStrategy.Rrf(_)) | None =>
+        df // CrossEncoder needs an external model; RRF here is a no-op signal
+    }
+
+  private def project(df: DataFrame, sel: SelectClause): DataFrame = sel match {
+    case SelectAll       => df
+    case SelectCols(cols) => df.select(cols.map(col): _*)
+  }
+
+  // ---------------------------------------------------------- translation
+
+  private def findSimilar(e: Expression): Option[String] = e match {
+    case SimilarTo(_, p) => Some(p)
+    case AndExpr(l, r)   => findSimilar(l).orElse(findSimilar(r))
+    case OrExpr(l, r)    => findSimilar(l).orElse(findSimilar(r))
+    case NotExpr(inner)  => findSimilar(inner)
+    case _               => None
+  }
+
+  private def isTrivial(f: Filter): Boolean = f match {
+    case Filter.And(fs) => fs.forall(isTrivial)
+    case _              => false
+  }
+
+  private def literalToJ(l: Literal): JValue = l match {
+    case StrLit(s)      => JStr(s)
+    case NumLit(d)      => JNum(d)
+    case BoolLit(b)     => JBool(b)
+    case NullLit        => JNull
+    case DurationLit(s) => JNum(s.toDouble)
+    case ParamRef(p) => params.get(p) match {
+      case Some(s: String)  => JStr(s)
+      case Some(n: Number)  => JNum(n.doubleValue())
+      case Some(b: Boolean) => JBool(b)
+      case other => throw Parser.ParseError(s"Unbound or non-scalar parameter $$$p ($other)")
+    }
+  }
+
+  /** Expression → Filter ADT, mirroring executor.rs:222-309: LIKE compiles
+    * to `$contains` after trimming '%'; IS NULL to Eq null; SIMILAR TO to
+    * the match-all placeholder.
+    */
+  def toFilter(e: Expression): Filter = e match {
+    case SimilarTo(_, _) => Filter.And(Nil) // pass-through
+    case Comparison(c, op, v) =>
+      val fop = op match {
+        case "="  => FilterOp.Eq
+        case "!=" => FilterOp.Ne
+        case "<"  => FilterOp.Lt
+        case "<=" => FilterOp.Lte
+        case ">"  => FilterOp.Gt
+        case ">=" => FilterOp.Gte
+      }
+      Filter.Condition(c, fop, literalToJ(v))
+    case InList(c, vs, neg) =>
+      val f = Filter.Condition(c, FilterOp.In, JArr(vs.map(literalToJ).toVector))
+      if (neg) Filter.Not(f) else f
+    case BetweenExpr(c, lo, hi, neg) =>
+      val f = Filter.And(Seq(
+        Filter.Condition(c, FilterOp.Gte, literalToJ(lo)),
+        Filter.Condition(c, FilterOp.Lte, literalToJ(hi))))
+      if (neg) Filter.Not(f) else f
+    case LikeExpr(c, pattern, neg) =>
+      val f = Filter.Condition(c, FilterOp.Contains,
+        JStr(pattern.replaceAll("^%+|%+$", "")))
+      if (neg) Filter.Not(f) else f
+    case IsNullExpr(c, neg) =>
+      val f = Filter.Condition(c, FilterOp.Eq, JNull)
+      if (neg) Filter.Not(f) else f
+    case AndExpr(l, r) => Filter.And(Seq(toFilter(l), toFilter(r)))
+    case OrExpr(l, r)  => Filter.Or(Seq(toFilter(l), toFilter(r)))
+    case NotExpr(x)    => Filter.Not(toFilter(x))
+  }
+
+  private def toDecay(t: TimeDecayClause): TimeDecay = {
+    def p(names: String*): Long = names.flatMap(t.params.get).headOption
+      .map(_.toLong).getOrElse(
+        throw Parser.ParseError(s"TIME_DECAY(${t.function}) missing param (${names.mkString("/")})"))
+    t.function match {
+      case "exponential" => TimeDecay.Exponential(p("half_life", "half_life_seconds"))
+      case "linear"      => TimeDecay.Linear(p("max_age", "max_age_seconds"))
+      case "step"        => TimeDecay.Step(p("window", "window_seconds"))
+      case "gaussian"    => TimeDecay.Gaussian(p("sigma", "sigma_seconds"))
+    }
+  }
+
+  // --------------------------------------------------------------- EXPLAIN
+
+  /** Plan narrative (reference plan steps: needleql_executor.rs:296-320) +
+    * Spark physical plan.
+    */
+  def explain(q: Query): DataFrame = {
+    import spark.implicits._
+    val steps = Seq.newBuilder[String]
+    if (q.asOf.isDefined) steps += s"TimeTravelScan(as_of=${q.asOf.get})"
+    else steps += s"Scan(${q.from})"
+    if (q.nearestTo.isDefined || q.where.exists(findSimilar(_).isDefined))
+      steps += "VectorSearch(exact top-k via TakeOrderedAndProject)"
+    if (q.hybrid.isDefined) steps += "TextSearch(BM25) + HybridFusion(RRF)"
+    if (q.where.exists(w => !isTrivial(toFilter(w))))
+      steps += "MetadataFilter(pushed to scan)"
+    if (q.timeDecay.isDefined) steps += s"TimeDecay(${q.timeDecay.get.function})"
+    if (q.rerank.isDefined) steps += s"Rerank(${q.rerank.get.strategy})"
+    if (q.orderBy.nonEmpty) steps += s"Sort(${q.orderBy.mkString(",")})"
+    steps += s"Limit(${q.limit.getOrElse(10L)})"
+    q.offset.foreach(o => steps += s"Offset($o)")
+    val narrative = steps.result()
+    val physical = compileQuery(q.copy(explain = false))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+    (narrative.zipWithIndex.map { case (s, i) => (i, "plan", s) } :+
+      ((narrative.size, "spark", physical)))
+      .toDF("step", "kind", "detail")
+  }
+}

@@ -33,6 +33,15 @@ object TimeDecay {
     def factor(age: Column): Column =
       when(age <= windowSeconds, 1.0).otherwise(0.0)
   }
+  /** `exp(-age²/(2σ²))` — the NeedleQL-layer `TIME_DECAY(gaussian, ...)`
+    * function (reference grammar: src/search/query_lang/ast.rs:64-70; the
+    * embedded pipeline itself only ships the three above).
+    */
+  final case class Gaussian(sigmaSeconds: Long) extends TimeDecay {
+    def factor(age: Column): Column =
+      if (sigmaSeconds == 0L) when(age === 0, 1.0).otherwise(0.0)
+      else exp(-(age * age) / lit(2.0 * sigmaSeconds.toDouble * sigmaSeconds))
+  }
 }
 
 /** Fluent search pipeline (SURVEY.md §2.3; reference:

@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.needleql.{CollectionDef, NeedleSession}
+
+/** End-to-end NeedleQL queries (SURVEY.md §2.9): a raw NeedleQL string is
+  * lexed, parsed, validated and compiled onto DataFrames; the oracle is the
+  * equivalent ANSI SQL, proving the whole language pipeline, not just the
+  * operators underneath.
+  */
+object NeedleQLQueries {
+
+  private def session(s: SparkSession, dir: String): NeedleSession = {
+    val ns = new NeedleSession(s)
+    ns.register("events", CollectionDef(
+      Tables.load(s, dir, "events"), idCol = "event_id", vectorCol = "none"))
+    ns.register("documents", CollectionDef(
+      Tables.load(s, dir, "documents"), idCol = "doc_id", vectorCol = "none",
+      textCol = Some("text")))
+    val emb = Tables.load(s, dir, "embeddings")
+    ns.register("embeddings", CollectionDef(
+      emb, idCol = "vec_id", vectorCol = "embedding", metric = "cosine"))
+    ns.roundDistanceTo = Some(6)
+    ns.bind("q", emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray)
+    ns
+  }
+
+  val defs: Map[String, Q] = Map(
+    // Pure metadata query: comparisons + BETWEEN + ORDER BY + LIMIT.
+    "needleql_filter" -> Q(
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_type = 'click' AND value BETWEEN 50 AND 100
+        |ORDER BY event_id LIMIT 100""".stripMargin
+    ) { (s, dir) =>
+      session(s, dir).sql(
+        """SELECT event_id, event_type, value FROM events
+          |WHERE event_type = 'click' AND value BETWEEN 50 AND 100
+          |ORDER BY event_id LIMIT 100""".stripMargin)
+    },
+
+    // Vector similarity through the language: SIMILAR TO $param.
+    "needleql_similar" -> Q(
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, round(1 - list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6) AS distance
+        |FROM embeddings, q
+        |ORDER BY distance, vec_id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      session(s, dir).sql(
+        "SELECT vec_id, distance FROM embeddings WHERE embedding SIMILAR TO $q LIMIT 10")
+    },
+
+    // LIKE → contains + IN + OR/NOT through the language layer.
+    "needleql_like_in" -> Q(
+      """SELECT doc_id, lang FROM documents
+        |WHERE lang IN ('en', 'fr') AND text LIKE '%spark%'
+        |ORDER BY doc_id LIMIT 50""".stripMargin
+    ) { (s, dir) =>
+      session(s, dir).sql(
+        """SELECT doc_id, lang FROM documents
+          |WHERE lang IN ('en', 'fr') AND text LIKE '%spark%'
+          |ORDER BY doc_id LIMIT 50""".stripMargin)
+    },
+  )
+}

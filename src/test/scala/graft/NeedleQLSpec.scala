@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.needleql.{Ast, CollectionDef, NeedleSession, Parser}
+import graft.needleql.Ast._
+
+class NeedleQLParserSpec extends SparkSpec {
+
+  test("full select clause stack parses") {
+    val q = Parser.parseQuery(
+      """SELECT id, distance FROM docs
+        |WITH TIME_DECAY(exponential, half_life = 7d)
+        |WHERE vector SIMILAR TO $q AND category = 'news' AND score >= 0.5
+        |RERANK BY score DESC FETCH 30
+        |ORDER BY distance ASC, id DESC
+        |LIMIT 20 OFFSET 5""".stripMargin)
+    assert(q.from == "docs")
+    assert(q.select == SelectCols(Seq("id", "distance")))
+    assert(q.timeDecay.contains(TimeDecayClause("exponential",
+      Map("half_life" -> 604800.0))))
+    assert(q.rerank.contains(RerankClause(RerankStrategy.Field("score", ascending = false), Some(30))))
+    assert(q.orderBy == Seq(("distance", true), ("id", false)))
+    assert(q.limit.contains(20L) && q.offset.contains(5L))
+  }
+
+  test("WITH clause order: TIME_DECAY before WHERE") {
+    val q = Parser.parseQuery(
+      "SELECT * FROM c WITH TIME_DECAY(linear, max_age = 2h) WHERE v SIMILAR TO $q")
+    assert(q.timeDecay.contains(TimeDecayClause("linear", Map("max_age" -> 7200.0))))
+  }
+
+  test("TIME_DECAY without SIMILAR TO is rejected (parser.rs:896)") {
+    assertThrows[Parser.ParseError](Parser.parseQuery(
+      "SELECT * FROM c WITH TIME_DECAY(linear, max_age = 1h) WHERE x = 1"))
+  }
+
+  test("NEAREST_TO with metric and ef_search") {
+    val q = Parser.parseQuery(
+      "SELECT * FROM c NEAREST_TO([0.1, 0.2], 'euclidean', 100) LIMIT 5")
+    assert(q.nearestTo.contains(NearestTo(Seq(0.1f, 0.2f), Some("euclidean"), Some(100))))
+  }
+
+  test("AS OF and HYBRID_SEARCH") {
+    val q = Parser.parseQuery(
+      "SELECT * FROM c HYBRID_SEARCH('hello world', [0.5, 0.5]) AS OF 12345 LIMIT 3")
+    assert(q.asOf.contains(12345L))
+    assert(q.hybrid.exists(h => h.text == "hello world" && h.vector.contains(Seq(0.5f, 0.5f))))
+  }
+
+  test("SEARCH NEAR sugar") {
+    val q = Parser.parseQuery("SEARCH NEAR $qv FROM docs WHERE tag = 'x' LIMIT 7")
+    assert(q.from == "docs" && q.limit.contains(7L))
+    assert(q.where.exists {
+      case AndExpr(SimilarTo("vector", "qv"), _) => true
+      case _ => false
+    })
+  }
+
+  test("predicates: IN, NOT IN, BETWEEN, LIKE, IS NULL, <>") {
+    val q = Parser.parseQuery(
+      """SELECT * FROM c WHERE a IN ('x', 'y') AND b NOT IN (1, 2)
+        |AND c BETWEEN 1 AND 5 AND d NOT LIKE '%junk%'
+        |AND e IS NOT NULL AND f <> 3""".stripMargin)
+    val w = q.where.get
+    def flat(e: Expression): Seq[Expression] = e match {
+      case AndExpr(l, r) => flat(l) ++ flat(r)
+      case other => Seq(other)
+    }
+    val ps = flat(w)
+    assert(ps.exists { case InList("a", _, false) => true; case _ => false })
+    assert(ps.exists { case InList("b", _, true) => true; case _ => false })
+    assert(ps.exists { case BetweenExpr("c", _, _, false) => true; case _ => false })
+    assert(ps.exists { case LikeExpr("d", "%junk%", true) => true; case _ => false })
+    assert(ps.exists { case IsNullExpr("e", true) => true; case _ => false })
+    assert(ps.exists { case Comparison("f", "!=", NumLit(3.0)) => true; case _ => false })
+  }
+
+  test("statements: ddl, insert, delete, show") {
+    assert(Parser.parse("CREATE COLLECTION foo WITH (dimensions = 4, distance = 'cosine')")
+      == CreateCollectionStmt("foo", Map("dimensions" -> "4", "distance" -> "cosine")))
+    assert(Parser.parse("DROP COLLECTION foo") == DropCollectionStmt("foo"))
+    assert(Parser.parse("SHOW COLLECTIONS") == ShowCollectionsStmt)
+    val ins = Parser.parse("""INSERT INTO foo VALUES ('a', [1.0, 2.0], '{"k": 1}')""")
+    assert(ins == InsertStmt("foo", "a", Seq(1f, 2f), Some("""{"k": 1}""")))
+    val del = Parser.parse("DELETE FROM foo WHERE id = 'a'")
+    assert(del == DeleteStmt("foo", Some(Comparison("id", "=", StrLit("a")))))
+  }
+
+  test("duration literals") {
+    val q = Parser.parseQuery("SELECT * FROM c WHERE age < 2h")
+    assert(q.where.contains(Comparison("age", "<", DurationLit(7200L))))
+  }
+}
+
+class NeedleQLExecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def session: NeedleSession = {
+    val s = new NeedleSession(spark)
+    val docs = Seq(
+      ("a", Array(1f, 0f), "news", 10.0, "spark joins are fast"),
+      ("b", Array(0.9f, 0.3f), "news", 5.0, "flink streams"),
+      ("c", Array(0f, 1f), "blog", 8.0, "spark shuffles explained"),
+    ).toDF("id", "vector", "category", "score", "text")
+    s.register("docs", CollectionDef(docs, textCol = Some("text")))
+    s.bind("q", Array(1f, 0f))
+    s
+  }
+
+  test("SIMILAR TO end-to-end with filter") {
+    val got = session.sql(
+      "SELECT id, distance FROM docs WHERE vector SIMILAR TO $q AND category = 'news' LIMIT 2")
+      .as[(String, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq("a", "b"))
+    assert(got.head._2 == 0.0)
+  }
+
+  test("NEAREST_TO literal vector with metric override") {
+    val got = session.sql(
+      "SELECT id FROM docs NEAREST_TO([0.0, 1.0], 'euclidean') LIMIT 1")
+      .as[String].collect().toSeq
+    assert(got == Seq("c"))
+  }
+
+  test("plain metadata select with order/limit/offset") {
+    val got = session.sql(
+      "SELECT id FROM docs WHERE score >= 5 ORDER BY score DESC LIMIT 3 OFFSET 1")
+      .as[String].collect().toSeq
+    assert(got == Seq("c", "b"))
+  }
+
+  test("offset applies after vector search of k rows (executor.rs:193-197)") {
+    val got = session.sql(
+      "SELECT id FROM docs WHERE vector SIMILAR TO $q LIMIT 2 OFFSET 1")
+      .as[String].collect().toSeq
+    assert(got == Seq("b")) // k=2 fetched, first skipped
+  }
+
+  test("LIKE compiles to contains (trimmed %)") {
+    val got = session.sql(
+      "SELECT id FROM docs WHERE text LIKE '%spark%' ORDER BY id LIMIT 10")
+      .as[String].collect().toSeq
+    assert(got == Seq("a", "c"))
+  }
+
+  test("HYBRID_SEARCH fuses text and vector legs") {
+    val got = session.sql(
+      "SELECT id, rrf_score FROM docs HYBRID_SEARCH('spark', [1.0, 0.0]) LIMIT 3")
+      .as[(String, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.head._1 == "a") // best in both legs
+  }
+
+  test("ddl + insert + delete round-trip") {
+    val s = session
+    s.sql("CREATE COLLECTION tmp WITH (dimensions = 2)")
+    assert(s.sql("SHOW COLLECTIONS").as[String].collect().contains("tmp"))
+    s.sql("""INSERT INTO tmp VALUES ('x', [1.0, 0.0], '{"k": 1}')""")
+    s.sql("""INSERT INTO tmp VALUES ('y', [0.0, 1.0], '{"k": 2}')""")
+    assert(s.collections("tmp").df.count() == 2)
+    s.sql("DELETE FROM tmp WHERE id = 'x'")
+    assert(s.collections("tmp").df.select("id").as[String].collect().toSeq == Seq("y"))
+    s.sql("DROP COLLECTION tmp")
+    assert(!s.sql("SHOW COLLECTIONS").as[String].collect().contains("tmp"))
+  }
+
+  test("EXPLAIN returns plan narrative + spark plan") {
+    val got = session.sql(
+      "EXPLAIN SELECT id FROM docs WHERE vector SIMILAR TO $q AND category = 'news' LIMIT 5")
+    val kinds = got.select("kind").as[String].collect().toSeq
+    val details = got.select("detail").as[String].collect().mkString("\n")
+    assert(kinds.contains("plan") && kinds.contains("spark"))
+    assert(details.contains("VectorSearch") && details.contains("MetadataFilter"))
+  }
+
+  test("time decay with deterministic clock") {
+    val s = session
+    val docs = Seq(
+      ("old", Array(1f, 0f), 0L),
+      ("new", Array(0.9f, 0.3f), 900L)).toDF("id", "vector", "inserted_at")
+    s.register("timed", CollectionDef(docs, insertedAtCol = Some("inserted_at")))
+    s.nowEpochS = Some(1000L)
+    val got = s.sql(
+      "SELECT id FROM timed WITH TIME_DECAY(linear, max_age = 500) WHERE vector SIMILAR TO $q LIMIT 2")
+      .as[String].collect().toSeq
+    // old: age 1000 >= 500 -> factor 0 -> f32::MAX; new wins despite distance
+    assert(got == Seq("new", "old"))
+  }
+}
