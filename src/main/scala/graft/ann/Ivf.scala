@@ -1,0 +1,169 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Distances
+
+/** IVF (inverted-file) approximate nearest-neighbor search — the
+  * Spark-natural ANN (SURVEY.md §7.1 step 13; the reference's own IVF is the
+  * semantic model: src/indexing/ivf.rs:509, its HNSW is a single-node graph
+  * structure with no distributed analogue).
+  *
+  * Build: KMeans centroids (tiny, driver-resident) + a cell id per row.
+  * At cluster scale the assigned table is *written partitioned by cell*
+  * (`write.partitionBy("cell")`), so a search with nprobe cells reads only
+  * nprobe/numCells of the data — real partition pruning at the storage
+  * layer, the distributed analogue of probing posting lists. On 100 TB:
+  * numCells ~ √N keeps cells executor-sized; nprobe trades recall for scan
+  * fraction exactly like the reference's `nprobe` (ivf.rs).
+  *
+  * Exact brute-force is the correctness oracle; the recall@k harness
+  * (AnnSpec) mirrors the reference's recall_benchmark.rs.
+  */
+object Ivf {
+
+  final case class Index(
+      centroids: Array[Array[Float]],   // cellId -> centroid
+      assigned: DataFrame,              // input cols + `cell`
+      metric: String)
+
+  /** Column computing the nearest-centroid cell id for a vector column. */
+  def cellOf(vecCol: Column, centroids: Array[Array[Float]],
+             metric: String): Column = {
+    // array of (distance, cellId) structs; array_min picks lexicographic min
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(Distances.distance(metric, vecCol, lit(c)).as("d"),
+        lit(i).as("cell"))
+    }: _*)
+    array_min(scored).getField("cell")
+  }
+
+  def build(df: DataFrame, vecCol: Column, numCells: Int,
+            metric: String = "cosine", seed: Long = 42L,
+            maxIter: Int = 20): Index = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = df.select(array_to_vector(vecCol.cast("array<float>")).as("features"))
+    val model = new KMeans().setK(numCells).setMaxIter(maxIter).setSeed(seed)
+      .setFeaturesCol("features").fit(feat)
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val assigned = df.withColumn("cell", cellOf(vecCol, centroids, metric))
+    Index(centroids, assigned, metric)
+  }
+
+  /** The nprobe cells nearest to the query (driver-side over the tiny
+    * centroid set).
+    */
+  def probeCells(ix: Index, query: Array[Float], nprobe: Int): Seq[Int] = {
+    def dist(a: Array[Float], b: Array[Float]): Double = {
+      // driver-side mirror of the cosine/euclidean kernels
+      ix.metric match {
+        case "cosine" =>
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+          if (na == 0 || nb == 0) 1.0 else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+        case _ =>
+          var s = 0.0; var i = 0
+          while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+          math.sqrt(s)
+      }
+    }
+    ix.centroids.zipWithIndex
+      .map { case (c, i) => (dist(query, c), i) }
+      .sortBy(x => (x._1, x._2))
+      .take(nprobe).map(_._2).toSeq
+  }
+
+  /** ANN top-k: scan only the nprobe nearest cells, exact top-k within.
+    * nprobe = numCells degenerates to exact search (recall 1.0).
+    */
+  def search(ix: Index, query: Array[Float], k: Int, nprobe: Int,
+             idCol: String = "id", vecCol: String = "vector",
+             roundTo: Option[Int] = None): DataFrame = {
+    val cells = probeCells(ix, query, nprobe)
+    val raw = Distances.distance(ix.metric, col(vecCol), lit(query))
+    val dist = roundTo.fold(raw)(n => round(raw, n))
+    ix.assigned
+      .filter(col("cell").isin(cells: _*)) // partition pruning when stored by cell
+      .withColumn("distance", dist)
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
+      .drop("cell")
+  }
+
+  /** Blocked near-duplicate join: pairs within maxDistance *inside each
+    * cell* — the 100 TB path for embedding near-dup (cells are
+    * executor-sized; cross-cell near-dups are the recall trade, mitigated by
+    * multi-assignment at build time if needed).
+    */
+  def nearDupBlocked(ix: Index, idCol: String, vecCol: String,
+                     maxDistance: Double): DataFrame = {
+    val a = ix.assigned.select(col("cell"), col(idCol).as("id_a"),
+      col(vecCol).as("v_a"))
+    val b = ix.assigned.select(col("cell"), col(idCol).as("id_b"),
+      col(vecCol).as("v_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("distance",
+        round(Distances.distance(ix.metric, col("v_a"), col("v_b")), 6))
+      .filter(col("distance") <= maxDistance)
+      .select(col("id_a"), col("id_b"), col("distance"))
+  }
+
+  /** recall@k of an approximate result against the exact result. */
+  def recallAtK(exact: DataFrame, approx: DataFrame, idCol: String): Double = {
+    val e = exact.select(col(idCol)).collect().map(_.get(0)).toSet
+    if (e.isEmpty) return 1.0
+    val a = approx.select(col(idCol)).collect().map(_.get(0)).toSet
+    e.intersect(a).size.toDouble / e.size
+  }
+}
+
+/** Random-hyperplane (sign) LSH for cosine ANN — multi-table bucket join.
+  * Each table hashes a vector to a `numPlanes`-bit bucket (sign of dot with
+  * seeded random planes); candidates share a bucket in ≥1 table; exact
+  * re-rank picks the top-k. All shuffles are equi-joins on (table, bucket).
+  */
+object Lsh {
+
+  private def planes(dims: Int, numPlanes: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dims)((rnd.nextGaussian()).toFloat))
+  }
+
+  /** Bucket id column for one table. */
+  def bucket(vecCol: Column, dims: Int, numPlanes: Int, seed: Long): Column = {
+    val ps = planes(dims, numPlanes, seed)
+    ps.zipWithIndex.map { case (p, i) =>
+      when(-graft.functions.Distances.dot(vecCol, lit(p)) > 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** ANN top-k via multi-table buckets. */
+  def search(df: DataFrame, idCol: String, vecCol: String,
+             query: Array[Float], k: Int, dims: Int,
+             numTables: Int = 4, numPlanes: Int = 12, seed: Long = 42L,
+             metric: String = "cosine",
+             roundTo: Option[Int] = None): DataFrame = {
+    val qBuckets: Seq[(Int, Long)] = (0 until numTables).map { t =>
+      val ps = planes(dims, numPlanes, seed + t)
+      val b = ps.zipWithIndex.map { case (p, i) =>
+        var dot = 0.0; var j = 0
+        while (j < dims) { dot += query(j).toDouble * p(j); j += 1 }
+        if (dot > 0) 1L << i else 0L
+      }.sum
+      (t, b)
+    }
+    val candFilter = qBuckets.map { case (t, b) =>
+      bucket(col(vecCol), dims, numPlanes, seed + t) === b
+    }.reduce(_ || _)
+    val raw = graft.functions.Distances.distance(metric, col(vecCol), lit(query))
+    val dist = roundTo.fold(raw)(n => round(raw, n))
+    df.filter(candFilter)
+      .withColumn("distance", dist)
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
+  }
+}

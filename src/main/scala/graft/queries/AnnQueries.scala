@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.{Ivf, Lsh}
+import graft.core.Tables
+
+/** ANN-mode queries (SURVEY.md §7.1 step 13). The full-probe IVF entry is
+  * oracle-checked (nprobe = numCells is provably exact); the pruned-probe
+  * and LSH entries are rows-only (KMeans / random planes are not
+  * SQL-reproducible) and their recall is asserted in AnnSpec.
+  */
+object AnnQueries {
+
+  private def queryVec(s: org.apache.spark.sql.SparkSession, dir: String): Array[Float] =
+    Tables.load(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+
+  val defs: Map[String, Q] = Map(
+    "ivf_knn_full_probe" -> Q(
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |       round(1 - list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6) AS distance
+        |FROM embeddings, q
+        |ORDER BY distance, vec_id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      val ix = Ivf.build(Tables.load(s, dir, "embeddings"),
+        col("embedding"), numCells = 8)
+      Ivf.search(ix, queryVec(s, dir), k = 10, nprobe = 8,
+        idCol = "vec_id", vecCol = "embedding", roundTo = Some(6))
+        .select(col("vec_id"), col("label"), col("distance"))
+    },
+
+    "ivf_knn_pruned" -> Q.noOracle { (s, dir) =>
+      val ix = Ivf.build(Tables.load(s, dir, "embeddings"),
+        col("embedding"), numCells = 8)
+      Ivf.search(ix, queryVec(s, dir), k = 10, nprobe = 2,
+        idCol = "vec_id", vecCol = "embedding", roundTo = Some(6))
+    },
+
+    "lsh_ann" -> Q.noOracle { (s, dir) =>
+      Lsh.search(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        queryVec(s, dir), k = 10, dims = 64, numTables = 12, numPlanes = 4,
+        roundTo = Some(6))
+        .select(col("vec_id"), col("distance"))
+    },
+  )
+}

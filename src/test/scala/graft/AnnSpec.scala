@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.{Ivf, Lsh}
+import graft.functions.Distances
+
+/** Recall harness for the ANN layer (mirrors the reference's
+  * src/recall_benchmark.rs approach: exact brute force is ground truth).
+  */
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = sf("embeddings")
+  private lazy val query: Array[Float] = emb.filter(col("vec_id") === 0)
+    .select("embedding").collect()(0).getSeq[Float](0).toArray
+
+  private def exactTopK(k: Int) =
+    emb.withColumn("distance",
+        round(Distances.cosine(col("embedding"), lit(query)), 6))
+      .orderBy(col("distance").asc, col("vec_id").asc)
+      .limit(k)
+
+  test("ivf with nprobe = numCells is exact (recall 1.0)") {
+    val ix = Ivf.build(emb, col("embedding"), numCells = 8)
+    val approx = Ivf.search(ix, query, 10, nprobe = 8,
+      idCol = "vec_id", vecCol = "embedding", roundTo = Some(6))
+    assert(Ivf.recallAtK(exactTopK(10), approx, "vec_id") == 1.0)
+    // and the actual rows match the exact result
+    val e = exactTopK(10).select("vec_id").as[Long].collect().toSeq
+    val a = approx.select("vec_id").as[Long].collect().toSeq
+    assert(e == a)
+  }
+
+  test("ivf partial probe keeps high recall at a fraction of the scan") {
+    val ix = Ivf.build(emb, col("embedding"), numCells = 8)
+    val approx = Ivf.search(ix, query, 10, nprobe = 3,
+      idCol = "vec_id", vecCol = "embedding", roundTo = Some(6))
+    val recall = Ivf.recallAtK(exactTopK(10), approx, "vec_id")
+    assert(recall >= 0.7, s"recall@10 = $recall")
+    // scan fraction: cells probed hold well under the full row count
+    val probed = Ivf.probeCells(ix, query, 3)
+    val scanned = ix.assigned.filter(col("cell").isin(probed: _*)).count()
+    assert(scanned < emb.count())
+  }
+
+  test("ivf blocked near-dup is a subset of the exact near-dup pairs") {
+    val small = emb.filter(col("vec_id") < 120)
+    val exact = graft.pipeline.Dedup.embeddingNearDup(
+      small, col("vec_id"), col("embedding"), maxDistance = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val ix = Ivf.build(small, col("embedding"), numCells = 4)
+    val blocked = Ivf.nearDupBlocked(ix, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(blocked.subsetOf(exact))
+    if (exact.nonEmpty)
+      assert(blocked.size.toDouble / exact.size >= 0.5,
+        s"blocked recall ${blocked.size}/${exact.size}")
+  }
+
+  test("lsh candidates give reasonable recall with bounded scan") {
+    // fewer planes per table = wider buckets (higher collision probability);
+    // more tables recover recall: p ≈ 1-(1-cosθ-ish^6)^10
+    val approx = Lsh.search(emb, "vec_id", "embedding", query, k = 10,
+      dims = 64, numTables = 12, numPlanes = 4, roundTo = Some(6))
+    val recall = Ivf.recallAtK(exactTopK(10), approx, "vec_id")
+    assert(recall >= 0.5, s"lsh recall@10 = $recall")
+  }
+}
