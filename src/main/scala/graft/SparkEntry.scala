@@ -17,7 +17,8 @@ object SparkEntry {
     AnalyticsQueries.defs ++ VectorQueries.defs ++ FilterQueries.defs ++
       TextQueries.defs ++ PipelineQueries.defs ++ VectorAggQueries.defs ++
       SearchPipelineQueries.defs ++ AdvancedQueries.defs ++
-      NeedleQLQueries.defs ++ AnnQueries.defs ++ MutationQueries.defs
+      NeedleQLQueries.defs ++ AnnQueries.defs ++ MutationQueries.defs ++
+      StreamQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

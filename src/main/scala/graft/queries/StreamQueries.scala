@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.streaming.Streams
+
+/** Batch-checkable slices of the streaming layer (SURVEY.md §2.11): the
+  * change-feed filters, event-log replay fold and Debezium parse are plain
+  * Catalyst plans, so the same code paths that run under Structured
+  * Streaming are verified here against a SQL oracle on the events table
+  * (event_id doubles as the resume token / log sequence).
+  */
+object StreamQueries {
+
+  /** events as a change log: signup→insert, purchase→update, error→delete,
+    * key = user_id, seq = event_id.
+    */
+  private val opExpr =
+    """CASE event_type WHEN 'signup' THEN 'insert'
+      |                WHEN 'purchase' THEN 'update'
+      |                WHEN 'error' THEN 'delete'
+      |                ELSE 'insert' END""".stripMargin
+
+  private def asLog(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "events").select(
+      col("event_id").as("seq"),
+      when(col("event_type") === "signup", "insert")
+        .when(col("event_type") === "purchase", "update")
+        .when(col("event_type") === "error", "delete")
+        .otherwise("insert").as("op"),
+      col("user_id").as("id"),
+      col("value"))
+
+  val defs: Map[String, Q] = Map(
+    // Change feed with resume token + op filter (core.rs:290-443).
+    "change_feed" -> Q(
+      s"""SELECT event_id AS seq, $opExpr AS op, user_id AS id, value
+         |FROM events
+         |WHERE event_id > 5000 AND $opExpr IN ('update', 'delete')
+         |ORDER BY seq""".stripMargin
+    ) { (s, dir) =>
+      Streams.changes(asLog(s, dir), resumeAfter = Some(5000L),
+        ops = Seq("update", "delete"))
+        .orderBy(col("seq"))
+    },
+
+    // Event-log replay: last event per key wins, deletes drop the key
+    // (event_log.rs).
+    "event_replay" -> Q(
+      s"""WITH log AS (
+         |  SELECT event_id AS seq, $opExpr AS op, user_id AS id, value
+         |  FROM events
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+         |  FROM log
+         |)
+         |SELECT seq, op, id, value FROM ranked
+         |WHERE rn = 1 AND op <> 'delete'
+         |ORDER BY id""".stripMargin
+    ) { (s, dir) =>
+      Streams.replay(asLog(s, dir)).orderBy(col("id"))
+    },
+
+    // Debezium envelope parse: envelopes constructed identically on both
+    // sides, parsed with from_json vs json_extract.
+    "debezium_parse" -> Q(
+      """WITH env AS (
+        |  SELECT event_id,
+        |         '{"op":"' || (CASE WHEN event_id % 3 = 0 THEN 'c'
+        |                            WHEN event_id % 3 = 1 THEN 'u'
+        |                            ELSE 'd' END) ||
+        |         '","after":{"pk":' || event_id || ',"val":' || CAST(value AS VARCHAR) ||
+        |         '},"before":{"pk":' || event_id || ',"val":0.0},"ts_ms":' ||
+        |         CAST(event_id * 10 AS VARCHAR) || '}' AS json
+        |  FROM events WHERE event_id < 200
+        |)
+        |SELECT CASE json_extract_string(json, '$.op')
+        |            WHEN 'c' THEN 'insert' WHEN 'r' THEN 'insert'
+        |            WHEN 'u' THEN 'update' ELSE 'delete' END AS op,
+        |       CAST(json_extract(json, '$.after.pk') AS BIGINT) AS pk,
+        |       CAST(json_extract(json, '$.after.val') AS DOUBLE) AS val,
+        |       CAST(json_extract(json, '$.ts_ms') AS BIGINT) AS ts_ms
+        |FROM env ORDER BY pk""".stripMargin
+    ) { (s, dir) =>
+      val env = Tables.load(s, dir, "events").filter(col("event_id") < 200)
+        .select(col("event_id"), concat(
+          lit("""{"op":""""),
+          when(col("event_id") % 3 === 0, "c")
+            .when(col("event_id") % 3 === 1, "u").otherwise("d"),
+          lit("""","after":{"pk":"""), col("event_id"),
+          lit(""","val":"""), col("value").cast("string"),
+          lit("""},"before":{"pk":"""), col("event_id"),
+          lit(""","val":0.0},"ts_ms":"""), (col("event_id") * 10).cast("string"),
+          lit("}")).as("json"))
+      val payload = StructType(Seq(StructField("pk", LongType),
+        StructField("val", DoubleType)))
+      Streams.parseDebezium(env, col("json"), payload)
+        .select(col("op"), col("row.pk").as("pk"),
+          col("row.val").as("val"), col("ts_ms"))
+        .orderBy(col("pk"))
+    },
+  )
+}

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming semantics (SURVEY.md §2.11). The reference has three streaming
+  * shapes — CDC change streams with resume tokens (src/streaming/core.rs),
+  * micro-batched ingestion with offset tracking/checkpoints
+  * (src/streaming/ingestion.rs), and event-log replay/compaction
+  * (src/streaming/event_log.rs). Structured Streaming provides each
+  * natively: an append-only change table (or Kafka topic) is the stream,
+  * the Spark checkpoint is the offset store, and `foreachBatch` + MERGE is
+  * the streaming upsert. All functions below work on both batch and
+  * streaming DataFrames (same Catalyst plans).
+  */
+object Streams {
+
+  /** Change-event schema: `seq` is the resume token (monotonically
+    * increasing, e.g. Kafka offset or log sequence).
+    */
+  val changeEventSchema: StructType = StructType(Seq(
+    StructField("seq", LongType),
+    StructField("op", StringType),          // insert | update | delete | drop_collection
+    StructField("collection", StringType),
+    StructField("id", StringType),
+    StructField("vector", ArrayType(FloatType)),
+    StructField("metadata", StringType),
+    StructField("ts", LongType)))
+
+  /** Filterable change feed with resume-token semantics (reference:
+    * src/streaming/core.rs:290-443): events strictly after `resumeAfter`,
+    * optionally restricted by op/collection/key predicates. Works on a
+    * readStream of the change table just as well as on a batch read.
+    */
+  def changes(log: DataFrame, resumeAfter: Option[Long] = None,
+              ops: Seq[String] = Nil, collection: Option[String] = None,
+              keyPrefix: Option[String] = None): DataFrame = {
+    var df = log
+    resumeAfter.foreach(t => df = df.filter(col("seq") > t))
+    if (ops.nonEmpty) df = df.filter(col("op").isin(ops: _*))
+    collection.foreach(c => df = df.filter(col("collection") === c))
+    keyPrefix.foreach(p => df = df.filter(col("id").startsWith(p)))
+    df
+  }
+
+  /** Event-log replay (reference: src/streaming/event_log.rs): fold the log
+    * into current state — last event per id wins, deletes drop the row.
+    * One shuffle on the id key; at scale the log is partitioned by id range
+    * so replay parallelizes per partition.
+    */
+  def replay(log: DataFrame, idCol: String = "id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("seq").desc)
+    log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("op") =!= "delete")
+      .drop("__rn")
+  }
+
+  /** Event-log compaction: keep only each key's latest event (and drop
+    * whole-key history below a delete) — the log-size bound of
+    * event_log.rs's compaction.
+    */
+  def compactLog(log: DataFrame, idCol: String = "id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("seq").desc)
+    log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Debezium envelope schema (reference adapter:
+    * src/streaming/cdc/debezium.rs): `{before, after, op, ts_ms}` with
+    * op ∈ {c, r, u, d}.
+    */
+  def debeziumSchema(payload: StructType): StructType = StructType(Seq(
+    StructField("before", payload),
+    StructField("after", payload),
+    StructField("op", StringType),
+    StructField("ts_ms", LongType)))
+
+  /** Parse a Debezium-format JSON column into normalized change events:
+    * op c/r → insert, u → update, d → delete; the row payload is `after`
+    * for upserts and `before` for deletes.
+    */
+  def parseDebezium(df: DataFrame, jsonCol: Column,
+                    payload: StructType): DataFrame = {
+    val parsed = df.withColumn("__env", from_json(jsonCol, debeziumSchema(payload)))
+    parsed.select(
+      when(col("__env.op").isin("c", "r"), "insert")
+        .when(col("__env.op") === "u", "update")
+        .when(col("__env.op") === "d", "delete")
+        .as("op"),
+      coalesce(col("__env.after"), col("__env.before")).as("row"),
+      col("__env.ts_ms").as("ts_ms"))
+  }
+
+  /** Streaming ingest with upsert semantics (reference:
+    * src/streaming/ingestion.rs:839-905 IngestionPipeline): every
+    * micro-batch MERGEs into the target via [[graft.ops.Mutations.upsert]];
+    * the Spark checkpoint directory carries the committed offsets (the
+    * reference's OffsetTracker). `sink` receives the updated table per
+    * batch (at scale: a Delta MERGE INTO / partitioned parquet rewrite).
+    */
+  def ingestUpsert(stream: DataFrame, idCol: String,
+                   checkpointDir: String,
+                   initial: DataFrame)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var state = initial
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // last event per id within the batch, then MERGE
+        val deduped = batch.dropDuplicates(idCol)
+        state = graft.ops.Mutations.upsert(state, deduped, idCol)
+          .localCheckpoint(true) // cut lineage across micro-batches
+        sink(state)
+      }
+      .start()
+  }
+}
