@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.multimodal.Multimodal
+import graft.sources.Interchange
+
+/** Multimodal + interchange queries. The decode oracle compares exact byte
+  * counts (ratios × n recover integer counts, avoiding f32 rounding
+  * boundaries); the JSONL roundtrip proves the columnar.rs interchange
+  * schema end-to-end.
+  */
+object MultimodalQueries {
+
+  val defs: Map[String, Q] = Map(
+    // Batched stub decode over binary content: byte histogram buckets 6/7
+    // (lowercase-ASCII range) recovered as exact counts.
+    "multimodal_decode" -> Q(
+      """WITH c AS (
+        |  SELECT doc_id AS id, length(text)::BIGINT AS n_bytes,
+        |         list_transform(range(1, length(text) + 1),
+        |                        i -> ord(text[i])) AS codes
+        |  FROM documents WHERE doc_id < 50
+        |)
+        |SELECT id, n_bytes,
+        |       len(list_filter(codes, x -> x // 16 = 6))::BIGINT AS b6,
+        |       len(list_filter(codes, x -> x // 16 = 7))::BIGINT AS b7
+        |FROM c ORDER BY id""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("bin"))
+      val media = Multimodal.asMedia(docs, "doc_id", "bin", "image")
+      Multimodal.decodeBatched(media)
+        .select(col("id"), col("n_bytes"),
+          round(element_at(col("features"), 7).cast("double") * col("n_bytes"))
+            .cast("long").as("b6"),
+          round(element_at(col("features"), 8).cast("double") * col("n_bytes"))
+            .cast("long").as("b7"))
+        .orderBy(col("id"))
+    },
+
+    // needle-columnar JSONL roundtrip (reference: src/indexing/columnar.rs):
+    // export -> import -> project, compared against the source table.
+    "jsonl_roundtrip" -> Q(
+      """SELECT CAST(vec_id AS VARCHAR) AS id, len(embedding) AS dims,
+        |       CAST(label AS VARCHAR) AS label
+        |FROM embeddings WHERE vec_id < 100 ORDER BY id""".stripMargin
+    ) { (s, dir) =>
+      val out = java.nio.file.Files.createTempDirectory("graft-jsonl-q").toString
+      val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 100)
+        .select(col("vec_id").as("id"), col("embedding").as("vector"),
+          to_json(map(lit("label"), col("label").cast("string"))).as("metadata"))
+      Interchange.exportJsonl(emb, s"$out/data", metaCol = Some("metadata"))
+      Interchange.importJsonl(s, s"$out/data")
+        .select(col("id"), size(col("vector")).as("dims"),
+          get_json_object(col("metadata"), "$.label").as("label"))
+        .orderBy(col("id"))
+    },
+
+    // Deterministic mock auto-embedding (reference insert_auto_text with
+    // the Mock backend, src/ml/auto_embed.rs:542) — rows-only (the hash
+    // scheme is not SQL-reproducible).
+    "auto_embed" -> Q.noOracle { (s, dir) =>
+      Multimodal.autoEmbed(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 100),
+        "text", dims = 32)
+        .select(col("doc_id"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("e0"))
+        .orderBy(col("doc_id"))
+    },
+  )
+}
