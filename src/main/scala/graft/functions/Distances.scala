@@ -121,6 +121,6 @@ object Distances {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         s"dist_${m.name}",
         exprs => VectorDistance(exprs(0), exprs(1), m),
-        "builtin")
+        "built-in")
     }
 }
