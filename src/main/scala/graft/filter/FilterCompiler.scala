@@ -49,12 +49,14 @@ object FilterCompiler {
     case Filter.Not(g)  =>
       // Spark's three-valued NOT(null)=null would drop rows the reference
       // keeps: needle's NOT is boolean over a false-on-missing inner result.
+      // This is the ONLY place that needs null-collapsing: bare conditions
+      // may evaluate to null, but null is falsy at the filter boundary and
+      // propagates through AND/OR exactly like false — while a coalesce
+      // around every condition would block parquet predicate pushdown
+      // (DataSourceStrategy cannot translate coalesce(pred, false)).
       !coalesce(compile(g, resolve), lit(false))
     case Filter.Condition(field, op, value) =>
-      val c = condition(resolve(field), op, value)
-      // A filter must never evaluate to null (reference returns bool);
-      // coalesce keeps NOT/OR combinations faithful.
-      coalesce(c, lit(false))
+      condition(resolve(field), op, value)
   }
 
   /** Resolve a dot-path against a static schema. Struct fields and array
