@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Extras, PipelineDsl}
+import graft.ops.PipelineDsl._
+
+class PipelineDslSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = sf("embeddings")
+  private lazy val query: Array[Float] = emb.filter(col("vec_id") === 0)
+    .select("embedding").collect()(0).getSeq[Float](0).toArray
+
+  test("templates: all 10 exist; optimize moves filters after search") {
+    assert(Templates.list.size == 10)
+    val p = SearchPipeline("t")
+      .addStage(SearchStage(30))
+      .addStage(LimitStage(10))
+      .addStage(FilterStage("""{"label": {"$lt": 5}}"""))
+    val opt = p.optimize()
+    assert(opt.stages.map(_.stageType) == Seq("search", "filter", "limit"))
+    assert(p.summary.contains("search -> limit -> filter"))
+  }
+
+  test("json round-trip") {
+    val p = Templates.fullRag(5, """{"label": 3}""")
+    val back = SearchPipeline.fromJson(p.toJson)
+    assert(back.name == "full-rag")
+    assert(back.stages.map(_.stageType) == p.stages.map(_.stageType))
+    assert(back.stages.collect { case FilterStage(f, _) => f } ==
+      Seq("""{"label": 3}"""))
+  }
+
+  test("execute: search/filter/threshold/limit compile to one plan") {
+    val p = SearchPipeline("x")
+      .addStage(SearchStage(50))
+      .addStage(FilterStage("""{"label": {"$lt": 5}}"""))
+      .addStage(ThresholdStage(0.95))
+      .addStage(LimitStage(10))
+    val res = p.execute(emb, col("embedding"), "vec_id", query,
+      roundTo = Some(6))
+    assert(res.count() <= 10)
+    assert(res.filter(col("label") >= 5 || col("distance") > 0.95).count() == 0)
+  }
+
+  test("execute: diversify stage bounds result to k") {
+    val p = Templates.diverseRag(5, 0.7)
+    val res = p.execute(emb, col("embedding"), "vec_id", query,
+      roundTo = Some(6))
+    assert(res.count() == 5)
+  }
+}
+
+class ExtrasSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("searchExplain wraps results + plan + timing") {
+    val df = sf("embeddings").limit(5)
+    val ex = Extras.searchExplain(df)
+    assert(ex.resultCount == 5 && ex.totalTimeMs > 0)
+    assert(ex.physicalPlan.contains("Physical Plan"))
+  }
+
+  test("ensemble rerank: weighted rrf over member lists") {
+    val m1 = Seq((1L, 10.0), (2L, 5.0)).toDF("id", "score")
+    val m2 = Seq((2L, 9.0), (3L, 1.0)).toDF("id", "score")
+    val got = Extras.ensembleRerank(Seq((m1, 1.0), (m2, 1.0)), k = 10)
+      .as[(Long, Double)].collect().toMap
+    def c(r: Int) = 1.0 / (60 + r)
+    assert(math.abs(got(2L) - (c(2) + c(1))) < 1e-12)
+    assert(math.abs(got(1L) - c(1)) < 1e-12)
+    assert(math.abs(got(3L) - c(2)) < 1e-12)
+  }
+
+  test("query-type features + classification + weight presets") {
+    import Extras._
+    assert(classify(extractFeatures("what is spark")) == QueryType.Semantic)
+    assert(classify(extractFeatures("\"exact phrase\" lookup")) == QueryType.Keyword)
+    assert(classify(extractFeatures("foo.bar(baz)")) == QueryType.Mixed)
+    assert(weightsFor(QueryType.Semantic).vectorWeight == 0.7)
+    assert(weightsFor(QueryType.Keyword).bm25Weight == 0.7)
+  }
+
+  test("field stats: cardinality + nulls + threshold flag") {
+    val stats = Extras.fieldStats(sf("documents"), Seq("lang", "source"),
+      cardinalityThreshold = 10)
+    stats.select("field", "cardinality", "high_cardinality")
+      .as[(String, Long, Boolean)].collect()
+    val langRow = stats.filter(col("field") === "lang")
+      .select("cardinality", "high_cardinality").as[(Long, Boolean)].head()
+    assert(langRow._1 == 5 && !langRow._2)
+    val srcRow = stats.filter(col("field") === "source")
+      .select("cardinality", "high_cardinality").as[(Long, Boolean)].head()
+    assert(srcRow._1 == 20 && srcRow._2)
+  }
+
+  test("provenance struct column") {
+    val df = Extras.withProvenance(sf("documents").limit(3), "crawl-7", 1234L)
+    val p = df.select("provenance.source", "provenance.created_at")
+      .as[(String, Long)].head()
+    assert(p == (("crawl-7", 1234L)))
+  }
+}
