@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the JVM/codegen/IO paths once so the first measured query
+    // does not absorb session initialization (standard bench practice).
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    try graft.core.Tables.load(spark, sfDir, "nation").count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -19,6 +19,9 @@ object Ast {
                                         options: Map[String, String]) extends Statement
   final case class DropCollectionStmt(name: String) extends Statement
   case object ShowCollectionsStmt extends Statement
+  final case class CreateViewStmt(name: String, materialized: Boolean,
+                                  query: Query) extends Statement
+  final case class DropViewStmt(name: String) extends Statement
 
   // ------------------------------------------------------------------ query
   final case class Query(

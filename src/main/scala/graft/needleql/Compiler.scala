@@ -30,6 +30,13 @@ final case class CollectionDef(
 class NeedleSession(val spark: SparkSession) {
 
   val collections: mutable.LinkedHashMap[String, CollectionDef] = mutable.LinkedHashMap()
+  /** Views (reference: needleql_executor.rs CreateView/DropView +
+    * src/services/collection/materialized_views.rs): a named stored query;
+    * materialized views cache their result until refreshView(). */
+  final case class ViewDef(query: Query, materialized: Boolean,
+                           var cached: Option[DataFrame] = None,
+                           var refreshedAtMs: Long = 0L)
+  val views: mutable.LinkedHashMap[String, ViewDef] = mutable.LinkedHashMap()
   var params: Map[String, Any] = Map.empty
   /** Deterministic clock for time decay (None = wall clock). */
   var nowEpochS: Option[Long] = None
@@ -77,6 +84,14 @@ class NeedleSession(val spark: SparkSession) {
       collections(coll) = c.copy(df = c.df.unionByName(row,
         allowMissingColumns = true))
       status(s"inserted 1 row into $coll")
+    case CreateViewStmt(name, materialized, q) =>
+      val v = ViewDef(q, materialized)
+      if (materialized) refreshInto(v)
+      views(name) = v
+      status(s"created ${if (materialized) "materialized " else ""}view $name")
+    case DropViewStmt(name) =>
+      views.remove(name)
+      status(s"dropped view $name")
     case DeleteStmt(coll, where) =>
       val c = resolve(coll)
       val remaining = where match {
@@ -100,8 +115,28 @@ class NeedleSession(val spark: SparkSession) {
 
   // ------------------------------------------------------------- SELECT
 
+  private def refreshInto(v: ViewDef): Unit = {
+    v.cached = Some(compileQuery(v.query).localCheckpoint(true))
+    v.refreshedAtMs = System.currentTimeMillis()
+  }
+
+  /** Re-materialize a view (staleness-driven refresh job). */
+  def refreshView(name: String): Unit =
+    views.get(name).filter(_.materialized).foreach(refreshInto)
+
   def compileQuery(q: Query): DataFrame = {
-    val c = resolve(q.from)
+    // FROM may name a view: materialized -> cached snapshot; plain -> its
+    // stored query's result becomes this query's scan
+    val c = views.get(q.from) match {
+      case Some(v) =>
+        val base = v.cached.getOrElse(compileQuery(v.query))
+        CollectionDef(base, idCol = base.columns.head, vectorCol = "none")
+      case None => resolve(q.from)
+    }
+    compileQueryOn(c, q)
+  }
+
+  private def compileQueryOn(c: CollectionDef, q: Query): DataFrame = {
     val limit = q.limit.getOrElse(10L).toInt // reference default 10
 
     // Query vector: NEAREST_TO literal or SIMILAR TO $param

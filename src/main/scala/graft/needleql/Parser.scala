@@ -84,12 +84,19 @@ object Parser {
         else if (atKw("search")) SelectStmt(searchNear())
         else if (atKw("insert")) insert()
         else if (atKw("delete")) delete()
-        else if (atKw("create")) { eatKw("create"); eatKw("collection")
-          val name = ident()
-          val opts = if (tryKw("with")) optionMap() else Map.empty[String, String]
-          CreateCollectionStmt(name, opts) }
-        else if (atKw("drop")) { eatKw("drop"); eatKw("collection")
-          DropCollectionStmt(ident()) }
+        else if (atKw("create")) { eatKw("create")
+          val materialized = tryKw("materialized")
+          if (materialized || atKw("view")) { eatKw("view")
+            val name = ident()
+            eatKw("as")
+            CreateViewStmt(name, materialized, select()) }
+          else { eatKw("collection")
+            val name = ident()
+            val opts = if (tryKw("with")) optionMap() else Map.empty[String, String]
+            CreateCollectionStmt(name, opts) } }
+        else if (atKw("drop")) { eatKw("drop")
+          if (tryKw("view")) DropViewStmt(ident())
+          else { eatKw("collection"); DropCollectionStmt(ident()) } }
         else if (atKw("show")) { eatKw("show"); eatKw("collections")
           ShowCollectionsStmt }
         else throw ParseError(s"Expected statement, got $cur")

@@ -37,7 +37,8 @@ object Bm25 {
       termFreqs: DataFrame, // doc_id, term, tf, dl
       docFreqs: DataFrame,  // term, df
       corpus: DataFrame,    // n, avgdl (1 row)
-      config: Config)
+      config: Config,
+      docLens: DataFrame)   // doc_id, dl (incl. zero-token docs)
 
   /** Build the statistics tables for a document corpus. */
   def index(docs: DataFrame, idCol: Column, textCol: Column,
@@ -57,8 +58,40 @@ object Bm25 {
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
     val corpus = withLen.agg(count(lit(1)).cast("double").as("n"),
       avg(col("dl")).as("avgdl"))
-    Index(tf, df_, corpus, config)
+    Index(tf, df_, corpus, config, withLen.select(col("doc_id"), col("dl")))
   }
+
+  /** Incremental maintenance (reference: src/hybrid.rs:270-330 index/remove
+    * + :433-477 batch variant): only the NEW documents are tokenized; the
+    * doc_freqs and corpus stats tables are re-derived from the merged
+    * term_freqs/doc_lens — a groupBy over postings, not a re-scan of the
+    * old corpus text. Same-id docs are replaced (the reference removes the
+    * old posting set first).
+    */
+  def addDocuments(ix: Index, docs: DataFrame, idCol: Column,
+                   textCol: Column): Index = {
+    val fresh = index(docs, idCol, textCol, ix.config)
+    val keptTf = ix.termFreqs.join(fresh.docLens.select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    val keptLens = ix.docLens.join(fresh.docLens.select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    rebuild(ix, keptTf.unionByName(fresh.termFreqs),
+      keptLens.unionByName(fresh.docLens))
+  }
+
+  /** Remove documents by id (reference: remove_document). */
+  def removeDocuments(ix: Index, ids: DataFrame): Index = {
+    val drop = ids.toDF("doc_id")
+    rebuild(ix,
+      ix.termFreqs.join(drop, Seq("doc_id"), "left_anti"),
+      ix.docLens.join(drop, Seq("doc_id"), "left_anti"))
+  }
+
+  private def rebuild(ix: Index, tf: DataFrame, lens: DataFrame): Index =
+    Index(tf,
+      tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df")),
+      lens.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl")),
+      ix.config, lens)
 
   /** Score a free-text query; returns (doc_id, score) with score > 0, sorted
     * descending (ties broken by doc_id for determinism; the reference's
