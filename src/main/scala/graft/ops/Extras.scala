@@ -122,6 +122,23 @@ object Extras {
         col("nulls"), col("total"), col("high_cardinality"))
   }
 
+  // ----------------------------------------------------------- skew salting
+
+  /** Skew-salted inner equi-join: replicate the (small-ish) right side
+    * `salt` ways and scatter left rows across replicas, so one hot key
+    * spreads over `salt` reducers instead of stalling a single task — the
+    * manual complement to AQE's skew-join handling for first-shuffle skew
+    * (AQE only splits post-shuffle partitions).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salt: Int): DataFrame = {
+    val l = left.withColumn("__salt",
+      (rand(42) * salt).cast("int")) // deterministic seed
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+
   // -------------------------------------------------------------- provenance
 
   /** Provenance record column (reference: src/collection/insert.rs:446-460):

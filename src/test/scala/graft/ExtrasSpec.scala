@@ -102,3 +102,31 @@ class ExtrasSpec extends SparkSpec {
     assert(p == (("crawl-7", 1234L)))
   }
 }
+
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join preserves inner-join semantics") {
+    val left = Seq((1, "a"), (1, "b"), (2, "c"), (3, "d")).toDF("k", "lv")
+    val right = Seq((1, "X"), (2, "Y")).toDF("k", "rv")
+    val plain = left.join(right, "k").select("k", "lv", "rv")
+      .as[(Int, String, String)].collect().sortBy(_.toString).toSeq
+    val salted = graft.ops.Extras.saltedJoin(left, right, "k", salt = 4)
+      .select("k", "lv", "rv")
+      .as[(Int, String, String)].collect().sortBy(_.toString).toSeq
+    assert(salted == plain)
+  }
+
+  test("extensions apply cleanly to a SparkSessionExtensions instance") {
+    val ext = new graft.GraftExtensions
+    val target = new org.apache.spark.sql.SparkSessionExtensions
+    ext(target) // registers one function builder per metric; must not throw
+    // and the builders produce working expressions
+    import spark.implicits._
+    graft.functions.Distances.register(spark)
+    val got = Seq((Array(3f, 4f), Array(0f, 0f))).toDF("a", "b")
+      .selectExpr("dist_euclidean(a, b)").as[Double].head()
+    assert(got == 5.0)
+  }
+
+}
