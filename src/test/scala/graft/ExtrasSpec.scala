@@ -130,3 +130,24 @@ class GraftExtensionsSpec extends SparkSpec {
   }
 
 }
+
+class ValidationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (1L, Array(1f, 2f)),
+    (2L, Array(1f, 2f, 3f)),          // wrong dims
+    (3L, Array(Float.NaN, 1f)),       // NaN
+    (4L, Array(Float.PositiveInfinity, 0f)), // Inf
+    (5L, null.asInstanceOf[Array[Float]]),   // null vector
+  ).toDF("id", "v")
+
+  test("dims + NaN/Inf/null rejection (insert.rs:36, validation.rs)") {
+    val (ok, bad) = graft.core.Validation.partition(vecs, col("v"), dims = 2)
+    assert(ok.select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(bad.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L, 4L, 5L))
+    assertThrows[IllegalArgumentException](
+      graft.core.Validation.requireValid(vecs, col("v"), 2))
+    graft.core.Validation.requireValid(vecs.filter(col("id") === 1), col("v"), 2)
+  }
+}
