@@ -152,8 +152,15 @@ class NeedleSession(val spark: SparkSession) {
     val metric = q.nearestTo.flatMap(_.distanceFn).getOrElse(c.metric)
     val preFilter = q.where.map(toFilter).filterNot(isTrivial)
 
-    val result: DataFrame = (queryVec, q.hybrid) match {
-      case (_, Some(h)) => hybridSearch(c, h, q, limit)
+    // USING RAG options: hybrid_alpha overrides the fusion weight, top_k
+    // widens retrieval (reference: needleql_executor.rs:735-746)
+    val hybridCfg = q.hybrid.map { h =>
+      q.rag.flatMap(_.hybridAlpha).fold(h)(a => h.copy(vectorWeight = a))
+    }
+    val fetchLimit = math.max(limit, q.rag.flatMap(_.topK).getOrElse(limit))
+
+    val result: DataFrame = (queryVec, hybridCfg) match {
+      case (_, Some(h)) => hybridSearch(c, h, q, fetchLimit).limit(limit)
       case (Some(qv), _) =>
         val builder = SearchBuilder(
           df = c.df, query = qv, vecCol = col(c.vectorCol),

@@ -188,3 +188,30 @@ class NeedleQLExecSpec extends SparkSpec {
     assert(got == Seq("new", "old"))
   }
 }
+
+class NeedleQLRagSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("USING RAG hybrid_alpha overrides fusion weight; gaussian decay parses+runs") {
+    val s = new graft.needleql.NeedleSession(spark)
+    val docs = Seq(
+      ("a", Array(1f, 0f), "spark joins are fast", 900L),
+      ("b", Array(0.9f, 0.3f), "flink streams", 500L),
+      ("c", Array(0f, 1f), "spark shuffles explained", 100L),
+    ).toDF("id", "vector", "text", "inserted_at")
+    s.register("docs", graft.needleql.CollectionDef(docs,
+      textCol = Some("text"), insertedAtCol = Some("inserted_at")))
+    s.bind("q", Array(1f, 0f))
+    s.nowEpochS = Some(1000L)
+    // alpha=1.0: vector leg dominates entirely -> id a first
+    val got = s.sql(
+      "SELECT id FROM docs HYBRID_SEARCH('spark', [1.0, 0.0]) USING RAG(hybrid_alpha = 1.0, top_k = 3) LIMIT 2")
+      .as[String].collect().toSeq
+    assert(got.head == "a" && got.size == 2)
+    // gaussian decay compiles and re-ranks by age
+    val g = s.sql(
+      "SELECT id FROM docs WITH TIME_DECAY(gaussian, sigma = 200) WHERE vector SIMILAR TO $q LIMIT 3")
+      .as[String].collect().toSeq
+    assert(g.nonEmpty)
+  }
+}
