@@ -38,6 +38,25 @@ object AnnQueries {
         idCol = "vec_id", vecCol = "embedding", roundTo = Some(6))
     },
 
+    // recall@10 of the pruned IVF search vs exact ground truth, surfaced
+    // as a 1-row measurement (the reference's recall_benchmark.rs analogue).
+    "ivf_recall" -> Q.noOracle { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = queryVec(s, dir)
+      val ix = Ivf.build(emb, col("embedding"), numCells = 8)
+      val exact = emb
+        .withColumn("distance",
+          round(graft.functions.Distances.cosine(col("embedding"),
+            org.apache.spark.sql.functions.lit(q)), 6))
+        .orderBy(col("distance"), col("vec_id")).limit(10)
+      val recalls = Seq(2, 4, 8).map { nprobe =>
+        val approx = Ivf.search(ix, q, 10, nprobe, "vec_id", "embedding", Some(6))
+        (nprobe, Ivf.recallAtK(exact, approx, "vec_id"))
+      }
+      recalls.toDF("nprobe", "recall_at_10")
+    },
+
     "lsh_ann" -> Q.noOracle { (s, dir) =>
       Lsh.search(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
         queryVec(s, dir), k = 10, dims = 64, numTables = 12, numPlanes = 4,

@@ -67,3 +67,25 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"lsh recall@10 = $recall")
   }
 }
+
+/** Storage-layer proof of the IVF scale path: cells written with
+  * partitionBy become real partition-pruned scans.
+  */
+class IvfStorageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cell-partitioned parquet prunes at the scan (PartitionFilters)") {
+    val emb = sf("embeddings")
+    val ix = Ivf.build(emb, col("embedding"), numCells = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    ix.assigned.write.partitionBy("cell").mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val cells = Ivf.probeCells(ix, emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray, 1)
+    val pruned = stored.filter(col("cell").isin(cells: _*))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"))
+    // pruned scan reads strictly fewer rows than the table holds
+    assert(pruned.count() < stored.count())
+  }
+}
