@@ -148,7 +148,8 @@ object Mutations {
       .agg(min(struct(col("__d"), col("__eid"))).as("__nn"))
       .select(col(idCol), col("__nn.__d").as("distance"),
         col("__nn.__eid").as("existing_id"))
-    val checked = incoming.join(nn, Seq(idCol), "left")
+    // nn has at most |incoming| rows — always broadcastable
+    val checked = incoming.join(broadcast(nn), Seq(idCol), "left")
       .withColumn("__dup", col("distance").isNotNull && col("distance") < threshold)
 
     val outcomes = checked.select(col(idCol),
