@@ -228,12 +228,19 @@ class NeedleSession(val spark: SparkSession) {
       case Some(RerankStrategy.Mmr(lambda)) =>
         // MMR needs the vectors: join them back, collect bounded pool
         val k = q.limit.getOrElse(10L).toInt
-        val qv = queryVec.getOrElse(
-          throw Parser.ParseError("MMR rerank requires vector search"))
-        val pool = df.join(c.df.select(col(c.idCol), col(c.vectorCol)), c.idCol)
-        val qArr = params.values.collectFirst { case a: Array[Float] => a }
-          .getOrElse(q.nearestTo.map(_.vector.toArray).getOrElse(
-            throw Parser.ParseError("MMR rerank requires a query vector")))
+        // the search result usually already carries the vector; only join
+        // it back when a projection dropped it (join would be ambiguous)
+        val pool =
+          if (df.columns.contains(c.vectorCol)) df
+          else df.join(c.df.select(col(c.idCol), col(c.vectorCol)), c.idCol)
+        // Query's own NEAREST_TO literal wins; otherwise the SIMILAR TO
+        // parameter looked up BY NAME (never an arbitrary bound Float array —
+        // params map order is not meaningful).
+        val qArr = q.nearestTo.map(_.vector.toArray)
+          .orElse(q.where.flatMap(findSimilar).flatMap(p =>
+            params.get(p).collect { case a: Array[Float] => a }))
+          .getOrElse(
+            throw Parser.ParseError("MMR rerank requires a query vector"))
         Mmr.diversify(pool, c.idCol, c.vectorCol, qArr, k, lambda)
       case Some(RerankStrategy.CrossEncoder(_)) | Some(RerankStrategy.Rrf(_)) | None =>
         df // CrossEncoder needs an external model; RRF here is a no-op signal

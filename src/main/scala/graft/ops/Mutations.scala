@@ -59,6 +59,15 @@ object Mutations {
   }
   val mergePatchUdf = udf((t: String, p: String) => mergePatchJson(t, p))
 
+  /** Sequential fold of several patches onto one target, in list order —
+    * matches the reference's per-insert sequential merge
+    * (dedup.rs apply_dedup_policy). Note this is NOT the same as merging
+    * the patches first: a null (delete) in patch 1 can be re-added by
+    * patch 2, so the fold must run against the target.
+    */
+  val mergePatchManyUdf = udf((t: String, ps: Seq[String]) =>
+    ps.foldLeft(t)(mergePatchJson))
+
   def mergePatch(coll: DataFrame, patches: DataFrame, idCol: String = "id",
                  metaCol: String = "metadata"): DataFrame =
     coll.join(patches.select(col(idCol), col(metaCol).as("__patch")),
@@ -170,19 +179,47 @@ object Mutations {
       case DedupPolicy.Reject =>
         coll.unionByName(fresh, allowMissingColumns = true)
       case DedupPolicy.MergeMetadata =>
-        val patches = dupes.select(col("existing_id").as(idCol),
-          col(metaCol))
-        mergePatch(coll, patches, idCol, metaCol)
-          .unionByName(fresh, allowMissingColumns = true)
+        // Two+ incoming near-dups of the SAME existing id must collapse to
+        // ONE patch row (a left join against duplicate keys would fan the
+        // target row out). Fold the patches sequentially in incoming-id
+        // order — the deterministic analogue of the reference's per-insert
+        // sequential merge.
+        val patchLists = dupes
+          .groupBy(col("existing_id"))
+          .agg(transform(
+            sort_array(collect_list(struct(
+              col(idCol).cast("string").as("o"), col(metaCol).as("m")))),
+            x => x.getField("m")).as("__patches"))
+          .withColumnRenamed("existing_id", idCol)
+        val patched = coll
+          .join(broadcast(patchLists), Seq(idCol), "left")
+          .withColumn(metaCol,
+            when(col("__patches").isNull, col(metaCol))
+              .otherwise(mergePatchManyUdf(col(metaCol), col("__patches"))))
+          .drop("__patches")
+        patched.unionByName(fresh, allowMissingColumns = true)
       case DedupPolicy.Version =>
+        // Version suffix must be unique ACROSS calls: count the versioned
+        // rows already in the collection for each base id ('x-v<n>'), then
+        // number batch-locally on top of that (reference uniquifies with
+        // collection length, dedup.rs:apply_dedup_policy).
+        val dupIds = dupes.select(col(idCol).cast("string").as("__base")).distinct()
+        val vcnt = coll
+          .select(regexp_extract(col(idCol).cast("string"),
+            "^(.*)-v\\d+$", 1).as("__base"))
+          .filter(col("__base") =!= "")
+          .join(broadcast(dupIds), Seq("__base"))
+          .groupBy("__base").agg(count(lit(1)).as("__vcnt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("existing_id"))
         val versioned = dupes
+          .join(broadcast(vcnt), col(idCol).cast("string") === col("__base"), "left")
+          .withColumn("__rank", row_number().over(w))
           .withColumn(idCol, concat(col(idCol).cast("string"), lit("-v"),
-            row_number().over(org.apache.spark.sql.expressions.Window
-              .orderBy(col(idCol)))))
-          .drop("distance", "existing_id", "__dup")
+            (coalesce(col("__vcnt"), lit(0L)) + col("__rank")).cast("string")))
+          .drop("__base", "__vcnt", "__rank", "distance", "existing_id", "__dup")
         coll.unionByName(fresh, allowMissingColumns = true)
-          .unionByName(versioned.withColumn(idCol, col(idCol)),
-            allowMissingColumns = true)
+          .unionByName(versioned, allowMissingColumns = true)
     }
     DedupResult(newColl, outcomes)
   }

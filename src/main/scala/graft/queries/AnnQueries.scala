@@ -36,6 +36,8 @@ object AnnQueries {
         col("embedding"), numCells = 8)
       Ivf.search(ix, queryVec(s, dir), k = 10, nprobe = 2,
         idCol = "vec_id", vecCol = "embedding", roundTo = Some(6))
+        // scalar columns only: the driver's comparer can't hash array cells
+        .select(col("vec_id"), col("label"), col("distance"))
     },
 
     // recall@10 of the pruned IVF search vs exact ground truth, surfaced

@@ -79,7 +79,7 @@ object PipelineQueries {
          |                     THEN CAST(ceil(length(p) / 4.0) AS INT) ELSE 1 END)) AS bpe
          |  FROM documents WHERE doc_id < 100
          |)
-         |SELECT doc_id, bpe AS n_tokens_bpe,
+         |SELECT doc_id, CAST(bpe AS BIGINT) AS n_tokens_bpe,
          |       round((len_score
          |            + (CASE WHEN wl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
          |            + (CASE WHEN sr BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END)
@@ -89,7 +89,10 @@ object PipelineQueries {
       Tables.load(s, dir, "documents")
         .filter(col("doc_id") < 100)
         .select(col("doc_id"),
-          TextAnalysis.tokenCountBpe(col("text")).as("n_tokens_bpe"),
+          // long on both sides: DuckDB list_sum yields HUGEINT, which the
+          // driver's pandas bridge turns into float64 — int32 here would
+          // then hash-mismatch (42 vs 42.0)
+          TextAnalysis.tokenCountBpe(col("text")).cast("long").as("n_tokens_bpe"),
           TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))
     },
@@ -130,12 +133,15 @@ object PipelineQueries {
       s"""SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
          |       count(*) AS n_copies,
          |       min(doc_id) AS keeper,
-         |       list_sort(list(doc_id)) AS ids
+         |       array_to_string(list_sort(list(doc_id)), ',') AS ids
          |FROM $dupUnionSql
          |GROUP BY 1 HAVING count(*) > 1
          |ORDER BY keeper""".stripMargin
     ) { (s, dir) =>
       Dedup.exact(withPlantedDups(s, dir), col("doc_id"), col("text"))
+        // comma-join the id list: the driver's row comparer can't sort
+        // array-typed cells, and the string form hashes identically
+        .withColumn("ids", concat_ws(",", col("ids")))
         .orderBy(col("keeper"))
     },
 

@@ -72,4 +72,38 @@ class MutationsSpec extends SparkSpec {
     val ids = ver.collection.select("id").as[String].collect().toSet
     assert(ids.contains("new1") && ids.exists(_.startsWith("dup1-v")))
   }
+
+  test("dedup MergeMetadata: several near-dups of ONE existing id fold, no fan-out") {
+    val base = coll.filter(!col("deleted"))
+    val incoming = Seq(
+      ("p1", Array(1f, 0f), """{"y": 7, "z": 1}""", 500L, null.asInstanceOf[java.lang.Long], false),
+      ("p2", Array(1f, 0.001f), """{"y": 9}""", 500L, null.asInstanceOf[java.lang.Long], false),
+    ).toDF("id", "vector", "metadata", "inserted_at", "ttl_expires_at", "deleted")
+    val got = Mutations.dedupInsert(base, incoming, 0.01, DedupPolicy.MergeMetadata)
+    // the target row must NOT be duplicated by the two patches
+    assert(got.collection.filter(col("id") === "a").count() == 1)
+    assert(got.collection.count() == 2) // a (patched twice), b
+    val aMeta = got.collection.filter(col("id") === "a")
+      .select("metadata").as[String].head()
+    // sequential fold in incoming-id order: p1 then p2 → y=9 wins, z stays
+    assert(aMeta.contains("\"y\":9") && aMeta.contains("\"z\":1")
+      && aMeta.contains("\"x\":1"))
+  }
+
+  test("dedup Version: suffix continues across calls (no -v1 collision)") {
+    val base = coll.filter(!col("deleted"))
+    val in1 = Seq(("dup1", Array(1f, 0f), """{}""", 500L,
+      null.asInstanceOf[java.lang.Long], false))
+      .toDF("id", "vector", "metadata", "inserted_at", "ttl_expires_at", "deleted")
+    val c1 = Mutations.dedupInsert(base, in1, 0.01, DedupPolicy.Version).collection
+    val in2 = Seq(("dup1", Array(1f, 0.0001f), """{}""", 600L,
+      null.asInstanceOf[java.lang.Long], false))
+      .toDF("id", "vector", "metadata", "inserted_at", "ttl_expires_at", "deleted")
+    val c2 = Mutations.dedupInsert(c1, in2, 0.01, DedupPolicy.Version).collection
+    val versions = c2.filter(col("id").startsWith("dup1-v"))
+      .select("id").as[String].collect().toSeq.sorted
+    assert(versions == Seq("dup1-v1", "dup1-v2"))
+    // all ids unique
+    assert(c2.count() == c2.select("id").distinct().count())
+  }
 }

@@ -116,6 +116,19 @@ class NeedleQLExecSpec extends SparkSpec {
     assert(got.head._2 == 0.0)
   }
 
+  test("MMR uses the query's own vector, not an arbitrary bound Float param") {
+    val s = session
+    // decoy: an unrelated Array[Float] param that must NOT become the MMR
+    // query vector (regression: collectFirst over params.values picked it)
+    s.bind("aaa_decoy", Array(0f, 1f))
+    val got = s.sql(
+      "SELECT id FROM docs WHERE vector SIMILAR TO $q RERANK BY MMR(1.0) LIMIT 2")
+      .as[String].collect().toSeq
+    // λ=1.0 → pure relevance to q=[1,0]: a (d=0) then b; the decoy [0,1]
+    // would instead seed with c
+    assert(got == Seq("a", "b"))
+  }
+
   test("NEAREST_TO literal vector with metric override") {
     val got = session.sql(
       "SELECT id FROM docs NEAREST_TO([0.0, 1.0], 'euclidean') LIMIT 1")
