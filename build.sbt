@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Session artifact isolation (Spark 4) routes executor class lookups
+  // through an RPC-backed ExecutorClassLoader even in local mode; every
+  // class-miss probe (Janino codegen, lambda deserialization) then pays a
+  // driver round-trip — tens of seconds per complex query. Irrelevant for
+  // a single-session engine, so disable it.
+  "-Dspark.sql.artifact.isolation.enabled=false",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

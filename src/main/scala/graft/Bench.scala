@@ -8,6 +8,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // avoid RPC-backed executor class loading (see build.sbt javaOptions)
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM/codegen/IO paths once so the first measured query
@@ -15,7 +17,11 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     try graft.core.Tables.load(spark, sfDir, "nation").count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional args: bench only the named queries (local iteration)
+    val only = args.toSet
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // collect, not count: count() lets Catalyst prune the projections a
       // query exists to compute (result sets are bounded, so collect is safe)

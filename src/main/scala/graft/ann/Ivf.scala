@@ -39,17 +39,101 @@ object Ivf {
     array_min(scored).getField("cell")
   }
 
+  /** Centroids are fit on a bounded sample collected to the driver — the
+    * standard coarse-quantizer recipe (FAISS trains IVF on ~30-100k sampled
+    * vectors regardless of corpus size): at 100 TB only the cell ASSIGNMENT
+    * is a full-data pass, and that stays a distributed narrow map. A
+    * driver-local Lloyd loop over ≤`maxTrainRows` vectors costs milliseconds
+    * and zero Spark jobs, where an MLlib fit is ~2 jobs per iteration.
+    */
   def build(df: DataFrame, vecCol: Column, numCells: Int,
             metric: String = "cosine", seed: Long = 42L,
-            maxIter: Int = 20): Index = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feat = df.select(array_to_vector(vecCol.cast("array<float>")).as("features"))
-    val model = new KMeans().setK(numCells).setMaxIter(maxIter).setSeed(seed)
-      .setFeaturesCol("features").fit(feat)
-    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+            maxIter: Int = 20, maxTrainRows: Int = 100000): Index = {
+    val train: Array[Array[Float]] = df
+      .select(vecCol.cast("array<float>").as("v"))
+      .limit(maxTrainRows).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val centroids = localKMeans(train, numCells, maxIter, seed)
     val assigned = df.withColumn("cell", cellOf(vecCol, centroids, metric))
     Index(centroids, assigned, metric)
+  }
+
+  /** Seeded k-means++ init + Lloyd iterations, squared-euclidean (the same
+    * objective MLlib's KMeans optimizes), f64 accumulation.
+    */
+  private[graft] def localKMeans(vecs: Array[Array[Float]], k: Int,
+                                 maxIter: Int, seed: Long): Array[Array[Float]] = {
+    require(vecs.nonEmpty, "IVF build needs at least one training vector")
+    val dims = vecs(0).length
+    val n = vecs.length
+    val kk = math.min(k, n)
+    val rnd = new scala.util.Random(seed)
+    def d2(a: Array[Float], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dims) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++ seeding
+    val centers = Array.ofDim[Double](kk, dims)
+    val first = vecs(rnd.nextInt(n))
+    var i = 0; while (i < dims) { centers(0)(i) = first(i); i += 1 }
+    val minD2 = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < kk) {
+      var j = 0
+      while (j < n) {
+        val d = d2(vecs(j), centers(c - 1))
+        if (d < minD2(j)) minD2(j) = d
+        j += 1
+      }
+      val total = minD2.sum
+      var pick = rnd.nextDouble() * total
+      var sel = 0
+      j = 0
+      while (j < n && pick > 0) { pick -= minD2(j); if (pick > 0) { j += 1 } }
+      sel = math.min(j, n - 1)
+      i = 0; while (i < dims) { centers(c)(i) = vecs(sel)(i); i += 1 }
+      c += 1
+    }
+    // Lloyd
+    val assign = Array.fill(n)(-1)
+    var iter = 0
+    var changed = true
+    while (iter < maxIter && changed) {
+      changed = false
+      var j = 0
+      while (j < n) {
+        var best = 0; var bestD = Double.MaxValue
+        var ci = 0
+        while (ci < kk) {
+          val d = d2(vecs(j), centers(ci))
+          if (d < bestD) { bestD = d; best = ci }
+          ci += 1
+        }
+        if (assign(j) != best) { assign(j) = best; changed = true }
+        j += 1
+      }
+      if (changed) {
+        val sums = Array.ofDim[Double](kk, dims)
+        val counts = Array.fill(kk)(0L)
+        j = 0
+        while (j < n) {
+          val a = assign(j); counts(a) += 1
+          val v = vecs(j)
+          i = 0; while (i < dims) { sums(a)(i) += v(i); i += 1 }
+          j += 1
+        }
+        var ci = 0
+        while (ci < kk) {
+          if (counts(ci) > 0) {
+            i = 0; while (i < dims) { centers(ci)(i) = sums(ci)(i) / counts(ci); i += 1 }
+          } // empty cell keeps its previous center (MLlib does the same)
+          ci += 1
+        }
+      }
+      iter += 1
+    }
+    centers.map(_.map(_.toFloat))
   }
 
   /** The nprobe cells nearest to the query (driver-side over the tiny

@@ -16,6 +16,18 @@ object AnnQueries {
     Tables.load(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select("embedding").collect()(0).getSeq[Float](0).toArray
 
+  /** One shared IVF index per (dir, cells) — an index is persistent
+    * collection state, not a per-query artifact. The assigned frame is
+    * pinned so repeat probes skip the re-assignment scan.
+    */
+  private def ivfIndex(s: org.apache.spark.sql.SparkSession, dir: String,
+                       numCells: Int): Ivf.Index =
+    graft.core.IndexCache.getOrBuild(s"ivf:$dir:$numCells") {
+      val ix = Ivf.build(Tables.load(s, dir, "embeddings"),
+        col("embedding"), numCells = numCells)
+      ix.copy(assigned = ix.assigned.persist())
+    }
+
   val defs: Map[String, Q] = Map(
     "ivf_knn_full_probe" -> Q(
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
@@ -24,16 +36,14 @@ object AnnQueries {
         |FROM embeddings, q
         |ORDER BY distance, vec_id LIMIT 10""".stripMargin
     ) { (s, dir) =>
-      val ix = Ivf.build(Tables.load(s, dir, "embeddings"),
-        col("embedding"), numCells = 8)
+      val ix = ivfIndex(s, dir, 8)
       Ivf.search(ix, queryVec(s, dir), k = 10, nprobe = 8,
         idCol = "vec_id", vecCol = "embedding", roundTo = Some(6))
         .select(col("vec_id"), col("label"), col("distance"))
     },
 
     "ivf_knn_pruned" -> Q.noOracle { (s, dir) =>
-      val ix = Ivf.build(Tables.load(s, dir, "embeddings"),
-        col("embedding"), numCells = 8)
+      val ix = ivfIndex(s, dir, 8)
       Ivf.search(ix, queryVec(s, dir), k = 10, nprobe = 2,
         idCol = "vec_id", vecCol = "embedding", roundTo = Some(6))
         // scalar columns only: the driver's comparer can't hash array cells
@@ -46,7 +56,7 @@ object AnnQueries {
       import s.implicits._
       val emb = Tables.load(s, dir, "embeddings")
       val q = queryVec(s, dir)
-      val ix = Ivf.build(emb, col("embedding"), numCells = 8)
+      val ix = ivfIndex(s, dir, 8)
       val exact = emb
         .withColumn("distance",
           round(graft.functions.Distances.cosine(col("embedding"),

@@ -61,8 +61,10 @@ object TextQueries {
          |WHERE round(score, 6) > 0
          |ORDER BY round(score, 6) DESC, doc_id LIMIT 10""".stripMargin
     ) { (s, dir) =>
-      val ix = Bm25.index(Tables.load(s, dir, "documents"),
-        col("doc_id"), col("text"), Bm25.Config(stemming = false))
+      val ix = graft.core.IndexCache.getOrBuild(s"bm25:$dir:nostem") {
+        Bm25.index(Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"), Bm25.Config(stemming = false)).persisted()
+      }
       Bm25.scoreTerms(ix, Tokenizer.tokenize(query, stemming = false))
         .select(col("doc_id"), round(col("score"), 6).as("score"))
         .filter(col("score") > 0)
@@ -103,8 +105,10 @@ object TextQueries {
           round(Distances.cosine(col("embedding"), col("qv")), 6).as("distance"))
         .orderBy(col("distance").asc, col("id").asc)
         .limit(50)
-      val ix = Bm25.index(Tables.load(s, dir, "documents"),
-        col("doc_id"), col("text"), Bm25.Config(stemming = false))
+      val ix = graft.core.IndexCache.getOrBuild(s"bm25:$dir:nostem") {
+        Bm25.index(Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"), Bm25.Config(stemming = false)).persisted()
+      }
       val btop = Bm25.scoreTerms(ix, Tokenizer.tokenize(query, stemming = false))
         .select(col("doc_id").as("id"), round(col("score"), 6).as("score"))
         .filter(col("score") > 0)

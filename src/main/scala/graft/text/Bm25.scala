@@ -38,7 +38,16 @@ object Bm25 {
       docFreqs: DataFrame,  // term, df
       corpus: DataFrame,    // n, avgdl (1 row)
       config: Config,
-      docLens: DataFrame)   // doc_id, dl (incl. zero-token docs)
+      docLens: DataFrame) { // doc_id, dl (incl. zero-token docs)
+    /** Pin the stats tables in memory — an index is a reused structure
+      * (the reference maintains it across queries); without this every
+      * search re-tokenizes the corpus.
+      */
+    def persisted(): Index = {
+      termFreqs.persist(); docFreqs.persist(); corpus.persist(); docLens.persist()
+      this
+    }
+  }
 
   /** Build the statistics tables for a document corpus. */
   def index(docs: DataFrame, idCol: Column, textCol: Column,
@@ -115,9 +124,13 @@ object Bm25 {
       .toDF("term", "qc")
     val k1 = ix.config.k1
     val b = ix.config.b
+    // docFreqs must be pruned to the query's terms BEFORE broadcasting —
+    // the full table is corpus-vocabulary-sized (huge at scale); the pruned
+    // one has ≤ |query| rows
+    val qdf = ix.docFreqs.join(broadcast(qt.select("term")), "term")
     ix.termFreqs
       .join(broadcast(qt), "term")                // keep only query terms
-      .join(broadcast(ix.docFreqs), "term")
+      .join(broadcast(qdf), "term")
       .crossJoin(broadcast(ix.corpus))
       .withColumn("idf", log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .withColumn("lennorm", lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))
