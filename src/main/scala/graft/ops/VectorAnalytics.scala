@@ -129,17 +129,18 @@ object VectorAnalytics {
   }
 
   /** KMeans clustering (reference Cluster{k} op, 50 iterations:
-    * vector_aggregation.rs:186-295) via MLlib — returns (id, cluster).
+    * vector_aggregation.rs:186-295) — centroids fit driver-locally on a
+    * bounded sample (an MLlib fit is ~2 jobs per iteration; the sample-fit
+    * is the standard recipe at any scale), assignment distributed via the
+    * same nearest-centroid expression the IVF index uses.
     */
   def cluster(df: DataFrame, idCol: Column, vecCol: Column, k: Int,
-              maxIter: Int = 50, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feat = df.select(idCol.as("id"),
-      array_to_vector(vecCol.cast("array<float>")).as("features"))
-    val model = new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed)
-      .setFeaturesCol("features").setPredictionCol("cluster")
-      .fit(feat)
-    model.transform(feat).select(col("id"), col("cluster"))
+              maxIter: Int = 50, seed: Long = 42L,
+              maxTrainRows: Int = 100000): DataFrame = {
+    val train = df.select(vecCol.cast("array<float>").as("v"))
+      .limit(maxTrainRows).collect().map(_.getSeq[Float](0).toArray)
+    val centroids = graft.ann.Ivf.localKMeans(train, k, maxIter, seed)
+    df.select(idCol.as("id"),
+      graft.ann.Ivf.cellOf(vecCol, centroids, "euclidean").as("cluster"))
   }
 }

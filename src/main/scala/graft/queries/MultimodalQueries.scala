@@ -42,6 +42,50 @@ object MultimodalQueries {
 
     // needle-columnar JSONL roundtrip (reference: src/indexing/columnar.rs):
     // export -> import -> project, compared against the source table.
+    // Weighted-sum fusion across two modality vector columns (full
+    // embedding + its 16-dim head as a second "modality"), weights 0.7/0.3
+    // (reference: multimodal_fusion.rs WeightedSum, normalized by total
+    // weight). Both modalities present on every row here; the
+    // missing-modality path is covered by MultimodalFusionSpec.
+    "multimodal_fusion" -> Q(
+      """WITH m AS (
+        |  SELECT vec_id, embedding AS full_vec, embedding[1:16] AS head_vec
+        |  FROM embeddings
+        |),
+        |q AS (SELECT full_vec AS qf, head_vec AS qh FROM m WHERE vec_id = 0),
+        |d AS (
+        |  SELECT vec_id,
+        |         round(1 - list_cosine_similarity(full_vec::DOUBLE[], qf::DOUBLE[]), 6) AS d_full,
+        |         round(1 - list_cosine_similarity(head_vec::DOUBLE[], qh::DOUBLE[]), 6) AS d_head
+        |  FROM m, q
+        |)
+        |SELECT vec_id,
+        |       round((0.7 * d_full + 0.3 * d_head) / 1.0, 6) AS score,
+        |       d_full, d_head
+        |FROM d ORDER BY score, vec_id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.MultimodalFusion
+      import graft.ops.MultimodalFusion.{Modality, Strategy}
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("full_vec"),
+          slice(col("embedding"), 1, 16).as("head_vec"))
+      val q0 = emb.filter(col("vec_id") === 0)
+        .select("full_vec", "head_vec").collect()(0)
+      val fused = MultimodalFusion.search(emb, "vec_id",
+        modalities = Map(
+          "full" -> Modality("full_vec", weight = 0.7),
+          "head" -> Modality("head_vec", weight = 0.3)),
+        queries = Map(
+          "full" -> q0.getSeq[Float](0).toArray,
+          "head" -> q0.getSeq[Float](1).toArray),
+        k = 10, Strategy.WeightedSum, roundTo = Some(6))
+      // round the weighted sum of ROUNDED legs like the oracle does
+      fused.select(col("vec_id"),
+        round((col("d_full") * 0.7 + col("d_head") * 0.3) / 1.0, 6).as("score"),
+        col("d_full"), col("d_head"))
+        .orderBy(col("score"), col("vec_id"))
+    },
+
     "jsonl_roundtrip" -> Q(
       """SELECT CAST(vec_id AS VARCHAR) AS id, len(embedding) AS dims,
         |       CAST(label AS VARCHAR) AS label
