@@ -30,7 +30,7 @@ object Ast {
       select: SelectClause = SelectAll,
       from: String = "",
       nearestTo: Option[NearestTo] = None,
-      asOf: Option[Long] = None,
+      asOf: Option[AsOf] = None,
       timeDecay: Option[TimeDecayClause] = None,
       rag: Option[RagOptions] = None,
       hybrid: Option[HybridSearch] = None,
@@ -43,6 +43,15 @@ object Ast {
   sealed trait SelectClause
   case object SelectAll extends SelectClause
   final case class SelectCols(cols: Seq[String]) extends SelectClause
+
+  /** AS OF [TIMESTAMP] ts | VERSION n | SNAPSHOT 'name' | '<time expr>'
+    * (reference: needleql_executor.rs:905-975, AsOfClause :124-134).
+    */
+  sealed trait AsOf
+  final case class AsOfTimestamp(ts: Long) extends AsOf
+  final case class AsOfVersion(version: Long) extends AsOf
+  final case class AsOfSnapshot(name: String) extends AsOf
+  final case class AsOfExpr(expr: String) extends AsOf
 
   /** FROM coll NEAREST_TO([v...] [, 'metric'] [, ef_search]) */
   final case class NearestTo(vector: Seq[Float], distanceFn: Option[String],

@@ -43,9 +43,45 @@ class NeedleSession(val spark: SparkSession) {
   /** Round distances to N decimals for reproducible comparisons. */
   var roundDistanceTo: Option[Int] = None
 
-  def register(name: String, d: CollectionDef): this.type = {
-    collections(name) = d; this
+  /** Per-collection state history: entry v-1 is the state at version v
+    * (1-based; registration is version 1). Backs AS OF VERSION — the
+    * DataFrame snapshots are lazy plans, so retention is cheap.
+    */
+  val history: mutable.LinkedHashMap[String, mutable.ArrayBuffer[CollectionDef]] =
+    mutable.LinkedHashMap()
+
+  private def commit(name: String, d: CollectionDef): Unit = {
+    collections(name) = d
+    history.getOrElseUpdate(name, mutable.ArrayBuffer()) += d
   }
+
+  def register(name: String, d: CollectionDef): this.type = {
+    commit(name, d); this
+  }
+
+  // ---------------------------------------------------------- snapshots
+  // Named snapshots stored as __snapshot__{coll}__{name} entries, exactly
+  // the reference's keying (database/snapshots.rs:10-56). DataFrames are
+  // immutable plans, so the registered def IS a full point-in-time capture.
+
+  private def snapshotKey(coll: String, name: String) =
+    s"__snapshot__${coll}__${name}"
+
+  def createSnapshot(coll: String, name: String): Unit =
+    collections(snapshotKey(coll, name)) = resolve(coll)
+
+  def restoreSnapshot(coll: String, name: String): Unit =
+    commit(coll, collections.getOrElse(snapshotKey(coll, name),
+      throw Parser.ParseError(s"Snapshot '$name' not found for collection '$coll'")))
+
+  def listSnapshots(coll: String): Seq[String] = {
+    val prefix = s"__snapshot__${coll}__"
+    collections.keys.filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix)).toSeq
+  }
+
+  def deleteSnapshot(coll: String, name: String): Boolean =
+    collections.remove(snapshotKey(coll, name)).isDefined
   def bind(name: String, value: Any): this.type = {
     params += name -> value; this
   }
@@ -57,7 +93,8 @@ class NeedleSession(val spark: SparkSession) {
     case ExplainStmt(q, _)    => explain(q)
     case ShowCollectionsStmt  =>
       import spark.implicits._
-      collections.keys.toSeq.toDF("collection")
+      collections.keys.filterNot(_.startsWith("__snapshot__"))
+        .toSeq.toDF("collection")
     case CreateCollectionStmt(name, opts) =>
       val dims = opts.get("dimensions").map(_.toInt).getOrElse(0)
       val metric = opts.getOrElse("distance", "cosine")
@@ -71,7 +108,7 @@ class NeedleSession(val spark: SparkSession) {
           org.apache.spark.sql.types.StringType)))
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      collections(name) = CollectionDef(empty, metric = metric)
+      commit(name, CollectionDef(empty, metric = metric))
       status(s"created collection $name (dims=$dims, distance=$metric)")
     case DropCollectionStmt(name) =>
       collections.remove(name)
@@ -81,8 +118,8 @@ class NeedleSession(val spark: SparkSession) {
       import spark.implicits._
       val row = Seq((id, vec.toArray, meta.orNull))
         .toDF(c.idCol, c.vectorCol, "metadata")
-      collections(coll) = c.copy(df = c.df.unionByName(row,
-        allowMissingColumns = true))
+      commit(coll, c.copy(df = c.df.unionByName(row,
+        allowMissingColumns = true)))
       status(s"inserted 1 row into $coll")
     case CreateViewStmt(name, materialized, q) =>
       val v = ViewDef(q, materialized)
@@ -100,7 +137,7 @@ class NeedleSession(val spark: SparkSession) {
           c.df.filter(!coalesce(pred, lit(false)))
         case None => c.df.limit(0)
       }
-      collections(coll) = c.copy(df = remaining)
+      commit(coll, c.copy(df = remaining))
       status(s"deleted from $coll")
   }
 
@@ -136,8 +173,33 @@ class NeedleSession(val spark: SparkSession) {
     compileQueryOn(c, q)
   }
 
-  private def compileQueryOn(c: CollectionDef, q: Query): DataFrame = {
+  private def compileQueryOn(c0: CollectionDef, q: Query): DataFrame = {
     val limit = q.limit.getOrElse(10L).toInt // reference default 10
+
+    // AS OF: SNAPSHOT/VERSION swap the scanned state; TIMESTAMP or a time
+    // expression becomes an inserted_at upper bound (reference:
+    // needleql_executor.rs:124-134 + persistence/time_travel.rs)
+    def snapDef(name: String): CollectionDef =
+      collections.getOrElse(snapshotKey(q.from, name),
+        throw Parser.ParseError(
+          s"Snapshot '$name' not found for collection '${q.from}'"))
+    val (c, asOfTs): (CollectionDef, Option[Long]) = q.asOf match {
+      case None                    => (c0, None)
+      case Some(AsOfTimestamp(ts)) => (c0, Some(ts))
+      case Some(AsOfVersion(v)) =>
+        val h = history.getOrElse(q.from,
+          throw Parser.ParseError(s"No version history for ${q.from}"))
+        if (v < 1 || v > h.size) throw Parser.ParseError(
+          s"Version $v out of range for ${q.from} (1..${h.size})")
+        (h((v - 1).toInt), None)
+      case Some(AsOfSnapshot(n)) => (snapDef(n), None)
+      case Some(AsOfExpr(e)) => TimeExpr.parse(e) match {
+        case TimeExpr.AtSnapshot(n) => (snapDef(n), None)
+        case parsed =>
+          val now = nowEpochS.getOrElse(System.currentTimeMillis() / 1000)
+          (c0, Some(TimeExpr.resolve(parsed, now)))
+      }
+    }
 
     // Query vector: NEAREST_TO literal or SIMILAR TO $param
     val similarParam = q.where.flatMap(findSimilar)
@@ -166,7 +228,7 @@ class NeedleSession(val spark: SparkSession) {
           df = c.df, query = qv, vecCol = col(c.vectorCol),
           idCol = col(c.idCol), k = limit, // offset skips AFTER search (executor.rs:193-197)
           metric = metric, preFilter = preFilter,
-          asOf = q.asOf,
+          asOf = asOfTs,
           decay = q.timeDecay.map(toDecay),
           insertedAtCol = c.insertedAtCol.map(col),
           nowEpochS = nowEpochS,
@@ -176,7 +238,7 @@ class NeedleSession(val spark: SparkSession) {
       case (None, None) =>
         val base = preFilter.fold(c.df)(f =>
           c.df.filter(graft.filter.FilterCompiler.compile(f, c.df)))
-        val asOfd = (q.asOf, c.insertedAtCol) match {
+        val asOfd = (asOfTs, c.insertedAtCol) match {
           case (Some(ts), Some(ins)) => base.filter(col(ins).isNull || col(ins) <= ts)
           case _ => base
         }

@@ -175,12 +175,28 @@ object Parser {
         q = q.copy(hybrid = Some(HybridSearch(text, vec, weight, rrfK)))
       }
       if (atKw("as")) { eatKw("as"); eatKw("of")
-        val ts = advance() match {
-          case TNum(d)      => d.toLong
-          case TDuration(s) => s
-          case other        => throw ParseError(s"Expected timestamp after AS OF, got $other")
-        }
-        q = q.copy(asOf = Some(ts))
+        // AS OF [TIMESTAMP] n | VERSION n | SNAPSHOT 'name' | 'time expr'
+        // (reference: needleql_executor.rs:905-975)
+        val asOf: AsOf =
+          if (atKw("timestamp")) { advance(); advance() match {
+            case TNum(d) => AsOfTimestamp(d.toLong)
+            case other   => throw ParseError(s"Expected number after AS OF TIMESTAMP, got $other")
+          }}
+          else if (atKw("version")) { advance(); advance() match {
+            case TNum(d) => AsOfVersion(d.toLong)
+            case other   => throw ParseError(s"Expected number after AS OF VERSION, got $other")
+          }}
+          else if (atKw("snapshot")) { advance(); advance() match {
+            case TStr(s) => AsOfSnapshot(s)
+            case other   => throw ParseError(s"Expected 'name' after AS OF SNAPSHOT, got $other")
+          }}
+          else advance() match {
+            case TNum(d)      => AsOfTimestamp(d.toLong)
+            case TDuration(s) => AsOfTimestamp(s)
+            case TStr(s)      => AsOfExpr(s)
+            case other        => throw ParseError(s"Expected timestamp after AS OF, got $other")
+          }
+        q = q.copy(asOf = Some(asOf))
       }
       if (tryKw("with")) {
         eatKw("time_decay")

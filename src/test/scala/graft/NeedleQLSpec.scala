@@ -44,7 +44,7 @@ class NeedleQLParserSpec extends SparkSpec {
   test("AS OF and HYBRID_SEARCH") {
     val q = Parser.parseQuery(
       "SELECT * FROM c HYBRID_SEARCH('hello world', [0.5, 0.5]) AS OF 12345 LIMIT 3")
-    assert(q.asOf.contains(12345L))
+    assert(q.asOf.contains(AsOfTimestamp(12345L)))
     assert(q.hybrid.exists(h => h.text == "hello world" && h.vector.contains(Seq(0.5f, 0.5f))))
   }
 
@@ -199,6 +199,65 @@ class NeedleQLExecSpec extends SparkSpec {
       .as[String].collect().toSeq
     // old: age 1000 >= 500 -> factor 0 -> f32::MAX; new wins despite distance
     assert(got == Seq("new", "old"))
+  }
+
+  test("AS OF VERSION and SNAPSHOT time-travel") {
+    val s = session
+    s.createSnapshot("docs", "before")
+    s.sql("INSERT INTO docs VALUES ('d', [0.5, 0.5])")
+    assert(s.sql("SELECT id FROM docs WHERE score >= 0 OR score IS NULL LIMIT 10").count() == 4)
+    // version 1 = as registered (3 rows); version 2 = after insert (4 rows)
+    assert(s.sql("SELECT id FROM docs AS OF VERSION 1 LIMIT 10").count() == 3)
+    assert(s.sql("SELECT id FROM docs AS OF VERSION 2 LIMIT 10").count() == 4)
+    // named snapshot captures pre-insert state; '@name' expr form too
+    assert(s.sql("SELECT id FROM docs AS OF SNAPSHOT 'before' LIMIT 10").count() == 3)
+    assert(s.sql("SELECT id FROM docs AS OF '@before' LIMIT 10").count() == 3)
+    assert(s.listSnapshots("docs") == Seq("before"))
+    // snapshots hidden from SHOW COLLECTIONS (database/mod.rs:694-701)
+    assert(!s.sql("SHOW COLLECTIONS").as[String].collect().exists(_.startsWith("__snapshot__")))
+    // restore rolls the live collection back
+    s.restoreSnapshot("docs", "before")
+    assert(s.sql("SELECT id FROM docs LIMIT 10").count() == 3)
+  }
+
+  test("AS OF time expressions resolve against the deterministic clock") {
+    val s = session
+    val docs = Seq(
+      ("early", Array(1f, 0f), 100L),
+      ("late", Array(0f, 1f), 90000L)).toDF("id", "vector", "inserted_at")
+    s.register("tt", CollectionDef(docs, insertedAtCol = Some("inserted_at")))
+    s.nowEpochS = Some(100000L)
+    // '1 day ago' = 100000 - 86400 = 13600 → only 'early' qualifies
+    assert(s.sql("SELECT id FROM tt AS OF '1 day ago' LIMIT 10")
+      .as[String].collect().toSeq == Seq("early"))
+    // AS OF TIMESTAMP form
+    assert(s.sql("SELECT id FROM tt AS OF TIMESTAMP 95000 LIMIT 10").count() == 2)
+  }
+}
+
+class TimeExprSpec extends SparkSpec {
+  import graft.needleql.TimeExpr
+  private val now = 1000000L // epoch + ~11.6 days
+
+  test("named, relative, dow, snapshot expressions (time_travel.rs:173-360)") {
+    assert(TimeExpr.resolve(TimeExpr.parse("now"), now) == now)
+    assert(TimeExpr.resolve(TimeExpr.parse("yesterday"), now) == now - 86400)
+    assert(TimeExpr.resolve(TimeExpr.parse("last week"), now) == now - 604800)
+    assert(TimeExpr.resolve(TimeExpr.parse("2 hours ago"), now) == now - 7200)
+    assert(TimeExpr.resolve(TimeExpr.parse("in 3 days"), now) == now + 3 * 86400)
+    assert(TimeExpr.resolve(TimeExpr.parse("hour ago"), now) == now - 3600)
+    assert(TimeExpr.resolve(TimeExpr.parse("today"), now) == now - (now % 86400))
+    // day-of-week arithmetic: epoch day 11 → (11+4)%7 = 1 = Monday;
+    // last Friday is 3 days back, rounded to start-of-day
+    val lastFri = TimeExpr.resolve(TimeExpr.parse("last friday"), now)
+    assert(lastFri == (now - 3 * 86400) / 86400 * 86400)
+    // same-dow goes a full week back
+    val lastMon = TimeExpr.resolve(TimeExpr.parse("last monday"), now)
+    assert(lastMon == (now - 7 * 86400) / 86400 * 86400)
+    assert(TimeExpr.parse("snapshot:x") == TimeExpr.AtSnapshot("x"))
+    assert(TimeExpr.parse("@release-1") == TimeExpr.AtSnapshot("release-1"))
+    assert(TimeExpr.parse("12345") == TimeExpr.Timestamp(12345L))
+    assertThrows[graft.needleql.Parser.ParseError](TimeExpr.parse("banana o'clock"))
   }
 }
 
