@@ -1,0 +1,206 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Distances
+
+/** Vector quantization for scan-bandwidth reduction (SURVEY.md §4.1;
+  * reference: src/indexing/quantization.rs — ScalarQuantizer :135-290,
+  * BinaryQuantizer :536-600).
+  *
+  * At 100 TB the scan is the cost: SQ8 stores 1 byte/dim (4× less IO than
+  * f32), binary packs 1 bit/dim (32×). The search pattern is two-phase:
+  * rank by cheap quantized distance over the compact codes column, keep
+  * k×oversample candidates, re-rank those exactly on the full vectors —
+  * only the candidate rows ever touch the wide column (Parquet column
+  * pruning does the rest). Quantizer state (per-dim min/scale or
+  * thresholds) is trained on a bounded driver-side sample, like the IVF
+  * centroids.
+  *
+  * Formulas match the reference bit-for-bit where integral:
+  *   - code_i  = clamp((v_i − min_i)·scale_i, 0, 255) as u8,
+  *     scale_i = 255/(max_i − min_i) (1.0 when range ≤ 1e-10)
+  *   - asymmetric_distance(q, c) = √Σ (q_i − (c_i/scale_i + min_i))²
+  *   - symmetric distance² = Σ (a_i − b_i)² / avg_scale²
+  *   - binary: bit_i = v_i > mean_i, packed LSB-first into ⌈dims/8⌉ bytes;
+  *     hamming = popcount(xor)
+  */
+object Quantization {
+
+  // ------------------------------------------------------------------ SQ8
+
+  final case class Sq(minVals: Array[Float], scale: Array[Float]) {
+    def dims: Int = minVals.length
+    def avgScale: Float =
+      if (scale.isEmpty) 1.0f else scale.sum / scale.length
+  }
+
+  /** Train per-dimension min/max on a bounded sample
+    * (quantization.rs:154-212).
+    */
+  def trainSq(df: DataFrame, vecCol: Column, maxTrainRows: Int = 100000): Sq = {
+    // per-dim min/max via posexplode + groupBy (one pass, tiny result)
+    val mm = df.select(vecCol.cast("array<float>").as("v"))
+      .limit(maxTrainRows)
+      .select(posexplode(col("v")))
+      .toDF("dim", "x")
+      .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("dim").collect()
+    val minVals = mm.map(_.getFloat(1))
+    val maxVals = mm.map(_.getFloat(2))
+    val scale = minVals.zip(maxVals).map { case (mn, mx) =>
+      val range = mx - mn
+      if (range > 1e-10f) 255.0f / range else 1.0f
+    }
+    Sq(minVals, scale)
+  }
+
+  /** Column: Array[Float] → quantized codes as BinaryType (1 byte/dim). */
+  def sqEncode(sq: Sq)(vecCol: Column): Column = {
+    val enc = udf((v: Seq[Float]) => {
+      val out = new Array[Byte](v.length)
+      var i = 0
+      while (i < out.length) {
+        val n = (v(i) - sq.minVals(i)) * sq.scale(i)
+        out(i) = math.max(0f, math.min(255f, n)).toByte // u8 via toInt wrap-safe clamp
+        i += 1
+      }
+      out
+    })
+    enc(vecCol.cast("array<float>"))
+  }
+
+  /** Asymmetric distance column: f32 query vs u8 codes
+    * (quantization.rs:277-289) — √Σ(q_i − decoded_i)², f32 accumulation
+    * to match the reference.
+    */
+  def sqAsymmetricDist(sq: Sq, query: Array[Float])(codesCol: Column): Column = {
+    val d = udf((codes: Array[Byte]) => {
+      var sum = 0.0f
+      var i = 0
+      while (i < codes.length) {
+        val decoded = (codes(i) & 0xff).toFloat / sq.scale(i) + sq.minVals(i)
+        val diff = query(i) - decoded
+        sum += diff * diff
+        i += 1
+      }
+      math.sqrt(sum.toDouble).toFloat.toDouble
+    })
+    d(codesCol)
+  }
+
+  /** Symmetric code-to-code distance² scaled by the cached average scale
+    * (quantization.rs:265-275).
+    */
+  def sqSymmetricDistSq(sq: Sq)(aCol: Column, bCol: Column): Column = {
+    val avg = sq.avgScale
+    val d = udf((a: Array[Byte], b: Array[Byte]) => {
+      var sum = 0L
+      var i = 0
+      while (i < a.length) {
+        val diff = (a(i) & 0xff) - (b(i) & 0xff)
+        sum += (diff * diff).toLong
+        i += 1
+      }
+      sum.toFloat / (avg * avg)
+    })
+    d(aCol, bCol)
+  }
+
+  /** Two-phase SQ search: rank by asymmetric distance over the codes
+    * column, keep k×oversample, exact re-rank on the full vectors. The
+    * coarse pass reads only the 1-byte/dim codes (Parquet prunes the f32
+    * column); the exact pass touches ≤ k×oversample rows.
+    */
+  def sqSearchRerank(df: DataFrame, sq: Sq, query: Array[Float], k: Int,
+                     idCol: String = "id", vecCol: String = "vector",
+                     codesCol: String = "codes", oversample: Int = 4,
+                     metric: String = "euclidean",
+                     roundTo: Option[Int] = None): DataFrame = {
+    val coarse = df
+      .withColumn("__qd", sqAsymmetricDist(sq, query)(col(codesCol)))
+      .orderBy(col("__qd").asc, col(idCol).asc)
+      .limit(k * oversample)
+    val raw = Distances.distance(metric, col(vecCol), lit(query))
+    val dist = roundTo.fold(raw)(n => round(raw, n))
+    coarse
+      .withColumn("distance", dist)
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
+      .drop("__qd")
+  }
+
+  // --------------------------------------------------------------- binary
+
+  final case class Bq(thresholds: Array[Float]) { def dims: Int = thresholds.length }
+
+  /** Per-dimension mean thresholds (quantization.rs:545-572). */
+  def trainBq(df: DataFrame, vecCol: Column, maxTrainRows: Int = 100000): Bq = {
+    val mm = df.select(vecCol.cast("array<float>").as("v"))
+      .limit(maxTrainRows)
+      .select(posexplode(col("v")))
+      .toDF("dim", "x")
+      .groupBy("dim").agg(avg("x").as("mean"))
+      .orderBy("dim").collect()
+    Bq(mm.map(_.getDouble(1).toFloat))
+  }
+
+  /** Column: Array[Float] → LSB-first packed sign bits, ⌈dims/8⌉ bytes. */
+  def bqEncode(bq: Bq)(vecCol: Column): Column = {
+    val enc = udf((v: Seq[Float]) => {
+      val out = new Array[Byte]((v.length + 7) / 8)
+      var i = 0
+      while (i < v.length) {
+        if (v(i) > bq.thresholds(i)) out(i / 8) = (out(i / 8) | (1 << (i % 8))).toByte
+        i += 1
+      }
+      out
+    })
+    enc(vecCol.cast("array<float>"))
+  }
+
+  /** Hamming distance between packed codes (quantization.rs:588-597). */
+  def bqHamming(aCol: Column, bCol: Column): Column = {
+    val d = udf((a: Array[Byte], b: Array[Byte]) => {
+      var sum = 0
+      var i = 0
+      while (i < a.length) {
+        sum += java.lang.Integer.bitCount((a(i) ^ b(i)) & 0xff)
+        i += 1
+      }
+      sum
+    })
+    d(aCol, bCol)
+  }
+
+  /** Two-phase binary search: Hamming pre-rank over packed bits (32× less
+    * IO than f32), exact re-rank of k×oversample candidates.
+    */
+  def bqSearchRerank(df: DataFrame, bq: Bq, query: Array[Float], k: Int,
+                     idCol: String = "id", vecCol: String = "vector",
+                     codesCol: String = "codes", oversample: Int = 8,
+                     metric: String = "cosine",
+                     roundTo: Option[Int] = None): DataFrame = {
+    val qCodes = {
+      val out = new Array[Byte]((query.length + 7) / 8)
+      var i = 0
+      while (i < query.length) {
+        if (query(i) > bq.thresholds(i)) out(i / 8) = (out(i / 8) | (1 << (i % 8))).toByte
+        i += 1
+      }
+      out
+    }
+    val coarse = df
+      .withColumn("__hd", bqHamming(col(codesCol), lit(qCodes)))
+      .orderBy(col("__hd").asc, col(idCol).asc)
+      .limit(k * oversample)
+    val raw = Distances.distance(metric, col(vecCol), lit(query))
+    val dist = roundTo.fold(raw)(n => round(raw, n))
+    coarse
+      .withColumn("distance", dist)
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
+      .drop("__hd")
+  }
+}

@@ -260,11 +260,18 @@ class NeedleSession(val spark: SparkSession) {
     project(offsetted, q.select)
   }
 
+  // BM25 stats per collection STATE (df identity): a session keeps the
+  // index until a mutation swaps the collection's DataFrame, mirroring the
+  // reference's incrementally-maintained Bm25Index (hybrid.rs:270-330)
+  private val bm25Cache = mutable.HashMap[(String, Int), Bm25.Index]()
+
   private def hybridSearch(c: CollectionDef, h: HybridSearch, q: Query,
                            limit: Int): DataFrame = {
     val textCol = c.textCol.getOrElse(
       throw Parser.ParseError(s"Collection ${q.from} has no text column for HYBRID_SEARCH"))
-    val ix = Bm25.index(c.df, col(c.idCol), col(textCol))
+    val ix = bm25Cache.getOrElseUpdate(
+      (q.from, System.identityHashCode(c.df)),
+      Bm25.index(c.df, col(c.idCol), col(textCol)).persisted())
     val bmTop = Bm25.search(ix, h.text, limit * 5)
       .withColumnRenamed("doc_id", "id")
     val vecTop = h.vector match {
