@@ -124,6 +124,41 @@ object AdvancedQueries {
         .select(col("doc_id"), round(col("score"), 6).as("score"))
     },
 
+    // Collection diff (reference CLI `diff`, search.rs:289-338): source =
+    // ids [0,150), target = ids [50,200) with the [50,100) vectors doubled
+    // (×2 is exact in f32, so both engines see identical inputs) →
+    // removed / added / modified / unchanged by L2 threshold.
+    "collection_diff" -> Q(
+      """WITH src AS (SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id < 150),
+        |tgt AS (SELECT vec_id AS id,
+        |               CASE WHEN vec_id < 100 THEN list_transform(embedding, x -> x * 2)
+        |                    ELSE embedding END AS v
+        |        FROM embeddings WHERE vec_id >= 50 AND vec_id < 200)
+        |SELECT coalesce(s.id, t.id) AS id,
+        |       CASE WHEN t.id IS NULL THEN 'removed'
+        |            WHEN s.id IS NULL THEN 'added'
+        |            WHEN round(sqrt(list_sum(list_transform(list_zip(s.v, t.v),
+        |                   p -> (p[1]::DOUBLE - p[2]::DOUBLE) ** 2))), 6) > 0.000001
+        |              THEN 'modified' ELSE 'unchanged' END AS status,
+        |       CASE WHEN s.id IS NOT NULL AND t.id IS NOT NULL
+        |            THEN round(sqrt(list_sum(list_transform(list_zip(s.v, t.v),
+        |                   p -> (p[1]::DOUBLE - p[2]::DOUBLE) ** 2))), 6) END AS l2_distance
+        |FROM src s FULL OUTER JOIN tgt t ON s.id = t.id
+        |ORDER BY id""".stripMargin
+    ) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val src = emb.filter(col("vec_id") < 150)
+        .select(col("vec_id").as("id"), col("embedding").as("vector"))
+      val tgt = emb.filter(col("vec_id") >= 50 && col("vec_id") < 200)
+        .select(col("vec_id").as("id"),
+          when(col("vec_id") < 100,
+            transform(col("embedding"), x => x * lit(2.0f)))
+            .otherwise(col("embedding")).as("vector"))
+      graft.ops.CollectionDiff.diff(src, tgt, threshold = 0.000001,
+        roundTo = Some(6))
+        .orderBy(col("id"))
+    },
+
     // Cross-collection search: two collections over the same id space with
     // different queries; MinScore merge dedups by id keeping the lower
     // distance (reference: src/search/cross_collection.rs:316-341).
