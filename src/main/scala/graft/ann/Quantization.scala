@@ -131,6 +131,106 @@ object Quantization {
       .drop("__qd")
   }
 
+  // ------------------------------------------------------------------- PQ
+
+  /** Product quantizer (quantization.rs:317-530): the vector splits into
+    * `numSubvectors` contiguous subspaces; each learns a ≤256-centroid
+    * codebook (k-means on a bounded sample), so a vector stores as one
+    * byte per subspace — dims·4/numSubvectors × compression. Query-time
+    * ADC: per-subspace squared-distance tables against the query, summed
+    * by code lookup, √ at the end (quantization.rs:468-503).
+    */
+  final case class Pq(codebooks: Array[Array[Array[Float]]], subDim: Int) {
+    def numSubvectors: Int = codebooks.length
+  }
+
+  def trainPq(df: DataFrame, vecCol: Column, numSubvectors: Int,
+              maxTrainRows: Int = 20000, maxIter: Int = 20,
+              seed: Long = 42L): Pq = {
+    val train = df.select(vecCol.cast("array<float>").as("v"))
+      .limit(maxTrainRows).collect().map(_.getSeq[Float](0).toArray)
+    require(train.nonEmpty, "PQ training needs vectors")
+    val dims = train(0).length
+    val subDim = dims / numSubvectors
+    val codebooks = Array.tabulate(numSubvectors) { m =>
+      val sub = train.map(_.slice(m * subDim, (m + 1) * subDim))
+      Ivf.localKMeans(sub, math.min(256, sub.length), maxIter, seed + m)
+    }
+    Pq(codebooks, subDim)
+  }
+
+  /** Column: Array[Float] → one code byte per subspace (BinaryType). */
+  def pqEncode(pq: Pq)(vecCol: Column): Column = {
+    val enc = udf((v: Seq[Float]) => {
+      val out = new Array[Byte](pq.numSubvectors)
+      var m = 0
+      while (m < pq.numSubvectors) {
+        val base = m * pq.subDim
+        val book = pq.codebooks(m)
+        var best = 0; var bestD = Float.MaxValue
+        var c = 0
+        while (c < book.length) {
+          var d = 0.0f; var i = 0
+          while (i < pq.subDim) {
+            val diff = v(base + i) - book(c)(i); d += diff * diff; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(m) = best.toByte
+        m += 1
+      }
+      out
+    })
+    enc(vecCol.cast("array<float>"))
+  }
+
+  /** ADC distance column: per-subspace table lookups summed, then √
+    * (quantization.rs:497-503). The table is computed once on the driver
+    * and ships in the closure — numSubvectors×256 floats.
+    */
+  def pqAdcDist(pq: Pq, query: Array[Float])(codesCol: Column): Column = {
+    val table: Array[Array[Float]] = Array.tabulate(pq.numSubvectors) { m =>
+      val base = m * pq.subDim
+      pq.codebooks(m).map { c =>
+        var d = 0.0f; var i = 0
+        while (i < pq.subDim) {
+          val diff = query(base + i) - c(i); d += diff * diff; i += 1
+        }
+        d
+      }
+    }
+    val f = udf((codes: Array[Byte]) => {
+      var d = 0.0f
+      var m = 0
+      while (m < codes.length) {
+        d += table(m)(codes(m) & 0xff)
+        m += 1
+      }
+      math.sqrt(d.toDouble)
+    })
+    f(codesCol)
+  }
+
+  /** Two-phase PQ search: ADC pre-rank over code bytes, exact re-rank. */
+  def pqSearchRerank(df: DataFrame, pq: Pq, query: Array[Float], k: Int,
+                     idCol: String = "id", vecCol: String = "vector",
+                     codesCol: String = "codes", oversample: Int = 4,
+                     metric: String = "euclidean",
+                     roundTo: Option[Int] = None): DataFrame = {
+    val coarse = df
+      .withColumn("__qd", pqAdcDist(pq, query)(col(codesCol)))
+      .orderBy(col("__qd").asc, col(idCol).asc)
+      .limit(k * oversample)
+    val raw = Distances.distance(metric, col(vecCol), lit(query))
+    val dist = roundTo.fold(raw)(n => round(raw, n))
+    coarse
+      .withColumn("distance", dist)
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
+      .drop("__qd")
+  }
+
   // --------------------------------------------------------------- binary
 
   final case class Bq(thresholds: Array[Float]) { def dims: Int = thresholds.length }

@@ -79,13 +79,15 @@ object AnnQueries {
         val e = Tables.load(s, dir, "embeddings")
         val sq = Quantization.trainSq(e, col("embedding"))
         val bq = Quantization.trainBq(e, col("embedding"))
+        val pq = Quantization.trainPq(e, col("embedding"), numSubvectors = 8)
         val enc = e
           .withColumn("sq_codes", Quantization.sqEncode(sq)(col("embedding")))
           .withColumn("bq_codes", Quantization.bqEncode(bq)(col("embedding")))
+          .withColumn("pq_codes", Quantization.pqEncode(pq)(col("embedding")))
           .persist()
-        (sq, bq, enc)
+        (sq, bq, pq, enc)
       }
-      val (sq, bq, enc) = emb
+      val (sq, bq, pq, enc) = emb
       val q = queryVec(s, dir)
       val exact = enc
         .withColumn("distance",
@@ -96,8 +98,12 @@ object AnnQueries {
       val bqTop = Quantization.bqSearchRerank(enc, bq, q, 10,
         idCol = "vec_id", vecCol = "embedding", codesCol = "bq_codes",
         metric = "euclidean")
+      val pqTop = Quantization.pqSearchRerank(enc, pq, q, 10,
+        idCol = "vec_id", vecCol = "embedding", codesCol = "pq_codes",
+        oversample = 8)
       Seq(
         ("sq8_rerank", Ivf.recallAtK(exact, sqTop, "vec_id")),
+        ("pq_adc_rerank", Ivf.recallAtK(exact, pqTop, "vec_id")),
         ("binary_rerank", Ivf.recallAtK(exact, bqTop, "vec_id")))
         .toDF("scheme", "recall_at_10")
     },

@@ -60,6 +60,23 @@ class QuantizationSpec extends SparkSpec {
     assert(r >= 0.9, s"SQ recall@10 = $r")
   }
 
+  test("PQ ADC two-phase search recall@10 >= 0.8 and codes are 1 byte/subspace") {
+    val pq = Quantization.trainPq(emb, col("embedding"), numSubvectors = 8)
+    assert(pq.subDim == dims / 8)
+    val q = emb.filter(col("vec_id") === 1).select("embedding")
+      .as[Seq[Float]].head().toArray
+    val enc = emb.withColumn("codes", Quantization.pqEncode(pq)(col("embedding")))
+      .cache()
+    assert(enc.select("codes").head().getAs[Array[Byte]](0).length == 8)
+    val exact = emb
+      .withColumn("distance", Distances.euclidean(col("embedding"), lit(q)))
+      .orderBy(col("distance").asc, col("vec_id").asc).limit(10)
+    val approx = Quantization.pqSearchRerank(enc, pq, q, k = 10,
+      idCol = "vec_id", vecCol = "embedding", oversample = 8)
+    val r = graft.ann.Ivf.recallAtK(exact, approx, "vec_id")
+    assert(r >= 0.8, s"PQ recall@10 = $r")
+  }
+
   test("binary quantizer packs sign bits and ranks near-dups first") {
     val bq = Quantization.trainBq(emb, col("embedding"))
     assert(bq.dims == dims)
