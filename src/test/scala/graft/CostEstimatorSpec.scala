@@ -1,0 +1,46 @@
+package graft
+
+import graft.ops.CostEstimator
+import graft.ops.CostEstimator.CollectionStatistics
+
+class CostEstimatorSpec extends SparkSpec {
+
+  private val stats = CollectionStatistics(totalVectors = 1000000,
+    dimensions = 384)
+
+  test("reference constants: HNSW cost formula (cost_estimator.rs:628-650)") {
+    val c = CostEstimator.estimateHnsw(stats, k = 10)
+    // layers = ceil(log2(1e6)) = 20; nodes = 50*20 = 1000; dists = 1000*16
+    assert(c.nodesVisited == 1000 && c.distanceComputations == 16000)
+    assert(math.abs(c.estimatedLatencyMs - 16000 * 0.5 / 1000.0) < 1e-9)
+  }
+
+  test("brute force wins small collections, HNSW wins large") {
+    val small = CollectionStatistics(1000, 64)
+    assert(CostEstimator.plan(small, 10).head.strategy == "brute_force")
+    assert(CostEstimator.plan(stats, 10).head.strategy == "hnsw")
+  }
+
+  test("filter variants appear per selectivity gates (plan():562-570)") {
+    val sels = CostEstimator.plan(stats, 10, Some(0.1)).map(_.strategy)
+    assert(sels.contains("hnsw_post_filter") && sels.contains("hnsw_pre_filter"))
+    // sel >= 0.5 → no post-filter candidate
+    assert(!CostEstimator.plan(stats, 10, Some(0.7)).map(_.strategy)
+      .contains("hnsw_post_filter"))
+    // sel <= 0.01 → no pre-filter candidate
+    assert(!CostEstimator.plan(stats, 10, Some(0.005)).map(_.strategy)
+      .contains("hnsw_pre_filter"))
+  }
+
+  test("statsOf derives n/dims/deletion ratio from a live frame") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Array(1f, 0f, 0f), false),
+      ("b", Array(0f, 1f, 0f), false),
+      ("c", Array(0f, 0f, 1f), true)).toDF("id", "vector", "deleted")
+    val s = CostEstimator.statsOf(df.filter(!$"deleted"), deletedCol = None)
+    assert(s.totalVectors == 2 && s.dimensions == 3)
+    val estimate = CostEstimator.estimate(spark, s, 5)
+    assert(estimate.count() >= 2)
+  }
+}
