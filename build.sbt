@@ -32,5 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // driver round-trip — tens of seconds per complex query. Irrelevant for
   // a single-session engine, so disable it.
   "-Dspark.sql.artifact.isolation.enabled=false",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the bench/verify suites persist index frames and run many
+  // broadcast joins across ~70 queries in one JVM; at 8g some runs hit
+  // full-GC storms that triple wall-clock (the box has 128 GiB)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
