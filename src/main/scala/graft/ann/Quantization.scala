@@ -231,6 +231,54 @@ object Quantization {
       .drop("__qd")
   }
 
+  // ------------------------------------------------------- split two-phase
+
+  /** IO-minimal two-phase search over SPLIT storage: the codes live in
+    * their own narrow table (id + codes — the thing you actually want on
+    * 100 TB, where a coarse pass over a combined table still scans the f32
+    * column's bytes; see the ReadSchema assertions in QuantizationSpec).
+    * Phase 1 ranks the codes table only; phase 2 fetches the k×oversample
+    * candidates from the full table via an `isin` predicate that pushes to
+    * the parquet scan (row-group min/max skipping — the candidate list is
+    * driver-bounded at k×oversample ids, so the literal filter is small).
+    */
+  def twoPhaseSplit(codesDf: DataFrame, fullDf: DataFrame,
+                    coarseDist: Column => Column, query: Array[Float],
+                    k: Int, idCol: String, vecCol: String,
+                    codesCol: String, oversample: Int,
+                    metric: String, roundTo: Option[Int]): DataFrame = {
+    val candIds: Array[Any] = codesDf
+      .select(col(idCol), coarseDist(col(codesCol)).as("__qd"))
+      .orderBy(col("__qd").asc, col(idCol).asc)
+      .limit(k * oversample)
+      .select(idCol).collect().map(_.get(0))
+    val raw = Distances.distance(metric, col(vecCol), lit(query))
+    val dist = roundTo.fold(raw)(n => round(raw, n))
+    fullDf
+      .filter(col(idCol).isin(candIds.toIndexedSeq: _*))
+      .withColumn("distance", dist)
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  def sqSearchRerankSplit(codesDf: DataFrame, fullDf: DataFrame, sq: Sq,
+                          query: Array[Float], k: Int,
+                          idCol: String = "id", vecCol: String = "vector",
+                          codesCol: String = "codes", oversample: Int = 4,
+                          metric: String = "euclidean",
+                          roundTo: Option[Int] = None): DataFrame =
+    twoPhaseSplit(codesDf, fullDf, sqAsymmetricDist(sq, query), query, k,
+      idCol, vecCol, codesCol, oversample, metric, roundTo)
+
+  def pqSearchRerankSplit(codesDf: DataFrame, fullDf: DataFrame, pq: Pq,
+                          query: Array[Float], k: Int,
+                          idCol: String = "id", vecCol: String = "vector",
+                          codesCol: String = "codes", oversample: Int = 4,
+                          metric: String = "euclidean",
+                          roundTo: Option[Int] = None): DataFrame =
+    twoPhaseSplit(codesDf, fullDf, pqAdcDist(pq, query), query, k,
+      idCol, vecCol, codesCol, oversample, metric, roundTo)
+
   // --------------------------------------------------------------- binary
 
   final case class Bq(thresholds: Array[Float]) { def dims: Int = thresholds.length }

@@ -77,6 +77,37 @@ class QuantizationSpec extends SparkSpec {
     assert(r >= 0.8, s"PQ recall@10 = $r")
   }
 
+  test("split two-phase: coarse scan reads ONLY (id, codes); fetch pushes id filter") {
+    val sq = Quantization.trainSq(emb, col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("qsplit").toString
+    emb.withColumn("codes", Quantization.sqEncode(sq)(col("embedding")))
+      .select("vec_id", "codes").write.mode("overwrite").parquet(s"$dir/codes")
+    emb.write.mode("overwrite").parquet(s"$dir/full")
+    val codesDf = spark.read.parquet(s"$dir/codes")
+    val fullDf = spark.read.parquet(s"$dir/full")
+    val q = emb.filter(col("vec_id") === 1).select("embedding")
+      .as[Seq[Float]].head().toArray
+
+    // phase-1 plan: the narrow scan must not touch any f32 vector bytes
+    val coarse = codesDf
+      .select(col("vec_id"), Quantization.sqAsymmetricDist(sq, q)(col("codes")).as("__qd"))
+      .orderBy(col("__qd").asc, col("vec_id").asc).limit(40)
+    val coarsePlan = coarse.queryExecution.executedPlan.toString
+    assert(coarsePlan.contains("ReadSchema: struct<vec_id:bigint,codes:binary>"),
+      s"coarse scan reads more than (id, codes):\n$coarsePlan")
+
+    val top = Quantization.sqSearchRerankSplit(codesDf, fullDf, sq, q, k = 10,
+      idCol = "vec_id", vecCol = "embedding")
+    // phase-2 plan: candidate id list pushed into the parquet scan
+    assert(top.queryExecution.executedPlan.toString.contains("PushedFilters: [In(vec_id"),
+      "candidate id filter not pushed to the full-table scan")
+    // and the result matches exact search
+    val exact = fullDf
+      .withColumn("distance", Distances.euclidean(col("embedding"), lit(q)))
+      .orderBy(col("distance").asc, col("vec_id").asc).limit(10)
+    assert(graft.ann.Ivf.recallAtK(exact, top, "vec_id") >= 0.9)
+  }
+
   test("binary quantizer packs sign bits and ranks near-dups first") {
     val bq = Quantization.trainBq(emb, col("embedding"))
     assert(bq.dims == dims)
