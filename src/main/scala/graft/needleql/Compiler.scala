@@ -161,6 +161,16 @@ class NeedleSession(val spark: SparkSession) {
   def refreshView(name: String): Unit =
     views.get(name).filter(_.materialized).foreach(refreshInto)
 
+  /** Staleness-triggered refresh (reference: materialized_views.rs:40-60 —
+    * staleness/drift drives recompute): refresh only when the cached copy
+    * is older than `maxAgeMs`. Returns true when a refresh ran.
+    */
+  def refreshViewIfStale(name: String, maxAgeMs: Long,
+                         nowMs: Long = System.currentTimeMillis()): Boolean =
+    views.get(name).filter(_.materialized)
+      .filter(v => nowMs - v.refreshedAtMs > maxAgeMs)
+      .map { v => refreshInto(v); true }.getOrElse(false)
+
   def compileQuery(q: Query): DataFrame = {
     // FROM may name a view: materialized -> cached snapshot; plain -> its
     // stored query's result becomes this query's scan

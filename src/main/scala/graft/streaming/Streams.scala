@@ -103,6 +103,23 @@ object Streams {
     * reference's OffsetTracker). `sink` receives the updated table per
     * batch (at scale: a Delta MERGE INTO / partitioned parquet rewrite).
     */
+  /** Watermarked tumbling-window aggregation — the §2.11 superset the
+    * reference lacks (its streaming has no windows/watermarks; SURVEY.md
+    * flags this as a deliberate extension for pipeline observability:
+    * events/sec, per-collection change rates). `lateness` drops events
+    * older than the watermark; output is append-mode-compatible (finalized
+    * windows only). At scale this is the standard shuffle-on-(window, key)
+    * streaming agg with state store cleanup driven by the watermark.
+    */
+  def windowedCounts(stream: DataFrame, timeCol: String, keyCol: String,
+                     windowDur: String, lateness: String): DataFrame =
+    stream
+      .withWatermark(timeCol, lateness)
+      .groupBy(window(col(timeCol), windowDur).as("win"), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("window_start"),
+        col("win.end").as("window_end"), col(keyCol), col("n"))
+
   def ingestUpsert(stream: DataFrame, idCol: String,
                    checkpointDir: String,
                    initial: DataFrame)(

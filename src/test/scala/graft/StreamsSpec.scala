@@ -51,6 +51,37 @@ class StreamsSpec extends SparkSpec {
     assert(got == Seq(("insert", 1L, "x"), ("update", 1L, "y"), ("delete", 1L, "y")))
   }
 
+  test("watermarked tumbling-window counts finalize windows and drop late events") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val agg = Streams.windowedCounts(
+      input.toDF().toDF("event_time", "collection"),
+      "event_time", "collection", "10 seconds", "5 seconds")
+    val q = agg.writeStream.format("memory").queryName("wincounts")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(1), "docs"), (ts(3), "docs"), (ts(7), "imgs"))
+      q.processAllAvailable()
+      // advance the watermark past window [0,10): events at t=21 put the
+      // watermark at 16 → the first window finalizes
+      input.addData((ts(21), "docs"))
+      q.processAllAvailable()
+      // a late event inside the finalized window must be DROPPED
+      input.addData((ts(2), "docs"))
+      q.processAllAvailable()
+      input.addData((ts(35), "docs"))
+      q.processAllAvailable()
+      val rows = spark.table("wincounts")
+        .select("window_start", "collection", "n")
+        .collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getLong(2)))
+        .toSet
+      assert(rows.contains((0L, "docs", 2L)))  // t=1,3 — late t=2 NOT counted
+      assert(rows.contains((0L, "imgs", 1L)))
+      assert(rows.contains((20L, "docs", 1L))) // t=21, finalized by t=35
+    } finally q.stop()
+  }
+
   test("streaming ingest upserts each micro-batch with checkpointed offsets") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Double)]
