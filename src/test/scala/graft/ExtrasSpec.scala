@@ -151,3 +151,40 @@ class ValidationSpec extends SparkSpec {
     graft.core.Validation.requireValid(vecs.filter(col("id") === 1), col("v"), 2)
   }
 }
+
+class MetadataSchemaSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.core.Validation
+
+  private val schema =
+    """{"required": ["title"],
+      |"properties": {"title": {"type": "string"},
+      |               "score": {"type": "number"},
+      |               "tags": {"type": "array"}}}""".stripMargin
+
+  test("JSON-Schema subset: required + per-property type (metadata.rs:69-110)") {
+    assert(Validation.validateMetadataJson("""{"title": "x", "score": 1}""", schema).isEmpty)
+    assert(Validation.validateMetadataJson("""{"score": 1}""", schema)
+      .contains("missing required metadata field: 'title'"))
+    assert(Validation.validateMetadataJson("""{"title": 3}""", schema)
+      .contains("metadata field 'title' expected type 'string', got 'number'"))
+    assert(Validation.validateMetadataJson("""{"title": "x", "tags": {"a": 1}}""", schema)
+      .contains("metadata field 'tags' expected type 'array', got 'object'"))
+    assert(Validation.validateMetadataJson("""[1,2]""", schema)
+      .contains("metadata must be a JSON object"))
+    // extra fields are fine (schemaless beyond declared properties)
+    assert(Validation.validateMetadataJson("""{"title": "x", "other": true}""", schema).isEmpty)
+  }
+
+  test("partitionBySchema splits a batch with per-row reasons") {
+    val df = Seq(
+      ("a", """{"title": "ok"}"""),
+      ("b", """{"nope": 1}"""),
+      ("c", """{"title": 9}""")).toDF("id", "metadata")
+    val (ok, bad) = Validation.partitionBySchema(df, org.apache.spark.sql.functions.col("metadata"), schema)
+    assert(ok.select("id").as[String].collect().toSeq == Seq("a"))
+    val reasons = bad.select("id", "schema_error").as[(String, String)].collect().toMap
+    assert(reasons("b").contains("missing required"))
+    assert(reasons("c").contains("expected type 'string'"))
+  }
+}
