@@ -69,6 +69,22 @@ class MultimodalFusionSpec extends SparkSpec {
     assert(math.abs(got("a") - 0.25) < 1e-6)
   }
 
+  test("physical plan: one TakeOrderedAndProject over the scan, no shuffle") {
+    import org.apache.spark.sql.functions._
+    val emb = sf("embeddings")
+      .select(col("vec_id"), col("embedding").as("full_vec"),
+        slice(col("embedding"), 1, 16).as("head_vec"))
+    val q0 = Array.fill(64)(0.1f)
+    val plan = MultimodalFusion.search(emb, "vec_id",
+      Map("full" -> Modality("full_vec"), "head" -> Modality("head_vec")),
+      Map("full" -> q0, "head" -> q0.take(16)), k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected top-k physical operator:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"fused scoring must not shuffle (scales as a narrow map):\n$plan")
+  }
+
   test("concatenate strategy uses only shared modalities, sorted-name order") {
     val got = MultimodalFusion.search(docs, "id", mods, q, 10, Strategy.Concatenate)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
