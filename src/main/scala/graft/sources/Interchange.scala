@@ -71,4 +71,38 @@ object Interchange {
       node.get("count").asLong())
     (spark.read.parquet(s"$dir/data.parquet"), cfg)
   }
+
+  /** Whole-database export (reference: database/mod.rs:965 export_all_json):
+    * one JSONL directory per collection under `dir/<name>/`, plus a
+    * manifest listing the collections. Snapshot entries
+    * (`__snapshot__…`) are exported like the reference's JSON dump, which
+    * serializes every stored collection.
+    */
+  def exportAll(collections: Map[String, DataFrame], dir: String,
+                idCol: String = "id", vecCol: String = "vector",
+                metaCol: Option[String] = Some("metadata")): Unit = {
+    collections.foreach { case (name, df) =>
+      val m = metaCol.filter(df.columns.contains)
+      exportJsonl(df, s"$dir/$name", idCol, vecCol, m)
+    }
+    val manifest = collections.keys.toSeq.sorted
+      .map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    val p = java.nio.file.Paths.get(dir, "manifest.json")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, s"""{"collections": $manifest}""")
+  }
+
+  /** Whole-database import (reference: database/mod.rs:995). */
+  def importAll(spark: SparkSession, dir: String): Map[String, DataFrame] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val manifest = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "manifest.json")))
+    val names = manifest.get("collections").elements()
+    val out = Map.newBuilder[String, DataFrame]
+    while (names.hasNext) {
+      val n = names.next().asText()
+      out += n -> importJsonl(spark, s"$dir/$n")
+    }
+    out.result()
+  }
 }

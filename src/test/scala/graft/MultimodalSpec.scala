@@ -60,6 +60,20 @@ class MultimodalSpec extends SparkSpec {
     assert(row._1 == Seq(1f, 2f) && row._2.contains("\"k\":\"1\""))
   }
 
+  test("whole-database export/import with manifest (database/mod.rs:965,995)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-db").toString
+    val docs = Seq(("a", Array(1f, 0f), """{"k":"1"}"""))
+      .toDF("id", "vector", "metadata")
+    val imgs = Seq(("i1", Array(0f, 1f), """{"k":"2"}"""), ("i2", Array(1f, 1f), """{"k":"3"}"""))
+      .toDF("id", "vector", "metadata")
+    Interchange.exportAll(Map("docs" -> docs, "imgs" -> imgs), dir)
+    val back = Interchange.importAll(spark, dir)
+    assert(back.keySet == Set("docs", "imgs"))
+    assert(back("docs").count() == 1 && back("imgs").count() == 2)
+    assert(back("imgs").filter(col("id") === "i2")
+      .select("metadata").as[String].head().contains("\"k\":\"3\""))
+  }
+
   test("bundle export/import with config") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bundle").toString
     val df = Seq(("a", Array(1f, 2f))).toDF("id", "vector")
