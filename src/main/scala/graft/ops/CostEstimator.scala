@@ -129,6 +129,64 @@ object CostEstimator {
         "rationale")
   }
 
+  // ------------------------------------------- adaptive (bandit) optimizer
+
+  /** Multi-armed-bandit strategy selection over observed latencies
+    * (cost_estimator.rs:880-1040 AdaptiveOptimizer). Deterministic like the
+    * reference: UCB1 is history-driven; epsilon-greedy "randomness" is the
+    * reference's Knuth-hash probe of the observation counter. Reward =
+    * 1/(1+latency_ms). Cold start explores the least-pulled arm until every
+    * arm has `minObservations`.
+    */
+  final class AdaptiveOptimizer(ucbConfidence: Double = 2.0,
+                                epsilonGreedy: Option[Double] = None,
+                                minObservations: Long = 5) {
+    final case class Arm(var pulls: Long = 0, var totalReward: Double = 0.0,
+                         var lastLatencyMs: Double = 0.0) {
+      def meanReward: Double = if (pulls == 0) 0.0 else totalReward / pulls
+    }
+    val armNames = Seq("hnsw", "brute_force", "hnsw_pre_filter", "hnsw_post_filter")
+    private val arms = scala.collection.mutable.LinkedHashMap(
+      armNames.map(_ -> Arm()): _*)
+    private var totalObs = 0L
+
+    def observe(strategy: String, latencyMs: Double): Unit = {
+      val a = arms.getOrElseUpdate(strategy, Arm())
+      val reward = 1.0 / (1.0 + latencyMs)
+      a.pulls += 1; a.totalReward += reward; a.lastLatencyMs = latencyMs
+      totalObs += 1
+    }
+
+    def select(): String = {
+      val cold = arms.filter(_._2.pulls < minObservations)
+      if (cold.nonEmpty) return cold.minBy(_._2.pulls)._1
+      epsilonGreedy match {
+        case Some(eps) =>
+          val probe = (totalObs * 2654435761L) % 1000
+          if (probe.toDouble < eps * 1000.0) arms.minBy(_._2.pulls)._1
+          else bestArm
+        case None =>
+          val lnTotal = math.log(math.max(totalObs, 1L).toDouble)
+          arms.filter(_._2.pulls > 0).maxBy { case (_, a) =>
+            a.meanReward + ucbConfidence * math.sqrt(lnTotal / a.pulls)
+          }._1
+      }
+    }
+
+    def bestArm: String =
+      arms.filter(_._2.pulls > 0)
+        .maxByOption(_._2.meanReward).map(_._1).getOrElse("hnsw")
+
+    def armStats: Seq[(String, Long, Double, Double)] =
+      arms.toSeq.map { case (n, a) =>
+        (n, a.pulls, a.meanReward,
+          if (a.pulls > 0) 1.0 / a.meanReward - 1.0 else 0.0)
+      }
+
+    def totalObservations: Long = totalObs
+    def reset(): Unit = { arms.mapValuesInPlace((_, _) => Arm()); totalObs = 0 }
+  }
+
   /** Statistics for a live collection DataFrame (the CLI path:
     * admin.rs:470-480 derives them from collection stats).
     */

@@ -32,6 +32,33 @@ class CostEstimatorSpec extends SparkSpec {
       .contains("hnsw_pre_filter"))
   }
 
+  test("adaptive optimizer: cold-start exploration, then UCB converges to fastest arm") {
+    // confidence 0.5: at default 2.0 the UCB bonus (2·√(ln n / pulls))
+    // dwarfs the ~0.48 reward gap at this horizon and the policy keeps
+    // cycling arms — correct UCB1 behavior, wrong for a convergence test
+    val opt = new CostEstimator.AdaptiveOptimizer(ucbConfidence = 0.5,
+      minObservations = 2)
+    // cold start: every select targets the least-pulled arm
+    (1 to 8).foreach { _ =>
+      val arm = opt.select()
+      // simulate: brute_force is fast (1ms), others slow (50ms)
+      opt.observe(arm, if (arm == "brute_force") 1.0 else 50.0)
+    }
+    assert(opt.totalObservations == 8)
+    // warm: UCB must settle on the high-reward arm within a few rounds
+    val picks = (1 to 30).map { _ =>
+      val arm = opt.select()
+      opt.observe(arm, if (arm == "brute_force") 1.0 else 50.0)
+      arm
+    }
+    assert(picks.count(_ == "brute_force") > 20, s"picks: $picks")
+    assert(opt.bestArm == "brute_force")
+    assert(opt.armStats.exists { case (n, _, _, lat) =>
+      n == "brute_force" && math.abs(lat - 1.0) < 1e-9 })
+    opt.reset()
+    assert(opt.totalObservations == 0)
+  }
+
   test("statsOf derives n/dims/deletion ratio from a live frame") {
     import spark.implicits._
     val df = Seq(
