@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.SemanticGraph
+
+class SemanticGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two tight clusters + a bridge node
+  private def vecs = Seq(
+    ("a1", Array(1f, 0f)), ("a2", Array(0.99f, 0.05f)), ("a3", Array(0.98f, -0.05f)),
+    ("b1", Array(0f, 1f)), ("b2", Array(0.05f, 0.99f)),
+    ("bridge", Array(0.7f, 0.7f))).toDF("id", "vector")
+
+  private def edges = SemanticGraph.build(vecs, col("id"), col("vector"), k = 2)
+
+  test("k-NN edge build: k per node, similarity = 1 - min(dist, 1), threshold filters") {
+    val e = edges.collect()
+    assert(e.length == 12) // 6 nodes × k=2
+    val a1 = edges.filter(col("src") === "a1").select("dst").as[String].collect().toSet
+    assert(a1 == Set("a2", "a3")) // same-cluster neighbors
+    // high threshold keeps only intra-cluster edges
+    val strict = SemanticGraph.build(vecs, col("id"), col("vector"), 2,
+      threshold = Some(0.99))
+    assert(strict.filter(col("src") === "bridge").count() == 0)
+  }
+
+  test("degrees and stats") {
+    val d = SemanticGraph.degrees(edges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d.values.forall(_ == 2))
+    val s = SemanticGraph.stats(edges).collect()(0)
+    assert(s.getLong(0) == 6 && s.getLong(1) == 12)
+    assert(math.abs(s.getDouble(2) - 2.0) < 1e-9)
+  }
+
+  test("n-hop neighborhood reports minimum hop per node") {
+    val n = SemanticGraph.neighborhood(edges, "a1", maxHops = 2)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(n("a1") == 0)
+    assert(n("a2") == 1 && n("a3") == 1)
+    // a2/a3's neighbors at hop 2 only if not already seen
+    assert(n.values.forall(_ <= 2))
+  }
+
+  test("BFS path exists through the bridge; unreachable returns None") {
+    // k=3 connects the clusters via the bridge node
+    val e3 = SemanticGraph.build(vecs, col("id"), col("vector"), k = 3)
+    val p = SemanticGraph.findPath(e3, "a1", "b1", maxHops = 6)
+    assert(p.isDefined)
+    assert(p.get.head == "a1" && p.get.last == "b1")
+    // strict threshold disconnects: no path
+    val strict = SemanticGraph.build(vecs, col("id"), col("vector"), 2,
+      threshold = Some(0.99))
+    assert(SemanticGraph.findPath(strict, "a1", "b1", maxHops = 6).isEmpty)
+  }
+
+  test("label propagation separates the two clusters (bridge joins one)") {
+    val strict = SemanticGraph.build(vecs, col("id"), col("vector"), 2,
+      threshold = Some(0.95))
+    val got = SemanticGraph.communities(strict, maxIterations = 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("a1") == got("a2") && got("a2") == got("a3"))
+    assert(got("b1") == got("b2"))
+    assert(got("a1") != got("b1"))
+  }
+}
