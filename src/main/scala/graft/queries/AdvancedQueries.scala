@@ -124,6 +124,32 @@ object AdvancedQueries {
         .select(col("doc_id"), round(col("score"), 6).as("score"))
     },
 
+    // Semantic k-NN graph edges (reference: experimental/graph.rs:116-270):
+    // per-node top-3 neighbors by cosine, similarity = 1 - min(dist, 1),
+    // threshold 0.3, on a bounded slice.
+    "graph_knn_edges" -> Q(
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |         1 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS d
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 100 AND b.vec_id < 100
+        |),
+        |ranked AS (
+        |  SELECT src, dst, 1 - least(d, 1) AS similarity,
+        |         row_number() OVER (PARTITION BY src ORDER BY d, dst) AS r
+        |  FROM pairs
+        |)
+        |SELECT src, dst, round(similarity, 6) AS similarity
+        |FROM ranked WHERE r <= 3 AND similarity >= 0.3
+        |ORDER BY src, dst""".stripMargin
+    ) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 100)
+      graft.ops.SemanticGraph.build(emb, col("vec_id"), col("embedding"),
+        k = 3, threshold = Some(0.3))
+        .select(col("src"), col("dst"), round(col("similarity"), 6).as("similarity"))
+        .orderBy(col("src"), col("dst"))
+    },
+
     // Collection diff (reference CLI `diff`, search.rs:289-338): source =
     // ids [0,150), target = ids [50,200) with the [50,100) vectors doubled
     // (×2 is exact in f32, so both engines see identical inputs) →
