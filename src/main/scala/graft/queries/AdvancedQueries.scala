@@ -124,6 +124,28 @@ object AdvancedQueries {
         .select(col("doc_id"), round(col("score"), 6).as("score"))
     },
 
+    // End-to-end GraphRAG (reference: graphrag.rs): extract entities from
+    // documents, build co-occurrence edges, hybrid vector+graph search
+    // seeded by embedding similarity. Rows-only (entity extraction is not
+    // ANSI-SQL-expressible); component semantics are spec-tested.
+    "graphrag_search" -> Q.noOracle { (s, dir) =>
+      import graft.ops.GraphRag
+      // the synthetic corpus is all-lowercase; initcap makes every word a
+      // capitalized concept so the extraction heuristic has entities to find
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
+        .withColumn("text", initcap(col("text")))
+      val ents = GraphRag.extractEntities(docs, col("doc_id"), col("text"))
+      val edges = GraphRag.cooccurrenceEdges(ents)
+      // entity embedding = centroid of its documents' embeddings
+      val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val entVecs = graft.ops.VectorAnalytics.centroidVec(
+        ents.join(emb, "doc_id"), col("embedding"), Seq(col("entity_id")))
+        .select(col("entity_id").as("id"), col("centroid").as("vector"))
+      val q = emb.limit(1).select("embedding").collect()(0).getSeq[Float](0).toArray
+      GraphRag.search(entVecs, edges, q, k = 10, maxHops = 2)
+    },
+
     // Semantic k-NN graph edges (reference: experimental/graph.rs:116-270):
     // per-node top-3 neighbors by cosine, similarity = 1 - min(dist, 1),
     // threshold 0.3, on a bounded slice.
