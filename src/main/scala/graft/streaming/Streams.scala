@@ -96,6 +96,59 @@ object Streams {
       col("__env.ts_ms").as("ts_ms"))
   }
 
+  /** Parse MongoDB change-stream envelopes (reference:
+    * src/streaming/cdc/mongodb.rs:65-130): operationType → normalized op
+    * (insert; update|replace → update; delete; drop|rename|dropDatabase|
+    * invalidate → drop), ns.coll → collection, documentKey._id → key,
+    * clusterTime seconds → ts_ms, fullDocument[BeforeChange] kept as JSON.
+    */
+  def parseMongoChangeStream(df: DataFrame, jsonCol: Column): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("operationType", StringType),
+      StructField("ns", StructType(Seq(
+        StructField("db", StringType), StructField("coll", StringType)))),
+      StructField("documentKey", StructType(Seq(StructField("_id", StringType)))),
+      StructField("clusterTime", LongType),
+      StructField("fullDocument", StringType),
+      StructField("fullDocumentBeforeChange", StringType)))
+    df.withColumn("__env", from_json(jsonCol, schema))
+      .select(
+        when(col("__env.operationType") === "insert", "insert")
+          .when(col("__env.operationType").isin("update", "replace"), "update")
+          .when(col("__env.operationType") === "delete", "delete")
+          .when(col("__env.operationType").isin(
+            "drop", "rename", "dropDatabase", "invalidate"), "drop")
+          .as("op"),
+        coalesce(col("__env.ns.coll"), lit("unknown")).as("collection"),
+        col("__env.documentKey._id").as("document_key"),
+        (col("__env.clusterTime") * 1000).as("ts_ms"),
+        col("__env.fullDocument").as("row"),
+        col("__env.fullDocumentBeforeChange").as("row_before"))
+      .filter(col("op").isNotNull) // unknown op types are errors upstream
+  }
+
+  /** Parse the reference's Postgres logical-replication text format
+    * (src/streaming/cdc/postgres.rs:71-160): a 1-char op prefix
+    * ('I'/'U'/'D') followed by a JSON body carrying `table` and `id`;
+    * table names map through `collectionMapping`.
+    */
+  def parsePgLogical(df: DataFrame, msgCol: Column,
+                     collectionMapping: Map[String, String] = Map.empty): DataFrame = {
+    val opChar = substring(msgCol, 1, 1)
+    val body = msgCol.substr(lit(2), length(msgCol))
+    val mapped = collectionMapping.foldLeft(
+      coalesce(get_json_object(body, "$.table"), lit("unknown"))) {
+      case (acc, (t, c)) => when(acc === t, c).otherwise(acc)
+    }
+    df.select(
+        when(opChar === "I", "insert").when(opChar === "U", "update")
+          .when(opChar === "D", "delete").as("op"),
+        mapped.as("collection"),
+        get_json_object(body, "$.id").as("document_key"),
+        body.as("row"))
+      .filter(col("op").isNotNull)
+  }
+
   /** Streaming ingest with upsert semantics (reference:
     * src/streaming/ingestion.rs:839-905 IngestionPipeline): every
     * micro-batch MERGEs into the target via [[graft.ops.Mutations.upsert]];

@@ -51,6 +51,36 @@ class StreamsSpec extends SparkSpec {
     assert(got == Seq(("insert", 1L, "x"), ("update", 1L, "y"), ("delete", 1L, "y")))
   }
 
+  test("mongo change-stream envelope parsing (mongodb.rs:65-130)") {
+    val events = Seq(
+      """{"operationType":"insert","ns":{"db":"d","coll":"docs"},"documentKey":{"_id":"a"},"clusterTime":100,"fullDocument":"{\"x\":1}"}""",
+      """{"operationType":"replace","ns":{"db":"d","coll":"docs"},"documentKey":{"_id":"b"},"clusterTime":101,"fullDocument":"{\"x\":2}"}""",
+      """{"operationType":"delete","ns":{"db":"d","coll":"docs"},"documentKey":{"_id":"a"},"clusterTime":102,"fullDocumentBeforeChange":"{\"x\":1}"}""",
+      """{"operationType":"dropDatabase","clusterTime":103}""",
+      """{"operationType":"weird","clusterTime":104}""").toDF("json")
+    val got = Streams.parseMongoChangeStream(events, col("json"))
+      .select("op", "collection", "document_key", "ts_ms")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), r.getLong(3)))
+    assert(got.length == 4) // unknown op dropped
+    assert(got(0) == (("insert", "docs", Some("a"), 100000L)))
+    assert(got(1)._1 == "update") // replace normalizes to update
+    assert(got(2)._1 == "delete")
+    assert(got(3) == (("drop", "unknown", None, 103000L)))
+  }
+
+  test("postgres logical text format parsing with table mapping (postgres.rs:71)") {
+    val msgs = Seq(
+      """I{"table":"t_docs","id":"1","x":5}""",
+      """U{"table":"t_docs","id":"1","x":6}""",
+      """D{"table":"other","id":"9"}""").toDF("m")
+    val got = Streams.parsePgLogical(msgs, col("m"),
+      collectionMapping = Map("t_docs" -> "docs"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      ("insert", "docs", "1"), ("update", "docs", "1"), ("delete", "other", "9")))
+  }
+
   test("watermarked tumbling-window counts finalize windows and drop late events") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
