@@ -53,6 +53,7 @@ class NeedleSession(val spark: SparkSession) {
   private def commit(name: String, d: CollectionDef): Unit = {
     collections(name) = d
     history.getOrElseUpdate(name, mutable.ArrayBuffer()) += d
+    evictBm25(name, keepVersion = -1) // superseded indexes: unpersist now
   }
 
   def register(name: String, d: CollectionDef): this.type = {
@@ -270,18 +271,29 @@ class NeedleSession(val spark: SparkSession) {
     project(offsetted, q.select)
   }
 
-  // BM25 stats per collection STATE (df identity): a session keeps the
-  // index until a mutation swaps the collection's DataFrame, mirroring the
-  // reference's incrementally-maintained Bm25Index (hybrid.rs:270-330)
+  // BM25 stats per collection VERSION (the history index is a monotonic
+  // version counter): a session keeps the index until a mutation commits a
+  // new version, mirroring the reference's incrementally-maintained
+  // Bm25Index (hybrid.rs:270-330). Keying on version — not df identity
+  // hash — means a GC'd-and-reused identityHashCode can never serve a
+  // stale index, and superseded entries are unpersisted on commit.
   private val bm25Cache = mutable.HashMap[(String, Int), Bm25.Index]()
+
+  private[needleql] def evictBm25(name: String, keepVersion: Int): Unit =
+    bm25Cache.keys.filter(k => k._1 == name && k._2 != keepVersion)
+      .toSeq.foreach { k => bm25Cache.remove(k).foreach(_.unpersist()) }
 
   private def hybridSearch(c: CollectionDef, h: HybridSearch, q: Query,
                            limit: Int): DataFrame = {
     val textCol = c.textCol.getOrElse(
       throw Parser.ParseError(s"Collection ${q.from} has no text column for HYBRID_SEARCH"))
-    val ix = bm25Cache.getOrElseUpdate(
-      (q.from, System.identityHashCode(c.df)),
-      Bm25.index(c.df, col(c.idCol), col(textCol)).persisted())
+    // version of THIS state (AS OF can resolve historical defs); a def not
+    // in the history (e.g. a snapshot view) is built uncached.
+    val version = history.get(q.from).map(_.lastIndexWhere(_ eq c)).getOrElse(-1)
+    def build() = Bm25.index(c.df, col(c.idCol), col(textCol)).persisted()
+    val ix =
+      if (version < 0) build()
+      else bm25Cache.getOrElseUpdate((q.from, version), build())
     val bmTop = Bm25.search(ix, h.text, limit * 5)
       .withColumnRenamed("doc_id", "id")
     val vecTop = h.vector match {

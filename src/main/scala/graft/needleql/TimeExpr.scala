@@ -55,7 +55,7 @@ object TimeExpr {
     else if (in.startsWith("in ") && parseDuration(in.stripPrefix("in ")).isDefined)
       RelativeSeconds(parseDuration(in.stripPrefix("in ")).get)
     else if (in.toLongOption.isDefined) Timestamp(in.toLong)
-    else if (in.startsWith("snapshot:")) AtSnapshot(input.trim.stripPrefix("snapshot:"))
+    else if (in.startsWith("snapshot:")) AtSnapshot(input.trim.substring("snapshot:".length))
     else if (in.startsWith("@")) AtSnapshot(input.trim.stripPrefix("@"))
     else throw Parser.ParseError(s"Could not parse time expression: '$input'")
   }

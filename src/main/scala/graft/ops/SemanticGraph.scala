@@ -115,7 +115,9 @@ object SemanticGraph {
       paths = fresh.map(r => (r.getString(0), r.getSeq[String](1))).toSeq
         .toDF("id", "path")
     }
-    None
+    // nodes first reached at exactly maxHops hops still count
+    paths.filter(col("id") === target)
+      .select("path").as[Seq[String]].collect().headOption
   }
 
   /** Similarity-weighted label propagation (graph.rs:504-588), synchronous

@@ -136,9 +136,13 @@ object Streams {
                      collectionMapping: Map[String, String] = Map.empty): DataFrame = {
     val opChar = substring(msgCol, 1, 1)
     val body = msgCol.substr(lit(2), length(msgCol))
-    val mapped = collectionMapping.foldLeft(
-      coalesce(get_json_object(body, "$.table"), lit("unknown"))) {
-      case (acc, (t, c)) => when(acc === t, c).otherwise(acc)
+    // Each mapping compares against the RAW table name: folding over the
+    // already-remapped expression would chain mappings transitively
+    // ({"a"->"b","b"->"c"} sending table "a" to "c") and make the result
+    // depend on Map iteration order.
+    val rawTable = coalesce(get_json_object(body, "$.table"), lit("unknown"))
+    val mapped = collectionMapping.foldLeft(rawTable) {
+      case (acc, (t, c)) => when(rawTable === t, c).otherwise(acc)
     }
     df.select(
         when(opChar === "I", "insert").when(opChar === "U", "update")

@@ -47,6 +47,12 @@ object Bm25 {
       termFreqs.persist(); docFreqs.persist(); corpus.persist(); docLens.persist()
       this
     }
+
+    /** Release the pinned stats tables (superseded index eviction). */
+    def unpersist(): Unit = {
+      termFreqs.unpersist(); docFreqs.unpersist(); corpus.unpersist()
+      docLens.unpersist()
+    }
   }
 
   /** Build the statistics tables for a document corpus. */

@@ -165,6 +165,25 @@ class NeedleQLExecSpec extends SparkSpec {
     assert(got.head._1 == "a") // best in both legs
   }
 
+  test("BM25 index cache is version-keyed: mutation evicts, search sees new docs") {
+    val s = session
+    // warm the cache on version 1
+    s.sql("SELECT id FROM docs HYBRID_SEARCH('spark', [1.0, 0.0]) LIMIT 3").collect()
+    // commit a new version with a doc that dominates the text leg
+    val docs2 = Seq(
+      ("a", Array(1f, 0f), "news", 10.0, "spark joins are fast"),
+      ("b", Array(0.9f, 0.3f), "news", 5.0, "flink streams"),
+      ("c", Array(0f, 1f), "blog", 8.0, "spark shuffles explained"),
+      ("d", Array(0.95f, 0.1f), "news", 9.0, "quux quux quux"),
+    ).toDF("id", "vector", "category", "score", "text")
+    s.register("docs", CollectionDef(docs2, textCol = Some("text")))
+    // a stale (version-1) index has no 'quux' postings at all → 'd' absent
+    val got = s.sql(
+      "SELECT id FROM docs HYBRID_SEARCH('quux', [0.95, 0.1]) LIMIT 2")
+      .as[String].collect().toSeq
+    assert(got.contains("d"))
+  }
+
   test("ddl + insert + delete round-trip") {
     val s = session
     s.sql("CREATE COLLECTION tmp WITH (dimensions = 2)")
@@ -255,6 +274,10 @@ class TimeExprSpec extends SparkSpec {
     val lastMon = TimeExpr.resolve(TimeExpr.parse("last monday"), now)
     assert(lastMon == (now - 7 * 86400) / 86400 * 86400)
     assert(TimeExpr.parse("snapshot:x") == TimeExpr.AtSnapshot("x"))
+    // prefix match is case-insensitive AND stripped case-insensitively
+    // (regression: 'Snapshot:foo' kept the prefix in the snapshot name)
+    assert(TimeExpr.parse("Snapshot:x") == TimeExpr.AtSnapshot("x"))
+    assert(TimeExpr.parse("SNAPSHOT:x") == TimeExpr.AtSnapshot("x"))
     assert(TimeExpr.parse("@release-1") == TimeExpr.AtSnapshot("release-1"))
     assert(TimeExpr.parse("12345") == TimeExpr.Timestamp(12345L))
     assertThrows[graft.needleql.Parser.ParseError](TimeExpr.parse("banana o'clock"))

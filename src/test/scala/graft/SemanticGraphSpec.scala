@@ -56,6 +56,16 @@ class SemanticGraphSpec extends SparkSpec {
     assert(SemanticGraph.findPath(strict, "a1", "b1", maxHops = 6).isEmpty)
   }
 
+  test("findPath finds a destination first reached at exactly maxHops") {
+    // line graph a→b→c: c is 2 hops away, so maxHops = 2 must find it
+    // (regression: the loop exited after the last expansion without
+    // checking the newly expanded level)
+    val line = Seq(("a", "b", 1.0), ("b", "c", 1.0)).toDF("src", "dst", "similarity")
+    assert(SemanticGraph.findPath(line, "a", "c", maxHops = 2)
+      .contains(Seq("a", "b", "c")))
+    assert(SemanticGraph.findPath(line, "a", "c", maxHops = 1).isEmpty)
+  }
+
   test("label propagation separates the two clusters (bridge joins one)") {
     val strict = SemanticGraph.build(vecs, col("id"), col("vector"), 2,
       threshold = Some(0.95))

@@ -81,6 +81,19 @@ class StreamsSpec extends SparkSpec {
       ("insert", "docs", "1"), ("update", "docs", "1"), ("delete", "other", "9")))
   }
 
+  test("pg table mapping applies independently, never transitively") {
+    // regression: {"a"->"b", "b"->"c"} folded over the remapped value sent
+    // table 'a' to 'c' depending on Map iteration order
+    val msgs = Seq(
+      """I{"table":"a","id":"1"}""",
+      """I{"table":"b","id":"2"}""",
+      """I{"table":"c","id":"3"}""").toDF("m")
+    val got = Streams.parsePgLogical(msgs, col("m"),
+      collectionMapping = scala.collection.immutable.ListMap("a" -> "b", "b" -> "c"))
+      .select("collection").as[String].collect().toSeq
+    assert(got == Seq("b", "c", "c"))
+  }
+
   test("watermarked tumbling-window counts finalize windows and drop late events") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
