@@ -39,6 +39,20 @@ object Ivf {
     array_min(scored).getField("cell")
   }
 
+  /** The `nprobe` nearest cell ids for a vector column, as an array —
+    * multi-probe assignment for blocked self-joins (each row lands in its
+    * nprobe nearest cells; two near vectors falling either side of a cell
+    * boundary still meet in the runner-up cell).
+    */
+  def probeCellsOf(vecCol: Column, centroids: Array[Array[Float]],
+                   metric: String, nprobe: Int): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(Distances.distance(metric, vecCol, lit(c)).as("d"),
+        lit(i).as("cell"))
+    }: _*)
+    transform(slice(array_sort(scored), 1, nprobe), s => s.getField("cell"))
+  }
+
   /** Centroids are fit on a bounded sample collected to the driver — the
     * standard coarse-quantizer recipe (FAISS trains IVF on ~30-100k sampled
     * vectors regardless of corpus size): at 100 TB only the cell ASSIGNMENT

@@ -165,9 +165,12 @@ object AdvancedQueries {
         |FROM ranked WHERE r <= 3 AND similarity >= 0.3
         |ORDER BY src, dst""".stripMargin
     ) { (s, dir) =>
+      // the BLOCKED build (scale path) against the exact-kNN oracle: with
+      // multi-probe at these settings recall is 1.0 on this slice, so the
+      // hash must match the all-pairs DuckDB result
       val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 100)
-      graft.ops.SemanticGraph.build(emb, col("vec_id"), col("embedding"),
-        k = 3, threshold = Some(0.3))
+      graft.ops.SemanticGraph.buildBlocked(emb, col("vec_id"), col("embedding"),
+        k = 3, threshold = Some(0.3), numCells = 8, nprobe = 6)
         .select(col("src"), col("dst"), round(col("similarity"), 6).as("similarity"))
         .orderBy(col("src"), col("dst"))
     },

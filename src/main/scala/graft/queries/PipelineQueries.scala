@@ -145,16 +145,27 @@ object PipelineQueries {
         .orderBy(col("keeper"))
     },
 
-    // Exact n-gram Jaccard near-dup pairs on a bounded slice; candidate
-    // generation via shared-shingle join (maxShingleFreq=∞ here so the
-    // result set provably equals the all-pairs oracle).
+    // N-gram Jaccard near-dup pairs via the scale path (rare-shingle
+    // candidate generation, maxShingleFreq=50). The natural sf* corpora
+    // have max pair-jaccard ≈ 0.02, so near-dups are PLANTED identically
+    // on both sides: exact copies (+10000, jaccard 1.0) and copies with
+    // three marker tokens appended (+20000, jaccard m/(m+3) ≈ 0.9) — the
+    // gate exercises real matches, not an empty result set.
     "ngram_jaccard" -> Q(
-      s"""WITH sh AS (
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 60
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text || ' zq1m zq2m zq3m'
+         |  FROM documents WHERE doc_id < 20
+         |),
+         |sh AS (
          |  SELECT doc_id, list_distinct($duckShingles) AS sh
          |  FROM (SELECT doc_id,
          |               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
          |                           t -> len(t) > 0) AS toks
-         |        FROM documents WHERE doc_id < 60)
+         |        FROM corpus)
          |)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |       round(len(list_intersect(a.sh, b.sh))
@@ -164,26 +175,44 @@ object PipelineQueries {
          |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
          |ORDER BY id_a, id_b""".stripMargin
     ) { (s, dir) =>
-      Dedup.ngramJaccard(
-        Tables.load(s, dir, "documents").filter(col("doc_id") < 60),
-        col("doc_id"), col("text"), n = 3, threshold = 0.2,
-        maxShingleFreq = Int.MaxValue)
+      val d = Tables.load(s, dir, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("text"))
+      val corpus = d
+        .unionAll(d.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionAll(d.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit(" zq1m zq2m zq3m")).as("text")))
+      Dedup.ngramJaccard(corpus, col("doc_id"), col("text"), n = 3,
+        threshold = 0.2, maxShingleFreq = 50)
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // Embedding-cosine near-duplicate pairs (exact threshold self-join on a
-    // bounded slice; the IVF-blocked variant is the 100 TB path).
+    // Embedding-cosine near-duplicate pairs via the IVF-BLOCKED scale path
+    // (Ivf.nearDupBlocked — join within cells only). The oracle is the
+    // exact all-pairs join: they agree because (a) planted duplicates are
+    // bit-identical vectors, which always land in the same cell, and
+    // (b) every non-planted pair sits at distance ≥ 0.56 (sf* corpora are
+    // near-dup-free), far above the 0.35 threshold on both sides.
     "embedding_near_dup" -> Q(
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+        |  UNION ALL
+        |  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 20
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(1 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS distance
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE a.vec_id < 200 AND b.vec_id < 200
-        |  AND round(1 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) <= 0.35
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |WHERE round(1 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) <= 0.35
         |ORDER BY id_a, id_b""".stripMargin
     ) { (s, dir) =>
-      Dedup.embeddingNearDup(
-        Tables.load(s, dir, "embeddings").filter(col("vec_id") < 200),
-        col("vec_id"), col("embedding"), maxDistance = 0.35)
+      import graft.ann.Ivf
+      val e = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding"))
+      val corpus = e.unionAll(e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      val ix = Ivf.build(corpus, col("embedding"), numCells = 8, metric = "cosine")
+      Ivf.nearDupBlocked(ix, "vec_id", "embedding", maxDistance = 0.35)
         .orderBy(col("id_a"), col("id_b"))
     },
 

@@ -83,6 +83,21 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("ngram jaccard: a shingle shared by 1k docs never enters the pair join") {
+    // every doc opens with the same three tokens (one hot shingle with
+    // df=1001); the planted pair shares all its RARE shingles. Candidate
+    // generation restricts to rare shingles FIRST, so the hot shingle
+    // contributes zero join rows instead of ~10⁶ (regression: the old
+    // formulation self-joined all postings before pruning).
+    val docs = ((0 until 1000).map { i =>
+      (i.toLong, s"common hot prefix u${i}a u${i}b u${i}c u${i}d u${i}e")
+    } :+ (5000L, "common hot prefix u1a u1b u1c u1d u1e")).toDF("id", "text")
+    val got = Dedup.ngramJaccard(docs, col("id"), col("text"),
+      threshold = 0.5, maxShingleFreq = 50)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 5000L, 1.0)))
+  }
+
   test("minhash lsh recovers exact and near dups, skips unrelated") {
     val got = Dedup.minhashLsh(corpus, col("id"), col("text"),
       k = 64, bands = 32, threshold = 0.25) // r=2: catches j≈0.4 pairs w.p. ~0.99

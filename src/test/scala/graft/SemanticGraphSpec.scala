@@ -66,6 +66,42 @@ class SemanticGraphSpec extends SparkSpec {
     assert(SemanticGraph.findPath(line, "a", "c", maxHops = 1).isEmpty)
   }
 
+  test("blocked build: no cartesian in the plan, high recall vs exact") {
+    // 300 vectors in 3 gaussian clusters (deterministic)
+    val rnd = new scala.util.Random(7)
+    val centers = Seq(Array(1f, 0f, 0f), Array(0f, 1f, 0f), Array(0f, 0f, 1f))
+    val data = (0 until 300).map { i =>
+      val c = centers(i % 3)
+      (s"v$i", c.map(x => x + rnd.nextGaussian().toFloat * 0.15f))
+    }.toDF("id", "vector")
+    val blocked = SemanticGraph.buildBlocked(data, col("id"), col("vector"),
+      k = 5, numCells = 9, nprobe = 3)
+    // scale guarantee: candidate generation is an equi-join on cell — the
+    // physical plan must not contain a cartesian or nested-loop join
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // recall vs the exact all-pairs build (AnnSpec-style bound)
+    val exact = SemanticGraph.build(data, col("id"), col("vector"), k = 5)
+    val eSet = exact.select("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val bSet = blocked.select("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val recall = eSet.intersect(bSet).size.toDouble / eSet.size
+    assert(recall >= 0.9, s"edge recall $recall < 0.9")
+  }
+
+  test("blocked build at full probe equals the exact build") {
+    val blocked = SemanticGraph.buildBlocked(vecs, col("id"), col("vector"),
+      k = 2, numCells = 4, nprobe = 4)
+    val exact = SemanticGraph.build(vecs, col("id"), col("vector"), k = 2)
+    val b = blocked.orderBy("src", "dst").collect().map(r =>
+      (r.getString(0), r.getString(1), math.round(r.getDouble(2) * 1e6)))
+    val e = exact.orderBy("src", "dst").collect().map(r =>
+      (r.getString(0), r.getString(1), math.round(r.getDouble(2) * 1e6)))
+    assert(b.toSeq == e.toSeq)
+  }
+
   test("label propagation separates the two clusters (bridge joins one)") {
     val strict = SemanticGraph.build(vecs, col("id"), col("vector"), 2,
       threshold = Some(0.95))
