@@ -1,9 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark surface: one JSON line with per-query wall times.
+  *
+  * Methodology (stability over raw speed-of-measurement): queries run in
+  * deterministic (sorted) order, each timed over `runs` consecutive
+  * executions with the MEDIAN reported — the first execution absorbs plan
+  * compilation/JIT/IO warm-up, so a single-shot suite manufactures phantom
+  * regressions that depend on run order (plan-identical queries were
+  * measured 9× apart). `spread` = (max − min)/median per query is reported
+  * so a noisy measurement is visible instead of silently trusted.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,19 +31,31 @@ object Bench {
     catch { case _: Throwable => () }
     // optional args: bench only the named queries (local iteration)
     val only = args.toSet
-    val results = SparkEntry.queries
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // collect, not count: count() lets Catalyst prune the projections a
-      // query exists to compute (result sets are bounded, so collect is safe)
-      try { fn(spark, sfDir).collect().length } catch { case _: Throwable => -1 }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          // collect, not count: count() lets Catalyst prune the projections a
+          // query exists to compute (result sets are bounded, so collect is safe)
+          try { fn(spark, sfDir).collect().length }
+          catch { case _: Throwable => -1 }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val med = median(times)
+        val spread = if (med > 0) (times.max - times.min) / med else 0.0
+        (name, med, spread)
+      }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spreads = results.map { case (k, _, sp) =>
+      s"\"" + k + "\":" + f"$sp%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

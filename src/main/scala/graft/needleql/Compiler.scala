@@ -38,6 +38,18 @@ class NeedleSession(val spark: SparkSession) {
                            var refreshedAtMs: Long = 0L)
   val views: mutable.LinkedHashMap[String, ViewDef] = mutable.LinkedHashMap()
   var params: Map[String, Any] = Map.empty
+  /** Pluggable cross-encoder scorers for RERANK BY CrossEncoder('model'):
+    * (queryText, docText) => relevance. The reference calls an external
+    * rerank API (reranker.rs:170-360) and falls back to term-overlap when
+    * no provider is configured — unregistered models here do the same
+    * ([[graft.ops.TermOverlap]] is the deterministic local fallback).
+    */
+  val crossEncoders: mutable.Map[String, (String, String) => Double] =
+    mutable.Map()
+  def registerCrossEncoder(model: String,
+                           scorer: (String, String) => Double): this.type = {
+    crossEncoders(model) = scorer; this
+  }
   /** Deterministic clock for time decay (None = wall clock). */
   var nowEpochS: Option[Long] = None
   /** Round distances to N decimals for reproducible comparisons. */
@@ -231,13 +243,19 @@ class NeedleSession(val spark: SparkSession) {
       q.rag.flatMap(_.hybridAlpha).fold(h)(a => h.copy(vectorWeight = a))
     }
     val fetchLimit = math.max(limit, q.rag.flatMap(_.topK).getOrElse(limit))
+    // RERANK ... FETCH n: the search over-fetches n candidates for the
+    // reranker, which then cuts back to LIMIT (reference ast.rs:222 —
+    // fetch_k widens retrieval, not the final result)
+    val rerankFetch = q.rerank.flatMap(_.fetchK).map(f => math.max(f, limit))
+    val searchK = rerankFetch.getOrElse(limit)
 
     val result: DataFrame = (queryVec, hybridCfg) match {
-      case (_, Some(h)) => hybridSearch(c, h, q, fetchLimit).limit(limit)
+      case (_, Some(h)) =>
+        hybridSearch(c, h, q, math.max(fetchLimit, searchK)).limit(searchK)
       case (Some(qv), _) =>
         val builder = SearchBuilder(
           df = c.df, query = qv, vecCol = col(c.vectorCol),
-          idCol = col(c.idCol), k = limit, // offset skips AFTER search (executor.rs:193-197)
+          idCol = col(c.idCol), k = searchK, // offset skips AFTER search (executor.rs:193-197)
           metric = metric, preFilter = preFilter,
           asOf = asOfTs,
           decay = q.timeDecay.map(toDecay),
@@ -256,7 +274,10 @@ class NeedleSession(val spark: SparkSession) {
         asOfd
     }
 
-    val reranked = applyRerank(result, q, c, queryVec)
+    val reranked0 = applyRerank(result, q, c, queryVec)
+    // over-fetched rerank pools cut back to the requested LIMIT
+    val reranked =
+      if (rerankFetch.exists(_ > limit)) reranked0.limit(limit) else reranked0
     val ordered =
       if (q.orderBy.nonEmpty)
         reranked.orderBy(q.orderBy.map { case (cn, asc) =>
@@ -333,8 +354,33 @@ class NeedleSession(val spark: SparkSession) {
           .getOrElse(
             throw Parser.ParseError("MMR rerank requires a query vector"))
         Mmr.diversify(pool, c.idCol, c.vectorCol, qArr, k, lambda)
-      case Some(RerankStrategy.CrossEncoder(_)) | Some(RerankStrategy.Rrf(_)) | None =>
-        df // CrossEncoder needs an external model; RRF here is a no-op signal
+      case Some(RerankStrategy.CrossEncoder(model)) =>
+        // pluggable (query, text) => score; unregistered models fall back
+        // to the deterministic TermOverlap scorer — the reference's own
+        // behavior when no rerank provider is configured (reranker.rs:192)
+        val textColName = c.textCol.getOrElse(throw Parser.ParseError(
+          s"Collection ${q.from} has no text column for CrossEncoder rerank"))
+        val queryText = q.hybrid.map(_.text).getOrElse(throw Parser.ParseError(
+          "CrossEncoder rerank requires a text query (HYBRID_SEARCH / SEARCH NEAR)"))
+        val pool =
+          if (df.columns.contains(textColName)) df
+          else df.join(c.df.select(col(c.idCol), col(textColName)), c.idCol)
+        crossEncoders.get(model) match {
+          case Some(scorer) =>
+            val scoreU = udf((t: String) =>
+              scorer(queryText, if (t == null) "" else t))
+            pool.withColumn("ce_score", scoreU(col(textColName)))
+              .orderBy(col("ce_score").desc, col(c.idCol).asc)
+          case None =>
+            val scores = graft.ops.TermOverlap
+              .rerank(pool, queryText, c.idCol, textColName, topK = Int.MaxValue)
+              .withColumnRenamed("score", "ce_score")
+              .withColumnRenamed("id", c.idCol)
+            pool.join(scores, c.idCol)
+              .orderBy(col("ce_score").desc, col(c.idCol).asc)
+        }
+      case Some(RerankStrategy.Rrf(_)) | None =>
+        df // RRF rerank is the fusion already applied in hybridSearch
     }
 
   private def project(df: DataFrame, sel: SelectClause): DataFrame = sel match {

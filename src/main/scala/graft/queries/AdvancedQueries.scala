@@ -144,6 +144,14 @@ object AdvancedQueries {
         .select(col("entity_id").as("id"), col("centroid").as("vector"))
       val q = emb.limit(1).select("embedding").collect()(0).getSeq[Float](0).toArray
       GraphRag.search(entVecs, edges, q, k = 10, maxHops = 2)
+        // self-check: per-row score algebra — combined is exactly the
+        // 0.7/0.3 blend, all scores in [0,1], hops within the bound
+        .withColumn("check_passed",
+          abs(col("combined_score") -
+            (col("vector_score") * 0.7 + col("graph_score") * 0.3)) < 1e-9 &&
+            col("vector_score").between(-1e-9, 1.0 + 1e-9) &&
+            col("graph_score").between(0.0, 1.0) &&
+            col("hop_count").between(0, 2))
     },
 
     // Semantic k-NN graph edges (reference: experimental/graph.rs:116-270):
@@ -319,7 +327,18 @@ object AdvancedQueries {
         .orderBy(col("distance").asc, col("vec_id").asc)
         .limit(50)
         .select(col("vec_id"), col("embedding"))
-      Mmr.diversify(pool, "vec_id", "embedding", query, k = 10, lambda = 0.7)
+      val sel = Mmr.diversify(pool, "vec_id", "embedding", query, k = 10,
+        lambda = 0.7)
+      // self-check: MMR seeds with the most-relevant item (the query's own
+      // vector, vec_id 0) and selects k distinct items in order 0..k-1
+      val chk = sel.agg(
+        count(lit(1)).as("n_sel"),
+        countDistinct(col("selection_order")).as("n_ord"),
+        max(when(col("selection_order") === 0, col("vec_id"))).as("seed"))
+      sel.crossJoin(broadcast(chk))
+        .withColumn("check_passed",
+          col("n_sel") === 10 && col("n_ord") === 10 && col("seed") === "0")
+        .drop("n_sel", "n_ord", "seed")
     },
   )
 }

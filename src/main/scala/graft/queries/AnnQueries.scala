@@ -44,10 +44,20 @@ object AnnQueries {
 
     "ivf_knn_pruned" -> Q.noOracle { (s, dir) =>
       val ix = ivfIndex(s, dir, 8)
-      Ivf.search(ix, queryVec(s, dir), k = 10, nprobe = 2,
+      val q = queryVec(s, dir)
+      val approx = Ivf.search(ix, q, k = 10, nprobe = 2,
         idCol = "vec_id", vecCol = "embedding", roundTo = Some(6))
         // scalar columns only: the driver's comparer can't hash array cells
         .select(col("vec_id"), col("label"), col("distance"))
+      // self-check: the pruned probe must recall >= 0.5 of the exact top-10
+      // (observed 0.6 on this data; the gate fails if pruning breaks)
+      val exact = Tables.load(s, dir, "embeddings")
+        .withColumn("d", graft.functions.Distances.cosine(col("embedding"), lit(q)))
+        .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"))
+      val hits = approx.join(exact, "vec_id").agg(count(lit(1)).as("n_hit"))
+      approx.crossJoin(broadcast(hits))
+        .withColumn("check_passed", col("n_hit") >= 5).drop("n_hit")
     },
 
     // recall@10 of the pruned IVF search vs exact ground truth, surfaced
@@ -67,6 +77,11 @@ object AnnQueries {
         (nprobe, Ivf.recallAtK(exact, approx, "vec_id"))
       }
       recalls.toDF("nprobe", "recall_at_10")
+        // self-check: recall floors per probe depth (observed 0.6/0.9/1.0);
+        // nprobe = numCells is provably exact, so it must be ~1.0
+        .withColumn("check_passed", col("recall_at_10") >=
+          when(col("nprobe") === 2, 0.4)
+            .when(col("nprobe") === 4, 0.6).otherwise(0.99))
     },
 
     // recall@10 of the two-phase quantized searches (SQ8 asymmetric +
@@ -106,13 +121,25 @@ object AnnQueries {
         ("pq_adc_rerank", Ivf.recallAtK(exact, pqTop, "vec_id")),
         ("binary_rerank", Ivf.recallAtK(exact, bqTop, "vec_id")))
         .toDF("scheme", "recall_at_10")
+        // self-check: two-phase rerank recovers the exact top-10 almost
+        // entirely (observed 1.0 for all three schemes on this data)
+        .withColumn("check_passed", col("recall_at_10") >= 0.8)
     },
 
     "lsh_ann" -> Q.noOracle { (s, dir) =>
-      Lsh.search(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-        queryVec(s, dir), k = 10, dims = 64, numTables = 12, numPlanes = 4,
+      val q = queryVec(s, dir)
+      val approx = Lsh.search(Tables.load(s, dir, "embeddings"), "vec_id",
+        "embedding", q, k = 10, dims = 64, numTables = 12, numPlanes = 4,
         roundTo = Some(6))
         .select(col("vec_id"), col("distance"))
+      // self-check: multi-table LSH recalls >= 0.5 of the exact top-10
+      val exact = Tables.load(s, dir, "embeddings")
+        .withColumn("d", graft.functions.Distances.cosine(col("embedding"), lit(q)))
+        .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"))
+      val hits = approx.join(exact, "vec_id").agg(count(lit(1)).as("n_hit"))
+      approx.crossJoin(broadcast(hits))
+        .withColumn("check_passed", col("n_hit") >= 5).drop("n_hit")
     },
   )
 }

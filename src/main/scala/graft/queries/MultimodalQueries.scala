@@ -110,7 +110,13 @@ object MultimodalQueries {
         Tables.load(s, dir, "documents").filter(col("doc_id") < 100),
         "text", dims = 32)
         .select(col("doc_id"),
-          round(element_at(col("embedding"), 1).cast("double"), 6).as("e0"))
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("e0"),
+          // self-check: the mock embedder contract — exactly `dims`
+          // components, L2-normalized (auto_embed.rs:542 Mock backend)
+          (size(col("embedding")) === 32 &&
+            abs(sqrt(aggregate(col("embedding"), lit(0.0),
+              (acc, x) => acc + x.cast("double") * x.cast("double"))) - 1.0)
+              < 1e-3).as("check_passed"))
         .orderBy(col("doc_id"))
     },
   )

@@ -217,17 +217,27 @@ object PipelineQueries {
     },
 
     // MinHash+LSH near-dup (rows-only: hash family not SQL-reproducible).
-    // Planted exact dups guarantee est_jaccard=1 hits.
+    // Planted exact dups guarantee est_jaccard=1 hits; the self-check
+    // asserts ALL 20 planted pairs are recovered at full similarity.
     "minhash_lsh_dedup" -> Q.noOracle { (s, dir) =>
-      Dedup.minhashLsh(withPlantedDups(s, dir), col("doc_id"), col("text"),
-        n = 3, k = 64, bands = 16, threshold = 0.5)
+      val pairs = Dedup.minhashLsh(withPlantedDups(s, dir), col("doc_id"),
+        col("text"), n = 3, k = 64, bands = 16, threshold = 0.5)
+      val planted = pairs.agg(sum(when(col("id_b") === col("id_a") + 10000 &&
+        col("est_jaccard") === 1.0, 1).otherwise(0)).as("n_planted"))
+      pairs.crossJoin(broadcast(planted))
+        .withColumn("check_passed", col("n_planted") === 20).drop("n_planted")
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // SimHash near-dup within Hamming distance 3 (rows-only).
+    // SimHash near-dup within Hamming distance 3 (rows-only). Self-check:
+    // every planted exact copy must appear at Hamming distance 0.
     "simhash_near_dup" -> Q.noOracle { (s, dir) =>
-      Dedup.simhashNearDup(withPlantedDups(s, dir), col("doc_id"), col("text"),
-        n = 3, maxHamming = 3)
+      val pairs = Dedup.simhashNearDup(withPlantedDups(s, dir), col("doc_id"),
+        col("text"), n = 3, maxHamming = 3)
+      val planted = pairs.agg(sum(when(col("id_b") === col("id_a") + 10000 &&
+        col("hamming") === 0, 1).otherwise(0)).as("n_planted"))
+      pairs.crossJoin(broadcast(planted))
+        .withColumn("check_passed", col("n_planted") === 20).drop("n_planted")
         .orderBy(col("id_a"), col("id_b"))
     },
   )

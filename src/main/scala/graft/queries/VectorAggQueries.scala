@@ -120,9 +120,19 @@ object VectorAggQueries {
     // KMeans cluster sizes (reference Cluster{k}: vector_aggregation.rs:
     // 186-295) — rows-only: k-means++ init is not SQL-reproducible.
     "vec_cluster" -> Q.noOracle { (s, dir) =>
-      VectorAnalytics.cluster(Tables.load(s, dir, "embeddings"),
+      val sizes = VectorAnalytics.cluster(Tables.load(s, dir, "embeddings"),
         col("vec_id"), col("embedding"), k = 10)
         .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      // self-check: a partition of the input — cluster ids within [0, k),
+      // sizes positive, and the sizes sum back to the row count
+      val total = Tables.load(s, dir, "embeddings")
+        .agg(count(lit(1)).as("n_rows"))
+      val sums = sizes.agg(sum(col("n")).as("n_assigned"))
+      sizes.crossJoin(broadcast(total)).crossJoin(broadcast(sums))
+        .withColumn("check_passed",
+          col("cluster").between(0, 9) && col("n") > 0 &&
+            col("n_assigned") === col("n_rows"))
+        .drop("n_rows", "n_assigned")
         .orderBy(col("cluster"))
     },
   )

@@ -165,6 +165,29 @@ class NeedleQLExecSpec extends SparkSpec {
     assert(got.head._1 == "a") // best in both legs
   }
 
+  test("RERANK BY CrossEncoder: TermOverlap fallback + FETCH over-fetch") {
+    val s = session
+    // no scorer registered for 'missing' -> deterministic TermOverlap
+    // fallback (the reference's no-provider behavior, reranker.rs:192):
+    // both a and c contain 'spark'; 'shuffles' appears only in c
+    val got = s.sql(
+      "SELECT id, ce_score FROM docs HYBRID_SEARCH('spark shuffles', [1.0, 0.0]) RERANK BY CrossEncoder('missing') FETCH 3 LIMIT 2")
+      .as[(String, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq("c", "a")) // c matches both terms
+    assert(got.head._2 > got(1)._2)
+  }
+
+  test("RERANK BY CrossEncoder honors a registered pluggable scorer") {
+    val s = session
+    // scorer that inverts relevance: rewards absence of the query term
+    s.registerCrossEncoder("inverse", (_, text) =>
+      if (text.contains("spark")) 0.0 else 1.0)
+    val got = s.sql(
+      "SELECT id FROM docs HYBRID_SEARCH('spark', [1.0, 0.0]) RERANK BY CrossEncoder('inverse') FETCH 3 LIMIT 1")
+      .as[String].collect().toSeq
+    assert(got == Seq("b")) // only b ('flink streams') lacks 'spark'
+  }
+
   test("BM25 index cache is version-keyed: mutation evicts, search sees new docs") {
     val s = session
     // warm the cache on version 1
