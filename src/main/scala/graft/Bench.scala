@@ -5,17 +5,22 @@ import org.apache.spark.sql.SparkSession
   *
   * Methodology (stability over raw speed-of-measurement): queries run in
   * deterministic (sorted) order, each timed over `runs` consecutive
-  * executions with the MEDIAN reported — the first execution absorbs plan
-  * compilation/JIT/IO warm-up, so a single-shot suite manufactures phantom
-  * regressions that depend on run order (plan-identical queries were
-  * measured 9× apart). `spread` = (max − min)/median per query is reported
-  * so a noisy measurement is visible instead of silently trusted.
+  * executions — the first execution absorbs plan compilation/JIT/IO
+  * warm-up, so a single-shot suite manufactures phantom regressions that
+  * depend on run order (plan-identical queries were measured 9× apart).
+  * Three estimators are reported per query: `queries` = MEDIAN, `min` =
+  * minimum, `spread` = (max − min)/median. On sub-second queries the
+  * median still carries ±0.1-0.3 s of ambient jitter (GC, page cache,
+  * shared host); the MIN is the standard noise-robust floor estimator —
+  * noise only ever ADDS time — so round-over-round comparisons should
+  * diff `min`, while `spread` makes noisy measurements visible instead of
+  * silently trusted.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -48,14 +53,16 @@ object Bench {
         }
         val med = median(times)
         val spread = if (med > 0) (times.max - times.min) / med else 0.0
-        (name, med, spread)
+        (name, med, times.min, spread)
       }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, sp) =>
+    val mins = results.map { case (k, _, mn, _) => s"\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, _, sp) =>
       s"\"" + k + "\":" + f"$sp%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"spread":$spreads,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -154,4 +154,52 @@ object Multimodal {
   def autoEmbed(df: DataFrame, contentCol: String, dims: Int,
                 outCol: String = "embedding"): DataFrame =
     df.withColumn(outCol, embedUdf(col(contentCol).cast("binary"), lit(dims)))
+
+  // ------------------------------------------------- pluggable backends
+
+  /** Pluggable embedding backend (reference: src/ml/auto_embed.rs:44-140 —
+    * EmbeddingConfig with OpenAI / Cohere / Ollama / Mock providers). The
+    * real providers are external HTTP services, rightly out of scope for a
+    * hermetic engine; this trait is the CONTRACT they plug into:
+    * batch-oriented (one model/API call per batch — the amortization unit
+    * every real provider bills by) and Serializable (the backend ships to
+    * executors inside the mapPartitions closure).
+    */
+  trait EmbeddingBackend extends Serializable {
+    def name: String
+    def dims: Int
+    /** Embed one batch with one model call; null content → null vector. */
+    def embedBatch(contents: Seq[Array[Byte]]): Seq[Array[Float]]
+  }
+
+  /** The reference's Mock provider (auto_embed.rs:542) as a backend. */
+  final case class MockBackend(dims: Int) extends EmbeddingBackend {
+    val name = "mock"
+    def embedBatch(contents: Seq[Array[Byte]]): Seq[Array[Float]] =
+      contents.map(c => if (c == null) null else mockEmbed(c, dims))
+  }
+
+  /** Auto-embed through a pluggable backend: rows stream through
+    * `mapPartitions` in `batchSize` groups with ONE `embedBatch` call per
+    * group — the plumbing a real OpenAI/Cohere/Ollama provider needs
+    * (constant memory, amortized calls), with the mock backend standing in
+    * where this environment has no network.
+    */
+  def autoEmbedWith(df: DataFrame, contentCol: String,
+                    backend: EmbeddingBackend,
+                    outCol: String = "embedding",
+                    batchSize: Int = 64): DataFrame = {
+    val in = df.withColumn("__bytes", col(contentCol).cast("binary"))
+    val outSchema = in.schema.add(StructField(outCol, ArrayType(FloatType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    in.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val vecs = backend.embedBatch(
+          batch.map(_.getAs[Array[Byte]]("__bytes")))
+        batch.zip(vecs).map { case (r, v) =>
+          Row.fromSeq(r.toSeq :+ (v: Any))
+        }
+      }
+    }(enc).drop("__bytes")
+  }
 }

@@ -18,8 +18,9 @@ import graft.functions.Distances
   * SIMILARITY, descending (multimodal_search.rs:440-452).
   *
   * Spark shape: per-modality kNN (TakeOrderedAndProject over each table) →
-  * driver-side fusion of k-bounded lists — the same shape as
-  * cross-collection search, never wider than Σ per-modality k.
+  * union of the k-bounded lists → fusion as DataFrame algebra (orderBy /
+  * groupBy-agg) — one lazy plan end-to-end, never wider than
+  * Σ per-modality k, no driver detour.
   */
 object CrossModal {
 
@@ -76,53 +77,60 @@ object CrossModal {
     /** Search the named modalities; `queryModality` (if set) drives
       * projection of the query vector into each target space. Returns
       * (id, modality, score) rows, fused and truncated to k.
+      *
+      * Fusion is pure DataFrame algebra over the union of the k-bounded
+      * per-modality top-k frames — round-robin is an orderBy on
+      * (rank, list index), RRF a groupBy(id) aggregate — so the result
+      * stays a lazy plan and composes with downstream operators instead
+      * of detouring through the driver.
       */
     def search(spark: SparkSession, query: Array[Float],
                modalityNames: Seq[String], k: Int,
                queryModality: Option[String] = None): DataFrame = {
-      import spark.implicits._
-      val lists: Seq[Seq[(String, String, Double)]] = modalityNames.map { name =>
-        val m = byName.getOrElse(name,
-          throw new NoSuchElementException(s"Modality '$name'"))
-        val w = weights.getOrElse(name, 1.0)
-        val q = queryModality.filter(_ != name)
-          .map(from => projectQuery(query, from, name)).getOrElse(query)
-        // weighted cosine similarity, DESCENDING (multimodal_search.rs:440);
-        // dims mismatch with no projection → truncated dot like the
-        // reference's min_len cosine
-        val qv = if (q.length == m.dims) q else q.take(m.dims).padTo(m.dims, 0.0f)
-        m.df
-          .select(col(m.idCol).cast("string").as("id"),
-            ((lit(1.0) - Distances.cosine(col(m.vecCol), lit(qv))) * w).as("score"))
-          .orderBy(col("score").desc, col("id").asc)
-          .limit(perModalityK)
-          .collect().map(r => (r.getString(0), name, r.getDouble(1))).toSeq
+      import org.apache.spark.sql.expressions.Window
+      val perList: Seq[DataFrame] = modalityNames.zipWithIndex.map {
+        case (name, listIdx) =>
+          val m = byName.getOrElse(name,
+            throw new NoSuchElementException(s"Modality '$name'"))
+          val w = weights.getOrElse(name, 1.0)
+          val q = queryModality.filter(_ != name)
+            .map(from => projectQuery(query, from, name)).getOrElse(query)
+          // weighted cosine similarity, DESCENDING (multimodal_search
+          // .rs:440); dims mismatch with no projection → truncated dot
+          // like the reference's min_len cosine
+          val qv = if (q.length == m.dims) q else q.take(m.dims).padTo(m.dims, 0.0f)
+          val topk = m.df
+            .select(col(m.idCol).cast("string").as("id"),
+              ((lit(1.0) - Distances.cosine(col(m.vecCol), lit(qv))) * w).as("score"))
+            .orderBy(col("score").desc, col("id").asc)
+            .limit(perModalityK)
+          // the global window runs over a k-bounded frame (post-limit),
+          // so the single-partition sort is k rows, not the table
+          topk
+            .withColumn("modality", lit(name))
+            .withColumn("__list", lit(listIdx))
+            .withColumn("__rank", row_number().over(
+              Window.orderBy(col("score").desc, col("id").asc)))
       }
-      val fused: Seq[(String, String, Double)] = fusion match {
+      val all = perList.reduce(_ unionByName _)
+      val fused = fusion match {
         case Fusion.ScoreSort =>
-          lists.flatten.sortBy { case (id, _, s) => (-s, id) }.take(k)
+          all.orderBy(col("score").desc, col("id").asc)
         case Fusion.RoundRobin =>
-          val maxLen = if (lists.isEmpty) 0 else lists.map(_.size).max
-          val out = Seq.newBuilder[(String, String, Double)]
-          var n = 0
-          var i = 0
-          while (i < maxLen && n < k) {
-            lists.foreach { l => if (i < l.size && n < k) { out += l(i); n += 1 } }
-            i += 1
-          }
-          out.result()
+          // i-th element of each list, lists in declaration order —
+          // exactly the reference's interleave (multimodal_search.rs:470)
+          all.orderBy(col("__rank").asc, col("__list").asc)
         case Fusion.Rrf(rrfK) =>
-          val scores = scala.collection.mutable.LinkedHashMap[String, Double]()
-          val firstSeen = scala.collection.mutable.LinkedHashMap[String, (String, String, Double)]()
-          lists.foreach(_.zipWithIndex.foreach { case (r @ (id, _, _), rank) =>
-            scores(id) = scores.getOrElse(id, 0.0) + 1.0 / (rrfK + rank + 1.0)
-            if (!firstSeen.contains(id)) firstSeen(id) = r
-          })
-          scores.toSeq.map { case (id, s) =>
-            val (_, mod, _) = firstSeen(id); (id, mod, s)
-          }.sortBy { case (id, _, s) => (-s, id) }.take(k)
+          // 1/(k + rank), rank 1-based; the reported modality is the
+          // FIRST list containing the id (min list index), like the
+          // reference's first-seen map
+          all.groupBy(col("id"))
+            .agg(sum(lit(1.0) / (lit(rrfK) + col("__rank"))).as("score"),
+              min(struct(col("__list"), col("modality")))
+                .getField("modality").as("modality"))
+            .orderBy(col("score").desc, col("id").asc)
       }
-      fused.toDF("id", "modality", "score")
+      fused.select(col("id"), col("modality"), col("score")).limit(k)
     }
   }
 }

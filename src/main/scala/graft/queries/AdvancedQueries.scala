@@ -183,6 +183,58 @@ object AdvancedQueries {
         .orderBy(col("src"), col("dst"))
     },
 
+    // Collection branching (reference: collection_branch.rs): main = docs
+    // <100; branch 'exp' patches 0-9, adds 1000-1004, tombstones 90-99;
+    // merge exp→main (SourceWins), then resolve main. The oracle replays
+    // the same copy-on-write algebra in SQL.
+    "branch_resolve" -> Q(
+      """SELECT doc_id, text FROM (
+        |  SELECT doc_id, 'patched: ' || text AS text FROM documents WHERE doc_id < 10
+        |  UNION ALL
+        |  SELECT doc_id + 1000, 'new document ' || doc_id FROM documents WHERE doc_id < 5
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 10 AND doc_id < 90
+        |) ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.Branching._
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+      val t = new BranchTree(docs, idCol = "doc_id")
+      t.createBranch("exp", "main")
+      t.upsert("exp", docs.filter(col("doc_id") < 10)
+        .select(col("doc_id"), concat(lit("patched: "), col("text")).as("text")))
+      t.upsert("exp", docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 1000).as("doc_id"),
+          concat(lit("new document "), col("doc_id").cast("string")).as("text")))
+      t.delete("exp", (90 until 100).map(_.toString))
+      t.merge("exp", "main", MergeStrategy.SourceWins)
+      t.resolve("main").orderBy(col("doc_id"))
+    },
+
+    // Branch diff statuses against the target's visible state.
+    "branch_diff" -> Q(
+      """SELECT doc_id, CASE WHEN doc_id >= 1000 THEN 'added'
+        |                    WHEN doc_id < 10 THEN 'modified'
+        |                    ELSE 'deleted' END AS status
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 10
+        |      UNION ALL SELECT doc_id + 1000 FROM documents WHERE doc_id < 5
+        |      UNION ALL SELECT doc_id FROM documents WHERE doc_id BETWEEN 90 AND 99)
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.Branching._
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+      val t = new BranchTree(docs, idCol = "doc_id")
+      t.createBranch("exp", "main")
+      t.upsert("exp", docs.filter(col("doc_id") < 10)
+        .select(col("doc_id"), concat(lit("patched: "), col("text")).as("text")))
+      t.upsert("exp", docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 1000).as("doc_id"),
+          concat(lit("new document "), col("doc_id").cast("string")).as("text")))
+      t.delete("exp", (90 until 100).map(_.toString))
+      t.diff("exp", "main")
+    },
+
     // Collection diff (reference CLI `diff`, search.rs:289-338): source =
     // ids [0,150), target = ids [50,200) with the [50,100) vectors doubled
     // (×2 is exact in f32, so both engines see identical inputs) →

@@ -48,6 +48,31 @@ class MultimodalSpec extends SparkSpec {
     assert(vecs(1L) == vecs(2L) && vecs(1L) != vecs(3L))
   }
 
+  test("pluggable backend: batched path equals the mock per-row path") {
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "delta"))
+      .toDF("id", "text")
+    val viaUdf = Multimodal.autoEmbed(docs, "text", dims = 8)
+      .select("id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    val viaBackend = Multimodal.autoEmbedWith(docs, "text",
+      Multimodal.MockBackend(8), batchSize = 2)
+      .select("id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    assert(viaBackend == viaUdf) // same scheme, different plumbing
+  }
+
+  test("custom backend plugs in; batches honor batchSize") {
+    val docs = (1L to 10L).map(i => (i, s"doc $i")).toDF("id", "text")
+      .repartition(1) // one partition → observable batch boundaries
+    // backend that tags every vector with its batch's size
+    val tagging = new Multimodal.EmbeddingBackend {
+      val name = "tagging"; val dims = 2
+      def embedBatch(cs: Seq[Array[Byte]]): Seq[Array[Float]] =
+        cs.map(_ => Array(cs.size.toFloat, 0f))
+    }
+    val got = Multimodal.autoEmbedWith(docs, "text", tagging, batchSize = 4)
+      .select(element_at(col("embedding"), 1)).as[Float].collect().toSeq
+    assert(got.sorted == Seq(2f, 2f, 4f, 4f, 4f, 4f, 4f, 4f, 4f, 4f).sorted)
+  }
+
   test("jsonl interchange roundtrip (columnar.rs schema)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
     val df = Seq(("a", Array(1f, 2f), """{"k":"1"}"""),
