@@ -15,6 +15,13 @@ import org.apache.spark.sql.SparkSession
   * noise only ever ADDS time — so round-over-round comparisons should
   * diff `min`, while `spread` makes noisy measurements visible instead of
   * silently trusted.
+  *
+  * Measured noise floor on this sandbox (two clean back-to-back suite
+  * runs, nothing else on the host): suite totals can differ ~1.5× between
+  * MINUTES from host-level variance alone — multiplicative, hitting every
+  * query in a run, invisible to within-run spread. Treat per-query deltas
+  * as signal only when they exceed the run's total-level ratio, or
+  * normalize by the suite total before comparing.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

@@ -18,7 +18,8 @@ object SparkEntry {
       TextQueries.defs ++ PipelineQueries.defs ++ VectorAggQueries.defs ++
       SearchPipelineQueries.defs ++ AdvancedQueries.defs ++
       NeedleQLQueries.defs ++ AnnQueries.defs ++ MutationQueries.defs ++
-      StreamQueries.defs ++ MultimodalQueries.defs ++ MoreSearchQueries.defs
+      StreamQueries.defs ++ MultimodalQueries.defs ++ MoreSearchQueries.defs ++
+      ExtrasQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -336,7 +336,11 @@ class NeedleSession(val spark: SparkSession) {
                           queryVec: Option[Column]): DataFrame =
     q.rerank.map(_.strategy) match {
       case Some(RerankStrategy.Field(colName, asc)) =>
-        df.orderBy(if (asc) col(colName).asc else col(colName).desc)
+        // id tiebreak: a bare field sort is nondeterministic on duplicate
+        // values, and with FETCH n the final LIMIT depends on this order
+        df.orderBy(
+          if (asc) col(colName).asc else col(colName).desc,
+          col(c.idCol).asc)
       case Some(RerankStrategy.Mmr(lambda)) =>
         // MMR needs the vectors: join them back, collect bounded pool
         val k = q.limit.getOrElse(10L).toInt

@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.Extras
+
+/** Oracle-checked gates for the Extras surface (SURVEY §2.5/§2.6 rows that
+  * previously had ScalaTest-only evidence): field statistics, ensemble
+  * (weighted-RRF) rerank, provenance tagging.
+  */
+object ExtrasQueries {
+
+  val defs: Map[String, Q] = Map(
+    // Field statistics (reference metadata.rs:606-640). The approximate
+    // cardinality (HLL) is not SQL-reproducible, so the gate projects the
+    // exact columns only; the approx path is spec-covered (ExtrasSpec).
+    "field_stats" -> Q(
+      """SELECT * FROM (
+        |  SELECT 'event_type' AS field, count(DISTINCT event_type) AS cardinality,
+        |         sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS nulls,
+        |         count(*) AS total,
+        |         count(DISTINCT event_type) > 100 AS high_cardinality
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', count(DISTINCT user_id),
+        |         sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), count(*),
+        |         count(DISTINCT user_id) > 100
+        |  FROM events)
+        |ORDER BY field""".stripMargin
+    ) { (s, dir) =>
+      Extras.fieldStats(Tables.load(s, dir, "events"),
+        Seq("event_type", "user_id"), cardinalityThreshold = 100)
+        .select(col("field"), col("cardinality"), col("nulls"), col("total"),
+          col("high_cardinality"))
+        .orderBy(col("field"))
+    },
+
+    // Ensemble rerank = weighted RRF over member ranked lists (reference:
+    // reranker.rs ensemble; hybrid.rs RRF weights) — members are a cosine
+    // top-20 and a reversed-vector top-20 at weights 0.7/0.3.
+    "ensemble_rerank" -> Q(
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |a AS (SELECT vec_id::VARCHAR AS id,
+        |             list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) AS score
+        |      FROM embeddings, q ORDER BY score DESC, id LIMIT 20),
+        |b AS (SELECT vec_id::VARCHAR AS id,
+        |             list_cosine_similarity(list_reverse(embedding)::DOUBLE[], qv::DOUBLE[]) AS score
+        |      FROM embeddings, q ORDER BY score DESC, id LIMIT 20),
+        |ra AS (SELECT id, 0.7 / (60 + row_number() OVER (ORDER BY score DESC, id)) AS ca FROM a),
+        |rb AS (SELECT id, 0.3 / (60 + row_number() OVER (ORDER BY score DESC, id)) AS cb FROM b),
+        |f AS (SELECT coalesce(ra.id, rb.id) AS id,
+        |             coalesce(ca, 0) + coalesce(cb, 0) AS raw
+        |      FROM ra FULL OUTER JOIN rb ON ra.id = rb.id)
+        |SELECT id, round(raw, 6) AS rrf_score FROM f
+        |ORDER BY raw DESC, id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      import graft.functions.Distances
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      def member(vec: org.apache.spark.sql.Column) = emb
+        .select(col("vec_id").cast("string").as("id"),
+          (lit(1.0) - Distances.cosine(vec, lit(q))).as("score"))
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(20)
+      Extras.ensembleRerank(
+        Seq((member(col("embedding")), 0.7),
+          (member(reverse(col("embedding"))), 0.3)), k = 10)
+        .select(col("id"), round(col("rrf_score"), 6).as("rrf_score"))
+    },
+
+    // Provenance tagging (reference insert.rs:446-460): struct flattened
+    // to scalars for the hashable gate.
+    "provenance_tag" -> Q(
+      """SELECT doc_id, 'crawl-2026' AS source, 1700000000 AS created_at,
+        |       '1' AS version
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Extras.withProvenance(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 50),
+        source = "crawl-2026", createdAt = 1700000000L)
+        .select(col("doc_id"), col("provenance.source").as("source"),
+          col("provenance.created_at").as("created_at"),
+          col("provenance.version").as("version"))
+        .orderBy(col("doc_id"))
+    },
+  )
+}

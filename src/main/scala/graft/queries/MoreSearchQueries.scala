@@ -157,5 +157,43 @@ object MoreSearchQueries {
         .filter(col("__rn") <= 3).drop("__rn")
         .orderBy(col("query_id"), col("distance"), col("vec_id"))
     },
+
+    // Cross-modal RRF list fusion (reference: multimodal_search.rs:470-525)
+    // — two modalities over the SAME id space ('image' embeds the reversed
+    // vector so ranks genuinely differ), per-modality weighted-cosine
+    // top-10, RRF k=60 with first-list modality attribution. The oracle
+    // replays rank + 1/(60+rank) aggregation in SQL.
+    "crossmodal_rrf" -> Q(
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |a AS (SELECT vec_id::VARCHAR AS id, 'text' AS modality, 0 AS lst,
+        |             1.0 * list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) AS score
+        |      FROM embeddings, q WHERE vec_id < 150
+        |      ORDER BY score DESC, id LIMIT 10),
+        |b AS (SELECT vec_id::VARCHAR AS id, 'image' AS modality, 1 AS lst,
+        |             0.5 * list_cosine_similarity(list_reverse(embedding)::DOUBLE[], qv::DOUBLE[]) AS score
+        |      FROM embeddings, q WHERE vec_id < 150
+        |      ORDER BY score DESC, id LIMIT 10),
+        |u AS (SELECT *, row_number() OVER (PARTITION BY lst ORDER BY score DESC, id) AS rnk
+        |      FROM (SELECT * FROM a UNION ALL SELECT * FROM b)),
+        |f AS (SELECT id, arg_min(modality, lst) AS modality,
+        |             sum(1.0 / (60 + rnk)) AS raw
+        |      FROM u GROUP BY id)
+        |SELECT id, modality, round(raw, 6) AS score FROM f
+        |ORDER BY raw DESC, id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.CrossModal._
+      val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 150)
+      val dims = 64
+      val engine = new Engine(
+        Seq(Modality("text", emb, dims, idCol = "vec_id", vecCol = "embedding"),
+          Modality("image", emb.withColumn("embedding", reverse(col("embedding"))),
+            dims, idCol = "vec_id", vecCol = "embedding")),
+        weights = Map("text" -> 1.0, "image" -> 0.5),
+        perModalityK = 10, fusion = Fusion.Rrf(60.0))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      engine.search(s, q, Seq("text", "image"), k = 10)
+        .select(col("id"), col("modality"), round(col("score"), 6).as("score"))
+    },
   )
 }

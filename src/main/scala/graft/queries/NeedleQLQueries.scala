@@ -53,6 +53,24 @@ object NeedleQLQueries {
         "SELECT vec_id, distance FROM embeddings WHERE embedding SIMILAR TO $q LIMIT 10")
     },
 
+    // RERANK BY field with FETCH over-fetch: top-20 by distance, reordered
+    // by label (desc, id tiebreak), cut to 10 — the result SET depends on
+    // the rerank, so the gate observes it (a bare rerank of the top-k
+    // would only permute rows the comparer sorts anyway).
+    "needleql_rerank_field" -> Q(
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |top20 AS (
+        |  SELECT vec_id, label,
+        |         round(1 - list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6) AS distance
+        |  FROM embeddings, q
+        |  ORDER BY distance, vec_id LIMIT 20)
+        |SELECT vec_id, label, distance FROM top20
+        |ORDER BY label DESC, vec_id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      session(s, dir).sql(
+        "SELECT vec_id, label, distance FROM embeddings WHERE embedding SIMILAR TO $q RERANK BY label DESC FETCH 20 LIMIT 10")
+    },
+
     // LIKE → contains + IN + OR/NOT through the language layer.
     "needleql_like_in" -> Q(
       """SELECT doc_id, lang FROM documents

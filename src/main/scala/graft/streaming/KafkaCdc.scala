@@ -81,10 +81,40 @@ object KafkaCdc {
       state.join(deletes, Seq(idCol), "left_anti"), upserts, idCol)
   }
 
+  /** Pulsar transport twin (reference: src/streaming/cdc/pulsar.rs —
+    * PulsarConnectorConfig :10-96): same downstream contract, different
+    * connector options (StreamNative pulsar-spark resolves "pulsar" by
+    * name at runtime, exactly like the Kafka source).
+    */
+  final case class PulsarConfig(
+      serviceUrl: String,                       // pulsar://host:6650
+      topic: String,                            // persistent://tenant/ns/topic
+      subscription: String = "graft-cdc",       // ≙ subscription_name
+      startingOffsets: String = "latest",       // ≙ initial_position
+      extraOptions: Map[String, String] = Map.empty)
+
+  /** The live Pulsar stream, decoded to the same (topic, key, json) shape
+    * — requires the pulsar-spark connector on the runtime classpath.
+    */
+  def pulsarSource(spark: SparkSession, cfg: PulsarConfig): DataFrame = {
+    var r = spark.readStream.format("pulsar")
+      .option("service.url", cfg.serviceUrl)
+      .option("topics", cfg.topic)
+      .option("subscription.name", cfg.subscription)
+      .option("startingOffsets", cfg.startingOffsets)
+    cfg.extraOptions.foreach { case (k, v) => r = r.option(k, v) }
+    // pulsar frames carry __topic/__key; normalize to the kafka shape
+    r.load().select(
+      col("__topic").as("topic"),
+      col("__key").cast("string").as("key"),
+      col("value").cast("string").as("json"))
+  }
+
   /** End-to-end ingest: a (topic, key, json) stream → `parse` (one of
     * Streams.parseDebezium / parseMongoChangeStream / parsePgLogical) →
     * per-batch CDC apply, offsets checkpointed by Spark. The SAME code
-    * path serves Kafka ([[source]]) and the MemoryStream contract test.
+    * path serves Kafka ([[source]]), Pulsar ([[pulsarSource]]), and the
+    * MemoryStream contract test.
     */
   def runIngest(decoded: DataFrame, checkpointDir: String,
                 initial: DataFrame, idCol: String = "id")(
