@@ -220,8 +220,11 @@ object PipelineQueries {
     // Planted exact dups guarantee est_jaccard=1 hits; the self-check
     // asserts ALL 20 planted pairs are recovered at full similarity.
     "minhash_lsh_dedup" -> Q.noOracle { (s, dir) =>
+      // localCheckpoint: the result feeds both the planted-pair check and
+      // the output — without it the signature+banding pipeline runs twice
       val pairs = Dedup.minhashLsh(withPlantedDups(s, dir), col("doc_id"),
         col("text"), n = 3, k = 64, bands = 16, threshold = 0.5)
+        .localCheckpoint(true)
       val planted = pairs.agg(sum(when(col("id_b") === col("id_a") + 10000 &&
         col("est_jaccard") === 1.0, 1).otherwise(0)).as("n_planted"))
       pairs.crossJoin(broadcast(planted))
@@ -234,6 +237,7 @@ object PipelineQueries {
     "simhash_near_dup" -> Q.noOracle { (s, dir) =>
       val pairs = Dedup.simhashNearDup(withPlantedDups(s, dir), col("doc_id"),
         col("text"), n = 3, maxHamming = 3)
+        .localCheckpoint(true) // feeds both the planted check and the output
       val planted = pairs.agg(sum(when(col("id_b") === col("id_a") + 10000 &&
         col("hamming") === 0, 1).otherwise(0)).as("n_planted"))
       pairs.crossJoin(broadcast(planted))
