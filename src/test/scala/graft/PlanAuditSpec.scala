@@ -1,0 +1,44 @@
+package graft
+
+/** Physical-plan audit over the declared driver queries (SURVEY §4): the
+  * scale-critical family — dedup, blocked graph build, branching, ANN,
+  * text indexes — must never plan a CartesianProduct, and the blocked/
+  * banded operators must not fall back to BroadcastNestedLoopJoin either.
+  * (Some queries legitimately nested-loop a 1-row broadcast query-vector
+  * frame or run a documented exact-oracle self-join — those are excluded
+  * by name, not waved through silently.)
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // equi-join-only operators: neither cartesian nor nested-loop allowed
+  private val strictQueries = Seq(
+    "graph_knn_edges", "ngram_jaccard", "dedup_exact",
+    "branch_resolve", "branch_diff",
+    "q4_join_topk", "debezium_parse", "event_replay")
+
+  // allowed a bounded broadcast nested loop — a 1-ROW broadcast frame
+  // (BM25's (n, avgdl) corpus stats, the dedup gates' planted-pair count,
+  // query-vector frames) or a k-bounded candidate broadcast — but never a
+  // cartesian of two scans
+  private val noCartesianQueries = Seq(
+    "bm25_search", "minhash_lsh_dedup", "simhash_near_dup",
+    "hybrid_rrf", "ivf_knn_full_probe", "ivf_knn_pruned", "vec_cluster",
+    "crossmodal_rrf", "ensemble_rerank", "batch_knn_cosine")
+
+  for (name <- strictQueries)
+    test(s"$name plans no cartesian and no nested-loop join") {
+      val plan = SparkEntry.all(name).fn(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name: $plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name: $plan")
+    }
+
+  for (name <- noCartesianQueries)
+    test(s"$name plans no cartesian product") {
+      val plan = SparkEntry.all(name).fn(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name: $plan")
+    }
+}
