@@ -177,6 +177,27 @@ object Streams {
       .select(col("win.start").as("window_start"),
         col("win.end").as("window_end"), col(keyCol), col("n"))
 
+  /** Streaming exact dedup across micro-batches (training-pipeline
+    * superset; the batch analogue is graft.pipeline.Dedup.exact): drop
+    * every record whose fingerprint column was already seen, with
+    * watermark-bounded state — the state store retains fingerprints only
+    * within `lateness` of the max event time, so state is O(unique keys
+    * per watermark window), not O(stream), the standard scalable shape
+    * for exactly-once dedup on an unbounded stream.
+    */
+  def streamingDedup(stream: DataFrame, fingerprintCol: String,
+                     timeCol: String, lateness: String): DataFrame =
+    stream
+      .withWatermark(timeCol, lateness)
+      .dropDuplicatesWithinWatermark(fingerprintCol)
+
+  /** Unbounded-state variant: dedup on the fingerprint alone (exact
+    * parity with batch Dedup.exact keepers). State grows with unique
+    * keys — use the watermarked form on 100 TB streams.
+    */
+  def streamingDedupGlobal(stream: DataFrame, fingerprintCol: String): DataFrame =
+    stream.dropDuplicates(fingerprintCol)
+
   def ingestUpsert(stream: DataFrame, idCol: String,
                    checkpointDir: String,
                    initial: DataFrame)(

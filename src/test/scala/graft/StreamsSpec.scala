@@ -81,6 +81,28 @@ class StreamsSpec extends SparkSpec {
       ("insert", "docs", "1"), ("update", "docs", "1"), ("delete", "other", "9")))
   }
 
+  test("streaming dedup drops cross-batch duplicates with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, String)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val out = Streams.streamingDedup(
+      input.toDF().toDF("event_time", "fp", "payload"),
+      "fp", "event_time", "10 seconds")
+    val q = out.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(1), "a", "v1"), (ts(2), "a", "v1-dup"), (ts(3), "b", "v2"))
+      q.processAllAvailable()
+      // duplicate in a LATER batch is still dropped (state persists)
+      input.addData((ts(4), "a", "v1-dup2"), (ts(5), "c", "v3"))
+      q.processAllAvailable()
+      val got = spark.table("sdedup").select("fp", "payload")
+        .as[(String, String)].collect().toMap
+      assert(got.keySet == Set("a", "b", "c"))
+      assert(got("a") == "v1") // first occurrence wins
+    } finally q.stop()
+  }
+
   test("Kafka CDC contract: decode → parse → per-batch apply from a MemoryStream") {
     implicit val sqlCtx = spark.sqlContext
     // MemoryStream shaped like a Kafka frame (topic/key/value) stands in
