@@ -53,6 +53,23 @@ object Ivf {
     transform(slice(array_sort(scored), 1, nprobe), s => s.getField("cell"))
   }
 
+  /** Unbiased bounded training sample. `limit(maxRows)` serves rows from
+    * the EARLIEST partitions only — at 100 TB that correlates with
+    * ingestion order / key ranges, so quantizers trained on it see a
+    * skewed slice of the distribution. When the table exceeds `maxRows`,
+    * a seeded Bernoulli sample draws from every partition (the count is
+    * parquet-metadata-cheap and index builds are full-data passes anyway);
+    * at or below `maxRows` this degenerates to the limit() path —
+    * bit-identical behavior at correctness-test scales.
+    */
+  private[graft] def boundedSample(df: DataFrame, maxRows: Int,
+                                   seed: Long = 42L): DataFrame = {
+    val n = df.count()
+    if (n <= maxRows) df.limit(maxRows)
+    else df.sample(withReplacement = false,
+      math.min(1.0, maxRows * 1.2 / n), seed).limit(maxRows)
+  }
+
   /** Centroids are fit on a bounded sample collected to the driver — the
     * standard coarse-quantizer recipe (FAISS trains IVF on ~30-100k sampled
     * vectors regardless of corpus size): at 100 TB only the cell ASSIGNMENT
@@ -63,9 +80,9 @@ object Ivf {
   def build(df: DataFrame, vecCol: Column, numCells: Int,
             metric: String = "cosine", seed: Long = 42L,
             maxIter: Int = 20, maxTrainRows: Int = 100000): Index = {
-    val train: Array[Array[Float]] = df
-      .select(vecCol.cast("array<float>").as("v"))
-      .limit(maxTrainRows).collect()
+    val train: Array[Array[Float]] = boundedSample(
+      df.select(vecCol.cast("array<float>").as("v")), maxTrainRows, seed)
+      .collect()
       .map(_.getSeq[Float](0).toArray)
     val centroids = localKMeans(train, numCells, maxIter, seed)
     val assigned = df.withColumn("cell", cellOf(vecCol, centroids, metric))

@@ -41,8 +41,8 @@ object Quantization {
     */
   def trainSq(df: DataFrame, vecCol: Column, maxTrainRows: Int = 100000): Sq = {
     // per-dim min/max via posexplode + groupBy (one pass, tiny result)
-    val mm = df.select(vecCol.cast("array<float>").as("v"))
-      .limit(maxTrainRows)
+    val mm = Ivf.boundedSample(
+        df.select(vecCol.cast("array<float>").as("v")), maxTrainRows)
       .select(posexplode(col("v")))
       .toDF("dim", "x")
       .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
@@ -147,8 +147,9 @@ object Quantization {
   def trainPq(df: DataFrame, vecCol: Column, numSubvectors: Int,
               maxTrainRows: Int = 20000, maxIter: Int = 20,
               seed: Long = 42L): Pq = {
-    val train = df.select(vecCol.cast("array<float>").as("v"))
-      .limit(maxTrainRows).collect().map(_.getSeq[Float](0).toArray)
+    val train = Ivf.boundedSample(
+        df.select(vecCol.cast("array<float>").as("v")), maxTrainRows, seed)
+      .collect().map(_.getSeq[Float](0).toArray)
     require(train.nonEmpty, "PQ training needs vectors")
     val dims = train(0).length
     val subDim = dims / numSubvectors
@@ -285,8 +286,8 @@ object Quantization {
 
   /** Per-dimension mean thresholds (quantization.rs:545-572). */
   def trainBq(df: DataFrame, vecCol: Column, maxTrainRows: Int = 100000): Bq = {
-    val mm = df.select(vecCol.cast("array<float>").as("v"))
-      .limit(maxTrainRows)
+    val mm = Ivf.boundedSample(
+        df.select(vecCol.cast("array<float>").as("v")), maxTrainRows)
       .select(posexplode(col("v")))
       .toDF("dim", "x")
       .groupBy("dim").agg(avg("x").as("mean"))

@@ -175,8 +175,9 @@ object VectorAnalytics {
   def cluster(df: DataFrame, idCol: Column, vecCol: Column, k: Int,
               maxIter: Int = 50, seed: Long = 42L,
               maxTrainRows: Int = 100000): DataFrame = {
-    val train = df.select(vecCol.cast("array<float>").as("v"))
-      .limit(maxTrainRows).collect().map(_.getSeq[Float](0).toArray)
+    val train = graft.ann.Ivf.boundedSample(
+      df.select(vecCol.cast("array<float>").as("v")), maxTrainRows, seed)
+      .collect().map(_.getSeq[Float](0).toArray)
     val centroids = graft.ann.Ivf.localKMeans(train, k, maxIter, seed)
     df.select(idCol.as("id"),
       graft.ann.Ivf.cellOf(vecCol, centroids, "euclidean").as("cluster"))
