@@ -289,8 +289,63 @@ class NeedleSession(val spark: SparkSession) {
       else ordered
     // OFFSET applied post-search (reference: executor.rs:193-197)
     val offsetted = q.offset.fold(limited)(o => limited.offset(o.toInt))
-    project(offsetted, q.select)
+    project(applyRagOptions(offsetted, q, c), q.select)
   }
+
+  /** USING RAG(rerank=..., deduplicate=...) post-retrieval stages. The
+    * reference PARSES both options but its executor applies only top_k and
+    * hybrid_alpha (needleql_executor.rs:735-746) — the dedup machinery
+    * lives in its ingestion pipeline (pipeline.rs:855 deduplicate_chunks,
+    * threshold 0.9 greedy keep-first). A silently-accepted clause is a
+    * user trap, so here both are honored over the k-bounded retrieved set:
+    * rerank=true re-scores with TermOverlap against the hybrid text;
+    * deduplicate=true drops near-duplicate texts (word-3-gram Jaccard ≥
+    * 0.9, first occurrence wins — the deduplicate_chunks rule).
+    */
+  private def applyRagOptions(df: DataFrame, q: Query,
+                              c: CollectionDef): DataFrame =
+    q.rag.fold(df) { r =>
+      def textColName = c.textCol.getOrElse(throw Parser.ParseError(
+        s"Collection ${q.from} has no text column for USING RAG post-processing"))
+      def withText(d: DataFrame) =
+        if (d.columns.contains(textColName)) d
+        else d.join(c.df.select(col(c.idCol), col(textColName)), c.idCol)
+      var d = df
+      if (r.rerank.contains(true)) {
+        val queryText = q.hybrid.map(_.text).getOrElse(throw Parser.ParseError(
+          "USING RAG(rerank=true) requires a text query (HYBRID_SEARCH)"))
+        val scores = graft.ops.TermOverlap
+          .rerank(withText(d), queryText, c.idCol, textColName, topK = Int.MaxValue)
+          .withColumnRenamed("score", "rag_rerank_score")
+          .withColumnRenamed("id", c.idCol)
+        d = d.join(scores, c.idCol)
+          .orderBy(col("rag_rerank_score").desc, col(c.idCol).asc)
+      }
+      if (r.deduplicate.contains(true)) {
+        // k-bounded retrieved set: greedy keep-first over collected texts
+        val rows = withText(d)
+          .select(col(c.idCol).cast("string"), col(textColName)).collect()
+        def shingleSet(t: String): Set[String] = {
+          val toks = (if (t == null) "" else t).trim.toLowerCase
+            .split("\\s+").filter(_.nonEmpty)
+          if (toks.length < 3) Set(toks.mkString(" "))
+          else toks.sliding(3).map(_.mkString(" ")).toSet
+        }
+        val keep = scala.collection.mutable.ArrayBuffer[(String, Set[String])]()
+        rows.foreach { row =>
+          val sh = shingleSet(row.getString(1))
+          val dup = keep.exists { case (_, ksh) =>
+            val inter = sh.intersect(ksh).size.toDouble
+            val union = (sh.size + ksh.size - inter) max 1.0
+            inter / union >= 0.9
+          }
+          if (!dup) keep += ((row.getString(0), sh))
+        }
+        val keepIds = keep.map(_._1).toSeq
+        d = d.filter(col(c.idCol).cast("string").isin(keepIds: _*))
+      }
+      d
+    }
 
   // BM25 stats per collection VERSION (the history index is a monotonic
   // version counter): a session keeps the index until a mutation commits a

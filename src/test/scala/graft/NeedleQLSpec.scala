@@ -310,6 +310,37 @@ class TimeExprSpec extends SparkSpec {
 class NeedleQLRagSpec extends SparkSpec {
   import spark.implicits._
 
+  test("USING RAG(deduplicate=true) drops near-duplicate retrieved texts") {
+    val s = new graft.needleql.NeedleSession(spark)
+    val base = "spark joins are fast and furious with broadcast hash tables enabled"
+    val docs = Seq(
+      ("a", Array(1f, 0f), base),
+      ("b", Array(0.98f, 0.1f), base + " indeed"), // near-dup of a (jaccard > 0.9)
+      ("c", Array(0.9f, 0.3f), "flink streams process events continuously"),
+    ).toDF("id", "vector", "text")
+    s.register("docs", graft.needleql.CollectionDef(docs, textCol = Some("text")))
+    val got = s.sql(
+      "SELECT id FROM docs HYBRID_SEARCH('spark', [1.0, 0.0]) USING RAG(deduplicate = true) LIMIT 3")
+      .as[String].collect().toSeq
+    assert(got.contains("a") && !got.contains("b")) // first occurrence wins
+  }
+
+  test("USING RAG(rerank=true) re-scores the retrieved set by term overlap") {
+    val s = new graft.needleql.NeedleSession(spark)
+    val docs = Seq(
+      ("a", Array(1f, 0f), "unrelated words entirely present here"),
+      ("b", Array(0.9f, 0.2f), "spark tuning"), // short + overlapping: max score
+      ("c", Array(0.8f, 0.4f), "some spark content in a longer document"),
+    ).toDF("id", "vector", "text")
+    s.register("docs", graft.needleql.CollectionDef(docs, textCol = Some("text")))
+    val got = s.sql(
+      "SELECT id FROM docs HYBRID_SEARCH('spark', [1.0, 0.0]) USING RAG(rerank = true) LIMIT 3")
+      .as[String].collect().toSeq
+    // vector order would put a first; term-overlap rerank scores a = 0 and
+    // prefers the short overlapping doc (idf/√doc_len): b, then c, then a
+    assert(got == Seq("b", "c", "a"))
+  }
+
   test("USING RAG hybrid_alpha overrides fusion weight; gaussian decay parses+runs") {
     val s = new graft.needleql.NeedleSession(spark)
     val docs = Seq(
