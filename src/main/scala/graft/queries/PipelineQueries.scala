@@ -128,6 +128,32 @@ object PipelineQueries {
         .orderBy(col("pred_lang"))
     },
 
+    // Fixed-size text chunking (reference pipeline.rs:735-758): 120-char
+    // windows stepping 100 (overlap 20), trimmed, empties dropped, chunk
+    // indices compact per doc. Sentence/recursive strategies are
+    // spec-pinned (ChunkingSpec); fixed-size is the SQL-replayable one.
+    "chunk_fixed" -> Q(
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+        |s AS (SELECT doc_id, text,
+        |             unnest(range(0, CAST(ceil(length(text) / 100.0) AS BIGINT))) AS i
+        |      FROM d),
+        |c AS (SELECT doc_id, i, trim(substr(text, CAST(i*100 + 1 AS INT), 120)) AS chunk
+        |      FROM s),
+        |f AS (SELECT doc_id, chunk,
+        |             row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS chunk_index
+        |      FROM c WHERE chunk <> '')
+        |SELECT doc_id, chunk_index, chunk FROM f
+        |ORDER BY doc_id, chunk_index""".stripMargin
+    ) { (s, dir) =>
+      import graft.pipeline.Chunking
+      Chunking.chunk(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 40),
+        col("doc_id"), col("text"),
+        Chunking.Config(Chunking.Strategy.FixedSize, chunkSize = 120,
+          chunkOverlap = 20))
+        .orderBy(col("doc_id"), col("chunk_index"))
+    },
+
     // Exact dedup over a corpus with planted duplicates.
     "dedup_exact" -> Q(
       s"""SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Chunking
+import graft.pipeline.Chunking.{Config, Strategy}
+
+class ChunkingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fixed-size: sliding windows step size-overlap, trimmed, empties dropped") {
+    val got = Chunking.chunkText("abcdefghij",
+      Config(Strategy.FixedSize, chunkSize = 4, chunkOverlap = 2))
+    // step 2: abcd, cdef, efgh, ghij, ij
+    assert(got == Seq("abcd", "cdef", "efgh", "ghij", "ij"))
+    assert(Chunking.chunkText("", Config(Strategy.FixedSize)) == Seq.empty)
+    // all-whitespace windows vanish
+    val ws = Chunking.chunkText("ab      cd",
+      Config(Strategy.FixedSize, chunkSize = 3, chunkOverlap = 0))
+    assert(!ws.exists(_.isEmpty))
+  }
+
+  test("sentence: packs to size, carries overlap chars (pipeline.rs:658)") {
+    val text = "One fish. Two fish. Red fish. Blue fish."
+    val got = Chunking.chunkText(text,
+      Config(Strategy.Sentence, chunkSize = 20, chunkOverlap = 5))
+    // each chunk stays near the size bound and every sentence appears
+    assert(got.size >= 2)
+    assert(got.mkString(" ").contains("Blue fish."))
+    // overlap: a later chunk starts with the tail of the previous one
+    // packing counts the sentence's leading space (split_inclusive keeps
+    // the terminator on the PREVIOUS segment), so " Red fish."+" Blue
+    // fish." is 21 chars > 20 and they land in separate chunks
+    val noOverlap = Chunking.chunkText(text,
+      Config(Strategy.Sentence, chunkSize = 20, chunkOverlap = 0))
+    assert(noOverlap == Seq("One fish. Two fish.", "Red fish.", "Blue fish."))
+    val withOverlap = Chunking.chunkText(text,
+      Config(Strategy.Sentence, chunkSize = 20, chunkOverlap = 5))
+    assert(withOverlap(1).startsWith("fish.")) // 5-char tail of chunk 1
+  }
+
+  test("sentence: short/empty text passthrough") {
+    assert(Chunking.chunkText("no enders here",
+      Config(Strategy.Sentence, 100, 0)) == Seq("no enders here"))
+    assert(Chunking.chunkText("", Config(Strategy.Sentence, 100, 0)) == Seq.empty)
+  }
+
+  test("recursive-character: separators tried in order, fallback to fixed (pipeline.rs:690)") {
+    val text = "para one\n\npara two\n\npara three"
+    val got = Chunking.chunkText(text,
+      Config(Strategy.RecursiveCharacter, chunkSize = 12, chunkOverlap = 0))
+    // "\n\n" splits first: parts packed at the paragraph level
+    assert(got == Seq("para one", "para two", "para three"))
+    // under the size bound: whole text as one chunk
+    assert(Chunking.chunkText("short",
+      Config(Strategy.RecursiveCharacter, 512, 50)) == Seq("short"))
+    // no separator present anywhere → fixed-size fallback
+    val fb = Chunking.chunkText("abcdefghijkl",
+      Config(Strategy.RecursiveCharacter, chunkSize = 5, chunkOverlap = 0))
+    assert(fb == Seq("abcde", "fghij", "kl"))
+  }
+
+  test("recursive-character: separator re-joined within a packed chunk") {
+    val text = "aa bb cc dd ee"
+    val got = Chunking.chunkText(text,
+      Config(Strategy.RecursiveCharacter, chunkSize = 6, chunkOverlap = 0,
+        separators = Seq(" ")))
+    assert(got == Seq("aa bb", "cc dd", "ee"))
+  }
+
+  test("distributed chunk(): narrow pass, per-doc indices") {
+    val docs = Seq((1L, "abcdefghij"), (2L, "xy")).toDF("id", "text")
+    val got = Chunking.chunk(docs, col("id"), col("text"),
+      Config(Strategy.FixedSize, chunkSize = 4, chunkOverlap = 0))
+    val rows = got.orderBy("doc_id", "chunk_index")
+      .as[(Long, Int, String)].collect().toSeq
+    assert(rows == Seq((1L, 0, "abcd"), (1L, 1, "efgh"), (1L, 2, "ij"),
+      (2L, 0, "xy")))
+    // plan is a narrow projection — no exchange
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
