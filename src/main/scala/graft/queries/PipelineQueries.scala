@@ -154,6 +154,47 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("chunk_index"))
     },
 
+    // End-to-end ingestion pipeline composition (reference pipeline.rs
+    // IngestionPipeline stages): chunk → corpus-wide exact chunk dedup
+    // (first occurrence by (doc_id, chunk_index) wins) → token-count
+    // quality filter. Every stage is SQL-replayable, so the whole
+    // composition is oracle-gated — the point is that the operators
+    // COMPOSE as lazy plans, not just work in isolation.
+    "pipeline_ingest" -> Q(
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+        |s AS (SELECT doc_id, text,
+        |             unnest(range(0, CAST(ceil(length(text) / 100.0) AS BIGINT))) AS i
+        |      FROM d),
+        |c AS (SELECT doc_id, i, trim(substr(text, CAST(i*100 + 1 AS INT), 120)) AS chunk
+        |      FROM s),
+        |f AS (SELECT doc_id, chunk,
+        |             row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS chunk_index
+        |      FROM c WHERE chunk <> ''),
+        |dd AS (SELECT doc_id, chunk_index, chunk,
+        |              row_number() OVER (
+        |                PARTITION BY md5(regexp_replace(lower(trim(chunk)), '\s+', ' ', 'g'))
+        |                ORDER BY doc_id, chunk_index) AS rn
+        |       FROM f)
+        |SELECT doc_id, chunk_index, chunk FROM dd
+        |WHERE rn = 1 AND len(string_split_regex(trim(chunk), '\s+')) >= 10
+        |ORDER BY doc_id, chunk_index""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.pipeline.Chunking
+      val chunks = Chunking.chunk(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 60),
+        col("doc_id"), col("text"),
+        Chunking.Config(Chunking.Strategy.FixedSize, chunkSize = 120,
+          chunkOverlap = 20))
+      chunks
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(TextAnalysis.fingerprintMd5(col("chunk")))
+            .orderBy(col("doc_id"), col("chunk_index"))))
+        .filter(col("__rn") === 1).drop("__rn")
+        .filter(TextAnalysis.tokenCountWs(col("chunk")) >= 10)
+        .orderBy(col("doc_id"), col("chunk_index"))
+    },
+
     // Exact dedup over a corpus with planted duplicates.
     "dedup_exact" -> Q(
       s"""SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
