@@ -126,6 +126,32 @@ object AnnQueries {
         .withColumn("check_passed", col("recall_at_10") >= 0.8)
     },
 
+    // PCA embedding compression (reference: ml/dimreduce.rs) — rows-only
+    // (power iteration is not SQL-reproducible). One row per component
+    // with its variance ratio; the self-check asserts the spectral
+    // contract: orthonormal components, ratios descending in [0,1].
+    "pca_components" -> Q.noOracle { (s, dir) =>
+      import s.implicits._
+      import graft.ann.DimReduce
+      val pca = DimReduce.fitPca(Tables.load(s, dir, "embeddings"),
+        col("embedding"), nComponents = 8)
+      def dot(a: Array[Float], b: Array[Float]): Double =
+        a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val orthonormal = (0 until pca.nComponents).forall { i =>
+        math.abs(dot(pca.components(i), pca.components(i)) - 1.0) < 1e-3 &&
+          (0 until i).forall(j =>
+            math.abs(dot(pca.components(i), pca.components(j))) < 1e-3)
+      }
+      val ratios = pca.explainedVarianceRatio
+      val descending = ratios.sliding(2).forall(p => p.length < 2 || p(0) >= p(1) - 1e-6)
+      val bounded = ratios.forall(r => r >= 0 && r <= 1.0001) && ratios.sum <= 1.0001
+      ratios.zipWithIndex.map { case (r, i) =>
+        (i, BigDecimal(r.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          orthonormal && descending && bounded)
+      }.toSeq.toDF("component", "variance_ratio", "check_passed")
+        .orderBy(col("component"))
+    },
+
     "lsh_ann" -> Q.noOracle { (s, dir) =>
       val q = queryVec(s, dir)
       val approx = Lsh.search(Tables.load(s, dir, "embeddings"), "vec_id",
