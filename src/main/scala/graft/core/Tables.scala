@@ -22,4 +22,20 @@ object Tables {
   /** Register every table as a temp view (for SQL / NeedleQL layers). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Persist a table bucketed on its join key (SURVEY §7: "bucketing for
+    * co-located joins"). Two tables bucketed identically on the same key
+    * join with ZERO exchanges — the shuffle happens once at write time and
+    * is amortized over every subsequent join, the standard layout for the
+    * fact⋈fact joins (lineitem⋈orders) that dominate 100 TB plans where
+    * neither side broadcasts.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int,
+                    sortCols: Seq[String] = Nil): Unit = {
+    var w = df.write.format("parquet").mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(table)
+  }
 }

@@ -68,6 +68,50 @@ class ChunkingSpec extends SparkSpec {
     assert(got == Seq("aa bb", "cc dd", "ee"))
   }
 
+  test("property: fixed-size without overlap covers the text losslessly") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genText = Gen.chooseNum(1, 300).flatMap(n =>
+      Gen.stringOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.const('x'))))
+    val genSize = Gen.chooseNum(1, 50)
+    val p = Prop.forAll(genText, genSize) { (t, size) =>
+      val chunks = Chunking.chunkText(t,
+        Config(Strategy.FixedSize, chunkSize = size, chunkOverlap = 0))
+      // no whitespace in the alphabet → trim is identity → concatenation
+      // reconstructs the input exactly, and every chunk obeys the bound
+      chunks.mkString("") == t && chunks.forall(_.length <= size)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(50), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: every strategy bounds chunks and loses no non-space chars") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val word = Gen.chooseNum(1, 8).flatMap(n => Gen.stringOfN(n, Gen.alphaChar))
+    val genText = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val strategies = Gen.oneOf[Strategy](Strategy.Sentence,
+      Strategy.RecursiveCharacter, Strategy.FixedSize)
+    val p = Prop.forAll(genText, strategies) { (t, st) =>
+      val cfg = Config(st, chunkSize = 30, chunkOverlap = 5)
+      val chunks = Chunking.chunkText(t, cfg)
+      val joined = chunks.mkString(" ").replaceAll("\\s+", "")
+      val original = t.replaceAll("\\s+", "")
+      // overlap may DUPLICATE characters but never drop them
+      val lossless = joined.length >= original.length
+      // size bound holds wherever a split point exists: Sentence can't
+      // split a text with no sentence enders (reference emits it whole)
+      val bounded = st match {
+        case Strategy.Sentence => true
+        case _ => chunks.forall(c => c.length <= 30 + 8)
+      }
+      lossless && bounded
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(50), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("distributed chunk(): narrow pass, per-doc indices") {
     val docs = Seq((1L, "abcdefghij"), (2L, "xy")).toDF("id", "text")
     val got = Chunking.chunk(docs, col("id"), col("text"),
