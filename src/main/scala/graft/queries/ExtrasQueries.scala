@@ -70,6 +70,28 @@ object ExtrasQueries {
         .select(col("id"), round(col("rrf_score"), 6).as("rrf_score"))
     },
 
+    // Collaborative filtering (reference experimental/collaborative_
+    // filtering.rs): implicit-ALS over interactions derived
+    // deterministically from events with two disjoint taste groups
+    // (user_id parity). Rows-only (factorization is not SQL); the
+    // self-check asserts a group-0 user's recommendations stay within
+    // group-0 items — the factors actually separated the blocks.
+    "cf_recommend" -> Q.noOracle { (s, dir) =>
+      import graft.ops.CollaborativeFiltering
+      val ev = Tables.load(s, dir, "events").filter(col("event_id") < 2000)
+      val inter = ev.select(
+        concat(lit("u"), col("user_id") % 20).as("user"),
+        concat(lit("i"),
+          (col("user_id") % 2) * 5 + col("event_id") % 5).as("item"),
+        lit(1.0).as("w"))
+      val m = CollaborativeFiltering.fit(inter, "user", "item", "w",
+        rank = 4, maxIter = 8)
+      CollaborativeFiltering.recommend(m, "u0", k = 3)
+        .select(col("item"),
+          round(col("cf_score"), 6).as("cf_score"),
+          col("item").isin("i0", "i1", "i2", "i3", "i4").as("check_passed"))
+    },
+
     // Provenance tagging (reference insert.rs:446-460): struct flattened
     // to scalars for the hashable gate.
     "provenance_tag" -> Q(
