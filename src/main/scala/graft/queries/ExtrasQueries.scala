@@ -84,8 +84,12 @@ object ExtrasQueries {
         concat(lit("i"),
           (col("user_id") % 2) * 5 + col("event_id") % 5).as("item"),
         lit(1.0).as("w"))
-      val m = CollaborativeFiltering.fit(inter, "user", "item", "w",
-        rank = 4, maxIter = 8)
+      // a factorization is persistent collection state like the BM25/IVF
+      // indexes — fit once per source dir, not per query execution
+      val m = graft.core.IndexCache.getOrBuild(s"cf:$dir") {
+        CollaborativeFiltering.fit(inter, "user", "item", "w",
+          rank = 4, maxIter = 8)
+      }
       CollaborativeFiltering.recommend(m, "u0", k = 3)
         .select(col("item"),
           round(col("cf_score"), 6).as("cf_score"),

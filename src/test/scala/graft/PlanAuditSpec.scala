@@ -15,7 +15,7 @@ class PlanAuditSpec extends SparkSpec {
   // equi-join-only operators: neither cartesian nor nested-loop allowed
   private val strictQueries = Seq(
     "graph_knn_edges", "ngram_jaccard", "dedup_exact",
-    "branch_resolve", "branch_diff",
+    "branch_resolve", "branch_diff", "chunk_fixed", "pipeline_ingest",
     "q4_join_topk", "debezium_parse", "event_replay")
 
   // allowed a bounded broadcast nested loop — a 1-ROW broadcast frame
@@ -25,7 +25,8 @@ class PlanAuditSpec extends SparkSpec {
   private val noCartesianQueries = Seq(
     "bm25_search", "minhash_lsh_dedup", "simhash_near_dup",
     "hybrid_rrf", "ivf_knn_full_probe", "ivf_knn_pruned", "vec_cluster",
-    "crossmodal_rrf", "ensemble_rerank", "batch_knn_cosine")
+    "crossmodal_rrf", "ensemble_rerank", "batch_knn_cosine",
+    "cf_recommend", "field_stats", "needleql_rerank_field")
 
   for (name <- strictQueries)
     test(s"$name plans no cartesian and no nested-loop join") {
