@@ -74,6 +74,29 @@ class BranchingSpec extends SparkSpec {
     assertThrows[BranchError](conflicted.merge("x", "x"))
   }
 
+  test("12-deep branch chain resolves correctly (plan growth stays linear)") {
+    val t = new BranchTree(
+      Seq(("k", Array(0f, 0f))).toDF("id", "vector"))
+    var parent = "main"
+    (1 to 12).foreach { i =>
+      val b = s"b$i"
+      t.createBranch(b, parent)
+      // each level overrides k and adds its own id
+      t.upsert(b, Seq(("k", Array(i.toFloat, 0f)),
+        (s"n$i", Array(0f, i.toFloat))).toDF("id", "vector"))
+      parent = b
+    }
+    val t0 = System.nanoTime()
+    val resolved = t.resolve("b12")
+    val ids = resolved.select("id").as[String].collect().toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(ids == (1 to 12).map(i => s"n$i").toSet + "k")
+    // deepest override wins through the whole chain
+    assert(t.get("b12", "k").get.getSeq[Float](1) == Seq(12f, 0f))
+    // the 25-join plan must analyze+execute in bounded time
+    assert(secs < 60, s"deep-chain resolve took ${secs}s")
+  }
+
   test("freeze, protected deletes, unknown branches") {
     val t = tree
     t.createBranch("f", "main").freeze("f")
