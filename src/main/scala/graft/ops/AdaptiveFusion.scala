@@ -86,8 +86,12 @@ final class AdaptiveFusion(val base: Rrf.Config = Rrf.Config.default,
         col("vector_weight"), col("bm25_weight"))
       .collect() // click-scale data: thousands of rows, not table-scale
       .foreach { r =>
+        // numeric widening: callers naturally produce Int or Long
+        // positions and Float or Double weights
         recordFeedback(Feedback(r.getString(0), r.getBoolean(1),
-          r.getInt(2), r.getDouble(3), r.getDouble(4)))
+          r.get(2).asInstanceOf[Number].intValue,
+          r.get(3).asInstanceOf[Number].doubleValue,
+          r.get(4).asInstanceOf[Number].doubleValue))
       }
 
   /** Adaptive search: fuse the two ranked lists with this query's learned
