@@ -8,8 +8,9 @@ import org.apache.spark.sql.SparkSession
   * executions — the first execution absorbs plan compilation/JIT/IO
   * warm-up, so a single-shot suite manufactures phantom regressions that
   * depend on run order (plan-identical queries were measured 9× apart).
-  * Three estimators are reported per query: `queries` = MEDIAN, `min` =
-  * minimum, `spread` = (max − min)/median. On sub-second queries the
+  * Three estimators are reported per query: the final JSON line's
+  * `queries` map = MEDIAN (2-decimal); per-query `#detail` lines carry
+  * full-precision median/min/spread, where spread = (max − min)/median. On sub-second queries the
   * median still carries ±0.1-0.3 s of ambient jitter (GC, page cache,
   * shared host); the MIN is the standard noise-robust floor estimator —
   * noise only ever ADDS time — so round-over-round comparisons should
@@ -62,14 +63,24 @@ object Bench {
         val spread = if (med > 0) (times.max - times.min) / med else 0.0
         (name, med, times.min, spread)
       }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    // The driver keeps only the LAST ~2000 characters of stdout and parses
+    // the JSON line from that window. Full-precision maps for 80+ queries
+    // overflow it (rounds 1-3 all recorded parsed:null), so the detail
+    // (median/min/spread per query, full precision) goes on earlier
+    // `#detail` lines and the FINAL line is a compact (<1.8 KB) JSON with
+    // 2-decimal medians that fits the window even with sbt's trailing
+    // "[success]" line.
+    def short(v: Double): String = {
+      val s = f"$v%.2f"
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
+    }
+    results.foreach { case (k, med, mn, sp) =>
+      println(f"""#detail {"q":"$k","median":$med%.4f,"min":$mn%.4f,"spread":$sp%.3f}""")
+    }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + short(v) }
       .mkString("{", ",", "}")
-    val mins = results.map { case (k, _, mn, _) => s"\"" + k + "\":" + mn }
-      .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, _, sp) =>
-      s"\"" + k + "\":" + f"$sp%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"spread":$spreads,"runs":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${short(total)},"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -61,12 +61,56 @@ object Search {
       .orderBy(col("distance").asc, col(idCol).asc)
       .limit(limit)
 
-  /** `batch_search(queries, k)` (reference: src/collection/batch.rs:32-76).
-    * The reference fans out per-query on rayon; the Spark-natural formulation
-    * is a broadcast cross-join of the (small) query set against the vector
-    * table with a per-query-partitioned top-k window. One scan of the big
-    * table serves every query; the window shuffle is bounded by
-    * |queries| × |vectors-per-query-candidate| only after the rank filter.
+  /** `batch_search(queries, k)` → (query_id, id, distance) only
+    * (reference: src/collection/batch.rs:32-76). The reference fans out
+    * per-query on rayon; here one scan of the vector table serves every
+    * query: broadcast cross-join against the (small) query set, then a
+    * bounded top-k AGGREGATE per query id ([[graft.functions.TopKAgg]]).
+    * Partial aggregation keeps a k-element buffer per (partition, query)
+    * on the map side, so the exchange carries |partitions|×|queries|×k
+    * pre-reduced rows — NOT the |queries|×|vectors| rows a
+    * `row_number() OVER (PARTITION BY query_id)` window would shuffle and
+    * sort before its rank filter ever ran. At 100 TB that difference is
+    * the whole cost of the operator.
+    *
+    * `idCol` must be numeric (the bounded buffer carries longs); use
+    * [[batchTopKRows]] for full payload rows.
+    */
+  def batchTopKPairs(vectors: DataFrame, queries: DataFrame, k: Int,
+                     vecCol: String = "vector", qVecCol: String = "query_vector",
+                     qIdCol: String = "query_id", metric: String = "cosine",
+                     idCol: String = "id",
+                     roundTo: Option[Int] = None): DataFrame = {
+    import graft.functions.TopKAgg
+    val rawDist = Distances.distance(metric, col(vecCol), col(qVecCol))
+    val dist = roundTo.fold(rawDist)(d => round(rawDist, d))
+    vectors.crossJoin(broadcast(queries))
+      .select(col(qIdCol), dist.as("__d"), col(idCol).cast("long").as("__id"))
+      .groupBy(col(qIdCol))
+      .agg(TopKAgg.topKF(k)(col("__d"), col("__id")).as("__top"))
+      .select(col(qIdCol), explode(col("__top")).as("__t"))
+      .select(col(qIdCol), col("__t._2").as(idCol), col("__t._1").as("distance"))
+  }
+
+  /** `batch_search` with full payload rows: bounded top-k aggregate first
+    * (see [[batchTopKPairs]]), then the |queries|×k winner set — tiny —
+    * broadcast-joins back to the vector table for the remaining columns.
+    * Two scans of the big table, zero unbounded shuffles.
+    */
+  def batchTopKRows(vectors: DataFrame, queries: DataFrame, k: Int,
+                    vecCol: String = "vector", qVecCol: String = "query_vector",
+                    qIdCol: String = "query_id", metric: String = "cosine",
+                    idCol: String = "id"): DataFrame = {
+    val winners = batchTopKPairs(vectors, queries, k, vecCol, qVecCol,
+      qIdCol, metric, idCol)
+    vectors.withColumn(idCol, col(idCol).cast("long"))
+      .join(broadcast(winners), idCol)
+  }
+
+  /** Window formulation of batch top-k — kept for NON-NUMERIC id columns,
+    * where the bounded-buffer aggregate does not apply. Shuffles every
+    * scored row; prefer [[batchTopKPairs]]/[[batchTopKRows]] whenever ids
+    * are numeric.
     */
   def batchTopK(vectors: DataFrame, queries: DataFrame, k: Int,
                 vecCol: String = "vector", qVecCol: String = "query_vector",

@@ -18,13 +18,13 @@ object ExtrasQueries {
     "field_stats" -> Q(
       """SELECT * FROM (
         |  SELECT 'event_type' AS field, count(DISTINCT event_type) AS cardinality,
-        |         sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS nulls,
+        |         CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
         |         count(*) AS total,
         |         count(DISTINCT event_type) > 100 AS high_cardinality
         |  FROM events
         |  UNION ALL
         |  SELECT 'user_id', count(DISTINCT user_id),
-        |         sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), count(*),
+        |         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(*),
         |         count(DISTINCT user_id) > 100
         |  FROM events)
         |ORDER BY field""".stripMargin

@@ -145,16 +145,10 @@ object MoreSearchQueries {
       val emb = Tables.load(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 4)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vector"))
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("distance"), col("vec_id"))
-      emb.filter(col("label").isin(0, 1, 2))
-        .crossJoin(broadcast(queries))
-        .select(col("query_id"), col("vec_id"),
-          round(Distances.cosine(col("embedding"), col("query_vector")), 6)
-            .as("distance"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= 3).drop("__rn")
+      // filter → bounded top-k aggregate (no per-row window shuffle)
+      graft.ops.Search.batchTopKPairs(
+          emb.filter(col("label").isin(0, 1, 2)), queries, k = 3,
+          vecCol = "embedding", idCol = "vec_id", roundTo = Some(6))
         .orderBy(col("query_id"), col("distance"), col("vec_id"))
     },
 

@@ -104,19 +104,15 @@ object VectorQueries {
         |SELECT query_id, vec_id, distance FROM ranked WHERE rn <= 5
         |ORDER BY query_id, distance, vec_id""".stripMargin
     ) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val emb = Tables.load(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      // Rank on the ROUNDED distance (same as the oracle) so rank-boundary
-      // ties resolve identically on both sides.
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("distance").asc, col("vec_id").asc)
-      emb.crossJoin(broadcast(qs))
-        .select(col("query_id"), col("vec_id"),
-          round(Distances.cosine(col("embedding"), col("qv")), 6).as("distance"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= 5).drop("__rn")
+      // Bounded top-k aggregate, ranked on the ROUNDED distance (same as
+      // the oracle) so rank-boundary ties resolve identically on both
+      // sides; the shuffle carries k-element buffers, not all scored rows.
+      graft.ops.Search.batchTopKPairs(emb, qs, k = 5,
+          vecCol = "embedding", qVecCol = "qv", idCol = "vec_id",
+          roundTo = Some(6))
         .orderBy(col("query_id").asc, col("distance").asc, col("vec_id").asc)
     },
   )
