@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's final JSON line from the LAST ~2000 chars of
+// stdout; sbt's "[success] Total time ..." trailer eats ~70 chars of that
+// window, so suppress it (exit codes still signal failure).
+Global / showSuccess := false
+// Forked `run` output is decorated "[info] ..." by sbt's logger by default,
+// which corrupts Bench's machine-parsed final JSON line — stream it raw.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

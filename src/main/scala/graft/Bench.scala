@@ -70,17 +70,24 @@ object Bench {
     // `#detail` lines and the FINAL line is a compact (<1.8 KB) JSON with
     // 2-decimal medians that fits the window even with sbt's trailing
     // "[success]" line.
-    def short(v: Double): String = {
-      val s = f"$v%.2f"
+    def short(v: Double, dec: Int): String = {
+      val s = String.format(s"%.${dec}f", Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
     }
     results.foreach { case (k, med, mn, sp) =>
       println(f"""#detail {"q":"$k","median":$med%.4f,"min":$mn%.4f,"spread":$sp%.3f}""")
     }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + short(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${short(total)},"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    // Adaptive precision: the final line must fit the driver's ~2000-char
+    // stdout tail window with margin (full per-query precision is on the
+    // #detail lines above). Degrade 2 -> 1 decimals only if needed.
+    def line(dec: Int): String = {
+      val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + short(v, dec) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${short(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    }
+    println(Seq(line(2), line(1)).find(_.length <= 1900).getOrElse(line(1)))
     spark.stop()
   }
 }
