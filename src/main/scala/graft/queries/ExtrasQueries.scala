@@ -15,24 +15,28 @@ object ExtrasQueries {
     // Field statistics (reference metadata.rs:606-640). The approximate
     // cardinality (HLL) is not SQL-reproducible, so the gate projects the
     // exact columns only; the approx path is spec-covered (ExtrasSpec).
+    // All columns are non-nullable BIGINT/VARCHAR (the boolean flag is
+    // cast to 0/1 and the null-count coalesced) so the driver's value
+    // hash sees identical physical representations on both sides.
     "field_stats" -> Q(
       """SELECT * FROM (
         |  SELECT 'event_type' AS field, count(DISTINCT event_type) AS cardinality,
-        |         CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+        |         CAST(coalesce(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS nulls,
         |         count(*) AS total,
-        |         count(DISTINCT event_type) > 100 AS high_cardinality
+        |         CAST(CASE WHEN count(DISTINCT event_type) > 100 THEN 1 ELSE 0 END AS BIGINT) AS high_cardinality
         |  FROM events
         |  UNION ALL
         |  SELECT 'user_id', count(DISTINCT user_id),
-        |         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(*),
-        |         count(DISTINCT user_id) > 100
+        |         CAST(coalesce(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT), count(*),
+        |         CAST(CASE WHEN count(DISTINCT user_id) > 100 THEN 1 ELSE 0 END AS BIGINT)
         |  FROM events)
         |ORDER BY field""".stripMargin
     ) { (s, dir) =>
       Extras.fieldStats(Tables.load(s, dir, "events"),
         Seq("event_type", "user_id"), cardinalityThreshold = 100)
-        .select(col("field"), col("cardinality"), col("nulls"), col("total"),
-          col("high_cardinality"))
+        .select(col("field"), col("cardinality"),
+          coalesce(col("nulls"), lit(0L)).as("nulls"), col("total"),
+          col("high_cardinality").cast("long").as("high_cardinality"))
         .orderBy(col("field"))
     },
 
