@@ -19,7 +19,8 @@ object SparkEntry {
       SearchPipelineQueries.defs ++ AdvancedQueries.defs ++
       NeedleQLQueries.defs ++ AnnQueries.defs ++ MutationQueries.defs ++
       StreamQueries.defs ++ MultimodalQueries.defs ++ MoreSearchQueries.defs ++
-      ExtrasQueries.defs ++ FederatedQueries.defs ++ TemporalQueries.defs
+      ExtrasQueries.defs ++ FederatedQueries.defs ++ TemporalQueries.defs ++
+      MemoryGraphQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{AgentMemory, KnowledgeGraph}
+
+/** Oracle gates for agentic memory (reference: src/experimental/
+  * agentic_memory.rs) and the typed knowledge graph (experimental/
+  * knowledge_graph.rs).
+  *
+  * The memory store derives from `embeddings`: six memory types cycle with
+  * vec_id, importance steps 1.0..1.9, created_at walks back one hour per
+  * id from a fixed epoch so ages (and therefore decay) vary per row; `now`
+  * is pinned. The knowledge graph links vec_id → (vec_id·7+3) mod n — a
+  * deterministic ring with varied in-degrees.
+  */
+object MemoryGraphQueries {
+
+  private val storeCte =
+    """st AS (
+      |  SELECT vec_id AS id,
+      |         CASE vec_id % 6 WHEN 0 THEN 'short_term' WHEN 1 THEN 'working'
+      |              WHEN 2 THEN 'long_term' WHEN 3 THEN 'episodic'
+      |              WHEN 4 THEN 'semantic' ELSE 'procedural' END AS memory_type,
+      |         1.0 + (vec_id % 10) / 10.0 AS importance,
+      |         1700000000 - vec_id * 3600 AS created_at,
+      |         embedding
+      |  FROM embeddings
+      |)""".stripMargin
+
+  private def store(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "embeddings").select(
+      col("vec_id").as("id"),
+      when(col("vec_id") % 6 === 0, "short_term")
+        .when(col("vec_id") % 6 === 1, "working")
+        .when(col("vec_id") % 6 === 2, "long_term")
+        .when(col("vec_id") % 6 === 3, "episodic")
+        .when(col("vec_id") % 6 === 4, "semantic")
+        .otherwise("procedural").as("memory_type"),
+      (lit(1.0) + (col("vec_id") % 10) / 10.0).as("importance"),
+      (lit(1700000000L) - col("vec_id") * 3600).as("created_at"),
+      lit(0L).as("last_accessed"), lit(0L).as("access_count"),
+      col("embedding"))
+
+  private def queryVec(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+
+  private val kgRelCte =
+    """n AS (SELECT count(*) AS c FROM embeddings),
+      |rel AS (
+      |  SELECT vec_id AS source, (vec_id * 7 + 3) % (SELECT c FROM n) AS target
+      |  FROM embeddings
+      |),
+      |deg AS (
+      |  SELECT id, count(*) AS d
+      |  FROM (SELECT source AS id FROM rel UNION ALL SELECT target FROM rel)
+      |  GROUP BY id
+      |)""".stripMargin
+
+  private def kgData(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val n = emb.count()
+    val entities = emb.select(col("vec_id").as("id"),
+      when(col("vec_id") % 4 === 0, "person")
+        .when(col("vec_id") % 4 === 1, "place")
+        .when(col("vec_id") % 4 === 2, "org")
+        .otherwise("concept").as("entity_type"),
+      col("embedding"))
+    val relations = emb.select(col("vec_id").as("source"),
+      ((col("vec_id") * 7 + 3) % n).as("target"),
+      when(col("vec_id") % 3 === 0, "knows")
+        .when(col("vec_id") % 3 === 1, "near")
+        .otherwise("part_of").as("relation_type"),
+      lit(1.0).as("weight"))
+    (entities, relations)
+  }
+
+  val defs: Map[String, Q] = Map(
+    // Memory recall: 0.7·cosine + 0.3·decayed importance, exp half-life
+    // 168 h (agentic_memory.rs:452-524), threshold 0 admits positive sims.
+    "memory_recall" -> Q(
+      s"""WITH $storeCte,
+        |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |sc AS (
+        |  SELECT st.id, st.memory_type,
+        |         list_cosine_similarity(st.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim,
+        |         importance * pow(0.5, greatest(1700003600 - created_at, 0) / 3600.0 / 168.0) AS ei
+        |  FROM st CROSS JOIN q
+        |)
+        |SELECT id, memory_type, round(sim, 6) AS similarity,
+        |       round(ei, 6) AS effective_importance,
+        |       round(0.7 * sim + 0.3 * ei, 6) AS relevance
+        |FROM sc WHERE sim >= 0.0
+        |ORDER BY 0.7 * sim + 0.3 * ei DESC, id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      AgentMemory.recall(store(s, dir), queryVec(s, dir), k = 10,
+          now = 1700003600L,
+          AgentMemory.Config(recallThreshold = 0.0))
+        .select(col("id"), col("memory_type"),
+          round(col("similarity"), 6).as("similarity"),
+          round(col("effective_importance"), 6).as("effective_importance"),
+          round(col("relevance"), 6).as("relevance"))
+    },
+
+    // Context recall: (1−tw)·sim·eff_importance + tw·recency at tw = 0.4
+    // (agentic_memory.rs:935-985).
+    "memory_context_recall" -> Q(
+      s"""WITH $storeCte,
+        |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |sc AS (
+        |  SELECT st.id,
+        |         list_cosine_similarity(st.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim,
+        |         importance * pow(0.5, greatest(1700003600 - created_at, 0) / 3600.0 / 168.0) AS ei,
+        |         pow(0.5, greatest(1700003600 - created_at, 0) / 3600.0 / 168.0) AS rec
+        |  FROM st CROSS JOIN q
+        |)
+        |SELECT id, round(sim, 6) AS similarity,
+        |       round(sim * ei * 0.6 + rec * 0.4, 6) AS relevance
+        |FROM sc WHERE sim >= 0.0
+        |ORDER BY sim * ei * 0.6 + rec * 0.4 DESC, id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      AgentMemory.recallWithContext(store(s, dir), queryVec(s, dir), k = 10,
+          timeWeight = 0.4, now = 1700003600L,
+          AgentMemory.Config(recallThreshold = 0.0))
+        .select(col("id"), round(col("similarity"), 6).as("similarity"),
+          round(col("relevance"), 6).as("relevance"))
+    },
+
+    // Consolidation at threshold 1.2: short-term rows whose decayed
+    // importance clears the bar flip to long_term (agentic_memory.rs:
+    // 580-618); the gate checks the resulting type census.
+    "memory_consolidate" -> Q(
+      s"""WITH $storeCte,
+        |after AS (
+        |  SELECT CASE WHEN memory_type = 'short_term' AND
+        |              importance * pow(0.5, greatest(1700003600 - created_at, 0) / 3600.0 / 168.0) >= 1.2
+        |              THEN 'long_term' ELSE memory_type END AS memory_type
+        |  FROM st
+        |)
+        |SELECT memory_type, count(*) AS n
+        |FROM after GROUP BY memory_type ORDER BY memory_type""".stripMargin
+    ) { (s, dir) =>
+      AgentMemory.consolidate(store(s, dir), now = 1700003600L,
+          AgentMemory.Config(consolidationThreshold = 1.2))
+        .groupBy(col("memory_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("memory_type"))
+    },
+
+    // KG hybrid search: 0.7·cosine + 0.3·degree-centrality
+    // (knowledge_graph.rs:337-385, 577-585).
+    "kg_search" -> Q(
+      s"""WITH $kgRelCte,
+        |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |sc AS (
+        |  SELECT e.vec_id AS id,
+        |         list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim,
+        |         least(coalesce(d.d, 0)::DOUBLE / (SELECT c FROM n), 1.0) AS gs
+        |  FROM embeddings e CROSS JOIN q LEFT JOIN deg d ON e.vec_id = d.id
+        |)
+        |SELECT id, round(sim, 6) AS similarity, round(gs, 6) AS graph_score,
+        |       round(0.7 * sim + 0.3 * gs, 6) AS combined_score
+        |FROM sc ORDER BY 0.7 * sim + 0.3 * gs DESC, id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      val (entities, relations) = kgData(s, dir)
+      KnowledgeGraph.search(entities, relations, queryVec(s, dir), k = 10)
+        .select(col("id"), round(col("similarity"), 6).as("similarity"),
+          round(col("graph_score"), 6).as("graph_score"),
+          round(col("combined_score"), 6).as("combined_score"))
+    },
+
+    // KG context search: entities within 2 undirected hops of the anchors
+    // take graph_score 1.0 (knowledge_graph.rs:388-466). The oracle
+    // unrolls the bounded BFS as explicit hop levels.
+    "kg_context_search" -> Q(
+      s"""WITH $kgRelCte,
+        |und AS (SELECT source AS src, target AS dst FROM rel
+        |        UNION ALL SELECT target, source FROM rel),
+        |l0 AS (SELECT 5 AS id UNION ALL SELECT 10),
+        |l1 AS (
+        |  SELECT DISTINCT dst AS id FROM und JOIN l0 ON und.src = l0.id
+        |  WHERE dst NOT IN (SELECT id FROM l0)
+        |),
+        |l2 AS (
+        |  SELECT DISTINCT dst AS id FROM und JOIN l1 ON und.src = l1.id
+        |  WHERE dst NOT IN (SELECT id FROM l0) AND dst NOT IN (SELECT id FROM l1)
+        |),
+        |reach AS (
+        |  SELECT id, 0 AS hop FROM l0
+        |  UNION ALL SELECT id, 1 FROM l1
+        |  UNION ALL SELECT id, 2 FROM l2
+        |),
+        |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |sc AS (
+        |  SELECT e.vec_id AS id,
+        |         list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim,
+        |         CASE WHEN r.id IS NOT NULL THEN 1.0
+        |              ELSE least(coalesce(d.d, 0)::DOUBLE / (SELECT c FROM n), 1.0) END AS gs,
+        |         r.hop AS anchor_hops
+        |  FROM embeddings e CROSS JOIN q
+        |  LEFT JOIN deg d ON e.vec_id = d.id
+        |  LEFT JOIN reach r ON e.vec_id = r.id
+        |)
+        |SELECT id, round(sim, 6) AS similarity, round(gs, 6) AS graph_score,
+        |       round(0.7 * sim + 0.3 * gs, 6) AS combined_score, anchor_hops
+        |FROM sc ORDER BY 0.7 * sim + 0.3 * gs DESC, id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      val (entities, relations) = kgData(s, dir)
+      KnowledgeGraph.searchWithContext(entities, relations, queryVec(s, dir),
+          k = 10, anchors = Seq(5L, 10L))
+        .select(col("id"), round(col("similarity"), 6).as("similarity"),
+          round(col("graph_score"), 6).as("graph_score"),
+          round(col("combined_score"), 6).as("combined_score"),
+          col("anchor_hops"))
+    },
+  )
+}
