@@ -155,17 +155,26 @@ object Temporal {
 
   // --------------------------------------------------- trajectory kernels
 
-  private def euclid(a: Seq[Float], b: Seq[Float]): Double = {
+  private def euclid(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0; var i = 0; val n = math.min(a.length, b.length)
     while (i < n) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
     math.sqrt(s)
   }
 
+  /** The UDF hands back boxed Seq[Seq[Float]]; one conversion pass to
+    * primitive arrays keeps the O(n·m·dim) DP unbox-free.
+    */
+  private def toArr(x: Seq[Seq[Float]]): Array[Array[Float]] =
+    x.iterator.map(_.toArray).toArray
+
   /** Dynamic Time Warping distance (temporal_sequences.rs:206-226):
     * dp[i][j] = cost(i,j) + min(dp[i-1][j], dp[i][j-1], dp[i-1][j-1]),
     * rolling-row DP, O(min(n,m)) memory.
     */
-  def dtw(a: Seq[Seq[Float]], b: Seq[Seq[Float]]): Double = {
+  def dtw(a: Seq[Seq[Float]], b: Seq[Seq[Float]]): Double =
+    dtwArr(toArr(a), toArr(b))
+
+  private[ops] def dtwArr(a: Array[Array[Float]], b: Array[Array[Float]]): Double = {
     val n = a.length; val m = b.length
     if (n == 0 || m == 0) return Double.MaxValue
     var prev = Array.fill(m + 1)(Double.MaxValue)
@@ -192,7 +201,10 @@ object Temporal {
     * dp[i][j] = max(d(i,j), min(dp[i-1][j], dp[i][j-1], dp[i-1][j-1]))
     * with first-row/column chaining.
     */
-  def frechet(a: Seq[Seq[Float]], b: Seq[Seq[Float]]): Double = {
+  def frechet(a: Seq[Seq[Float]], b: Seq[Seq[Float]]): Double =
+    frechetArr(toArr(a), toArr(b))
+
+  private[ops] def frechetArr(a: Array[Array[Float]], b: Array[Array[Float]]): Double = {
     val n = a.length; val m = b.length
     if (n == 0 || m == 0) return Double.MaxValue
     var prev = new Array[Double](m)
@@ -261,11 +273,12 @@ object Temporal {
           .orderBy(col("distance").asc, col("seq").asc)
           .limit(limit)
       case m =>
-        val q: Seq[Seq[Float]] = query.map(_.toSeq)
+        val qa: Array[Array[Float]] = query.toArray
         val kernel = udf { (t: Seq[Seq[Float]]) =>
+          val ta = toArr(t)
           m match {
-            case TrajectoryDistance.Dtw => dtw(q, t)
-            case _                      => frechet(q, t)
+            case TrajectoryDistance.Dtw => dtwArr(qa, ta)
+            case _                      => frechetArr(qa, ta)
           }
         }
         trajectories(base, seqCol, tsCol, vecCol)
@@ -274,5 +287,27 @@ object Temporal {
           .orderBy(col("distance").asc, col("seq").asc)
           .limit(limit)
     }
+  }
+
+  /** Both trajectory kernels in ONE pass over one per-sequence array —
+    * for callers that need DTW and Fréchet together (e.g. the dtw-
+    * dominates-frechet self-check) without building the trajectory frame
+    * twice. Output: (seq, distance [dtw], frechet).
+    */
+  def searchTrajectoryBoth(df: DataFrame, seqCol: Column, tsCol: Column,
+                           vecCol: Column, query: Seq[Array[Float]],
+                           limit: Int): DataFrame = {
+    require(query.nonEmpty, "trajectory search needs a non-empty query sequence")
+    val qa: Array[Array[Float]] = query.toArray
+    val kernel = udf { (t: Seq[Seq[Float]]) =>
+      val ta = toArr(t)
+      (dtwArr(qa, ta), frechetArr(qa, ta))
+    }
+    trajectories(df, seqCol, tsCol, vecCol)
+      .withColumn("__k", kernel(col("trajectory")))
+      .select(col("seq"), col("__k._1").as("distance"),
+        col("__k._2").as("frechet"))
+      .orderBy(col("distance").asc, col("seq").asc)
+      .limit(limit)
   }
 }

@@ -197,14 +197,11 @@ object TemporalQueries {
     "trajectory_dtw" -> Q.noOracle { (s, dir) =>
       val q = querySeq(s, dir)
       val seqs = sequences(s, dir)
-      val top = Temporal.searchTrajectory(seqs, col("seq"), col("ts"),
-        col("embedding"), q, Temporal.TrajectoryDistance.Dtw, limit = 5)
-      val fre = Temporal.searchTrajectory(seqs, col("seq"), col("ts"),
-          col("embedding"), q, Temporal.TrajectoryDistance.Frechet,
-          limit = Int.MaxValue)
-        .withColumnRenamed("distance", "frechet")
+      // one trajectories pass computes both kernels (no second shuffle)
+      val both = Temporal.searchTrajectoryBoth(seqs, col("seq"), col("ts"),
+        col("embedding"), q, limit = 5)
       val w = Window.partitionBy(lit(1)) // ≤ 8 sequences — bounded frame
-      top.join(fre, "seq")
+      both
         .withColumn("__self_zero",
           min(when(col("seq") === 2, col("distance"))).over(w) < 1e-9)
         .withColumn("__global_min", min(col("distance")).over(w))
