@@ -16,7 +16,14 @@ class PlanAuditSpec extends SparkSpec {
   private val strictQueries = Seq(
     "graph_knn_edges", "ngram_jaccard", "dedup_exact",
     "branch_resolve", "branch_diff", "chunk_fixed", "pipeline_ingest",
-    "q4_join_topk", "debezium_parse", "event_replay")
+    "q4_join_topk", "debezium_parse", "event_replay",
+    // round-4 surfaces: federated merge, bandits, temporal sequences,
+    // relevance feedback, agent memory, knowledge graph, CRDT
+    "federated_rrf", "federated_consensus", "bandit_rerank",
+    "seq_drift", "seq_trend", "trajectory_centroid", "trajectory_dtw",
+    "feedback_adjust", "ab_report", "memory_recall",
+    "memory_context_recall", "memory_consolidate", "kg_search",
+    "kg_context_search", "crdt_converge", "crdt_merkle_diff")
 
   // allowed a bounded broadcast nested loop — a 1-ROW broadcast frame
   // (BM25's (n, avgdl) corpus stats, the dedup gates' planted-pair count,

@@ -40,6 +40,52 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(planted == 1000L, s"planted pairs recovered: $planted")
   }
 
+  test("drift detection over 2000 sequences x 50 entries stays grouped") {
+    val rows = (0 until 100000).map { i =>
+      val seq = i % 2000; val t = i / 2000
+      // second half of every even sequence shifts by +3 in dim 0
+      val shift = if (seq % 2 == 0 && t >= 25) 3f else 0f
+      (seq, t.toLong, Seq(shift + (i % 7) * 0.01f, (i % 5) * 0.01f))
+    }.toDF("seq", "ts", "vec").repartition(8)
+    val d = graft.ops.Temporal.detectDrift(rows, col("seq"), col("ts"),
+      col("vec"), graft.ops.Temporal.DriftMethod.KlDivergence,
+      windowSize = 10, threshold = 1.0)
+    assert(d.count() == 2000L)
+    val flagged = d.filter(col("drift_detected")).count()
+    assert(flagged == 1000L, s"even sequences flagged: $flagged")
+  }
+
+  test("CRDT convergence over a 200k-op log resolves per-id in one pass") {
+    val ops = (0 until 200000).map { i =>
+      val id = i % 20000
+      val op = (i % 10) match {
+        case 0 => "delete"; case 1 | 2 => "update"; case _ => "add"
+      }
+      (id.toString, op, (i / 20000).toLong, (i % 20000).toLong, (i % 3).toLong,
+        i.toDouble)
+    }.toDF("id", "op", "physical", "logical", "replica", "payload")
+      .repartition(8)
+    val state = graft.ops.Crdt.converge(ops)
+    val n = state.count()
+    assert(n > 0 && n <= 20000, s"alive entries: $n")
+  }
+
+  test("KG context search over a 50k-entity ring graph completes at 2 hops") {
+    val entities = (0 until 50000).map(i =>
+      (i.toLong, "node", Seq((i % 97) * 0.01f, (i % 89) * 0.01f)))
+      .toDF("id", "entity_type", "embedding").repartition(8)
+    val relations = (0 until 50000).map(i =>
+      (i.toLong, ((i + 1) % 50000).toLong, "next", 1.0))
+      .toDF("source", "target", "relation_type", "weight").repartition(8)
+    val top = graft.ops.KnowledgeGraph.searchWithContext(entities, relations,
+      Array(0.5f, 0.5f), k = 10, anchors = Seq(100L))
+    assert(top.count() == 10)
+    // ring: exactly ids 98..102 are within 2 undirected hops of 100
+    val boosted = top.collect().filter(r => r.getAs[Any]("anchor_hops") != null)
+      .map(_.getAs[Long]("id")).toSet
+    assert(boosted.subsetOf(Set(98L, 99L, 100L, 101L, 102L)))
+  }
+
   test("ngram jaccard at 10k docs sharing a corpus-wide hot prefix") {
     // every doc opens with the same 5 tokens -> 3 hot shingles with
     // df=10050; candidate generation must never join through them
