@@ -56,15 +56,25 @@ object Crdt {
       max(when(col("op") === "delete", col("__hlc"))).as("__last_delete"))
     val alive = anchors.filter(col("__last_add").isNotNull &&
       (col("__last_delete").isNull || col("__last_add") > col("__last_delete")))
-    // the winning Add plus Updates that out-rank it, latest first
+    // ops that APPLIED to the surviving entry: the winning Add plus the
+    // Updates/UpdateMetadatas that out-rank it. Payload comes from
+    // add/update only, but updated_at is the max clock across ALL applied
+    // ops — UpdateMetadata bumps it too (crdt.rs:415).
     val eff = ts.join(alive.select(col("id"), col("__last_add")), "id")
       .filter((col("op") === "add" && col("__hlc") === col("__last_add")) ||
-        (col("op") === "update" && col("__hlc") > col("__last_add")))
-    val w = Window.partitionBy(col("id")).orderBy(col("__hlc").desc)
-    val state = eff.withColumn("__rn", row_number().over(w))
+        (col("op").isin("update", "update_metadata") &&
+          col("__hlc") > col("__last_add")))
+    val w = Window.partitionBy(col("id"))
+      .orderBy((col("op") =!= "update_metadata").desc, col("__hlc").desc)
+    val state = eff
+      .withColumn("__max_hlc",
+        max(col("__hlc")).over(Window.partitionBy(col("id"))))
+      .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .select(col("id"), col("payload"), col("physical"), col("logical"),
-        col("replica"))
+      .select(col("id"), col("payload"),
+        col("__max_hlc.physical").as("physical"),
+        col("__max_hlc.logical").as("logical"),
+        col("__max_hlc.replica").as("replica"))
     if (!metaCols) state
     else {
       // Add-time map entries stamped with the Add's HLC, overlaid with
