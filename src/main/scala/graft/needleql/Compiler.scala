@@ -95,6 +95,46 @@ class NeedleSession(val spark: SparkSession) {
 
   def deleteSnapshot(coll: String, name: String): Boolean =
     collections.remove(snapshotKey(coll, name)).isDefined
+
+  // ------------------------------------------------------------ aliases
+  // Collection aliases (reference: database/aliases.rs): name indirection
+  // resolved at QUERY time, so update_alias atomically repoints readers —
+  // the blue/green reindex pattern (aliases.rs:10-35 docs). Creation
+  // rejects a name already taken by an alias or a collection (:37-61);
+  // update requires both the alias and the target to exist (:222-241).
+
+  val aliases: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap()
+
+  private def requireCollection(name: String): Unit =
+    if (!collections.contains(name))
+      throw Parser.ParseError(s"Collection not found: $name")
+
+  def createAlias(alias: String, collection: String): this.type = {
+    requireCollection(collection)
+    if (aliases.contains(alias) || collections.contains(alias))
+      throw Parser.ParseError(s"Alias already exists: $alias")
+    aliases(alias) = collection; this
+  }
+
+  def deleteAlias(alias: String): Boolean = aliases.remove(alias).isDefined
+
+  def updateAlias(alias: String, collection: String): this.type = {
+    requireCollection(collection)
+    if (!aliases.contains(alias))
+      throw Parser.ParseError(s"Alias not found: $alias")
+    aliases(alias) = collection; this
+  }
+
+  def listAliases: Seq[(String, String)] = aliases.toSeq
+
+  def canonicalName(alias: String): Option[String] = aliases.get(alias)
+
+  def aliasesForCollection(collection: String): Seq[String] =
+    aliases.collect { case (a, c) if c == collection => a }.toSeq
+
+  /** Writes through an alias land on the canonical collection. */
+  private def canonical(name: String): String =
+    if (collections.contains(name)) name else aliases.getOrElse(name, name)
   def bind(name: String, value: Any): this.type = {
     params += name -> value; this
   }
@@ -131,7 +171,7 @@ class NeedleSession(val spark: SparkSession) {
       import spark.implicits._
       val row = Seq((id, vec.toArray, meta.orNull))
         .toDF(c.idCol, c.vectorCol, "metadata")
-      commit(coll, c.copy(df = c.df.unionByName(row,
+      commit(canonical(coll), c.copy(df = c.df.unionByName(row,
         allowMissingColumns = true)))
       status(s"inserted 1 row into $coll")
     case CreateViewStmt(name, materialized, q) =>
@@ -150,7 +190,7 @@ class NeedleSession(val spark: SparkSession) {
           c.df.filter(!coalesce(pred, lit(false)))
         case None => c.df.limit(0)
       }
-      commit(coll, c.copy(df = remaining))
+      commit(canonical(coll), c.copy(df = remaining))
       status(s"deleted from $coll")
   }
 
@@ -160,8 +200,9 @@ class NeedleSession(val spark: SparkSession) {
   }
 
   private def resolve(name: String): CollectionDef =
-    collections.getOrElse(name,
-      throw Parser.ParseError(s"Collection not found: $name"))
+    collections.get(name)
+      .orElse(aliases.get(name).flatMap(collections.get))
+      .getOrElse(throw Parser.ParseError(s"Collection not found: $name"))
 
   // ------------------------------------------------------------- SELECT
 

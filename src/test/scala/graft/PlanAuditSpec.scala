@@ -23,7 +23,8 @@ class PlanAuditSpec extends SparkSpec {
     "seq_drift", "seq_trend", "trajectory_centroid", "trajectory_dtw",
     "feedback_adjust", "ab_report", "memory_recall",
     "memory_context_recall", "memory_consolidate", "kg_search",
-    "kg_context_search", "crdt_converge", "crdt_merkle_diff")
+    "kg_context_search", "crdt_converge", "crdt_merkle_diff",
+    "hooked_pipeline")
 
   // allowed a bounded broadcast nested loop — a 1-ROW broadcast frame
   // (BM25's (n, avgdl) corpus stats, the dedup gates' planted-pair count,
