@@ -162,12 +162,32 @@ object FilterCompiler {
     }
   }
 
-  /** Field-type-aware equality; arrays/objects compare structurally. */
+  /** Field-type-aware equality; arrays/objects compare structurally.
+    * Reference Eq is structural JSON equality (metadata.rs:979): a number
+    * NEVER equals a string — statically mismatched classes compile to
+    * `false` rather than a coercing comparison, which under ANSI mode
+    * would hard-fail the query on the first non-castable row.
+    */
   private def eqCol(r: Resolved, v: JValue): Column = (v, r.dataType) match {
     case (JNull, _)    => r.col.isNull // JSON null equality
     case (JArr(vs), Some(ArrayType(_, _))) => r.col === arrayLiteral(vs, elementHint(r))
     case (JNum(d), None)  => asDouble(r) === d   // JSON-extracted: numeric compare
     case (JBool(b), None) => asString(r) === b.toString
+    case (JNum(d), Some(t)) => t match {
+      // f64 compare, never a truncating cast of the literal (Eq(intCol,
+      // 1.5) must not become intCol === 1)
+      case _: NumericType => asDouble(r) === d
+      case _              => lit(false)
+    }
+    case (JStr(s), Some(t)) => t match {
+      case StringType => r.col === s
+      case _          => lit(false)
+    }
+    case (JBool(b), Some(t)) => t match {
+      case BooleanType => r.col === b
+      case _           => lit(false)
+    }
+    case (JArr(_), Some(_)) => lit(false) // array literal vs non-array field
     case (_, _)        => r.col === literal(v, r.dataType)
   }
 
@@ -185,8 +205,11 @@ object FilterCompiler {
     }
 
   private def asDouble(r: Resolved): Column = r.dataType match {
-    case Some(DoubleType) => r.col
-    case _                => r.col.cast(DoubleType)
+    case Some(DoubleType)     => r.col
+    case Some(_: NumericType) => r.col.cast(DoubleType) // widening, never fails
+    // dynamic JSON text: non-numeric values must become null (false at the
+    // filter boundary), not an ANSI cast error killing the whole scan
+    case _                    => r.col.try_cast(DoubleType)
   }
 
   private def asString(r: Resolved): Column = r.dataType match {
@@ -288,9 +311,9 @@ object FilterCompiler {
       else if (matches) r.col.isNotNull
       else lit(false)
     case None => name match { // JSON-extracted string: sniff the value
-      case "number"  => r.col.cast(DoubleType).isNotNull
+      case "number"  => r.col.try_cast(DoubleType).isNotNull
       case "boolean" => r.col.isin("true", "false")
-      case "string"  => r.col.isNotNull && r.col.cast(DoubleType).isNull &&
+      case "string"  => r.col.isNotNull && r.col.try_cast(DoubleType).isNull &&
         !r.col.isin("true", "false")
       case "null"    => r.col.isNull
       case _         => lit(false)
