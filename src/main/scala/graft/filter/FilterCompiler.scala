@@ -110,7 +110,9 @@ object FilterCompiler {
         case _        => c.isNotNull // non-array ⇒ true for present fields
       }
       case Contains => (r.dataType, v) match {
-        case (Some(ArrayType(_, _)), _) => array_contains(c, literal(v, elementHint(r)))
+        case (Some(ArrayType(et, _)), _) =>
+          if (elementCompatible(et, v)) array_contains(c, literal(v, Some(et)))
+          else lit(false) // class mismatch: membership is false, not a cast
         case (Some(StringType) | None, JStr(s)) => asString(r).contains(s)
         case _ => lit(false)
       }
@@ -131,8 +133,10 @@ object FilterCompiler {
         case _       => lit(false)
       }
       case All => (r.dataType, v) match {
-        case (Some(ArrayType(_, _)), JArr(vs)) =>
-          vs.map(x => array_contains(c, literal(x, elementHint(r))))
+        case (Some(ArrayType(et, _)), JArr(vs)) =>
+          vs.map(x =>
+            if (elementCompatible(et, x)) array_contains(c, literal(x, Some(et)))
+            else lit(false))
             .foldLeft(lit(true))(_ && _)
         case _ => lit(false)
       }
@@ -220,6 +224,18 @@ object FilterCompiler {
   private def elementHint(r: Resolved): Option[DataType] = r.dataType match {
     case Some(ArrayType(et, _)) => Some(et)
     case _                      => None
+  }
+
+  /** Whether a filter literal's JSON class can legally equal an element of
+    * the given static type — mismatches are structural-inequality `false`
+    * (never a coercing cast, which ANSI mode turns into a runtime error).
+    */
+  private def elementCompatible(et: DataType, v: JValue): Boolean = (et, v) match {
+    case (_: NumericType, JNum(_)) => true
+    case (StringType, JStr(_))     => true
+    case (BooleanType, JBool(_))   => true
+    case (_, JNull)                => true
+    case _                         => false
   }
 
   /** Resolver for `$elemMatch` lambda elements (struct or scalar). */

@@ -147,8 +147,10 @@ class FilterDifferentialSpec extends SparkSpec {
           if (mismatch) jstr()
           else JArr(Vector.fill(1 + rnd.nextInt(3))(
             if (rnd.nextBoolean()) jnum() else jstr())))
-        case 6 => Filter.Condition("arr", FilterOp.Contains, JStr(tagPool(rnd.nextInt(3))))
-        case 7 => Filter.Condition("arr", FilterOp.All, jtagArr())
+        case 6 => Filter.Condition("arr", FilterOp.Contains,
+          if (mismatch) jnum() else JStr(tagPool(rnd.nextInt(3))))
+        case 7 => Filter.Condition("arr", FilterOp.All,
+          if (mismatch) JArr(Vector(jnum(), JStr(tagPool(0)))) else jtagArr())
         case 8 => Filter.Condition(
           Vector("a", "b", "s", "arr", "n.x", "missing")(rnd.nextInt(6)),
           FilterOp.Exists, JBool(rnd.nextBoolean()))
