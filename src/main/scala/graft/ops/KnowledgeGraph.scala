@@ -93,15 +93,20 @@ object KnowledgeGraph {
     var visited = anchors.map(a => (a.toString, 0)).toDF("id", "hop")
     var frontier = visited
     var hop = 0
+    // lineage-cut only on DEEP walks: for the usual 2-hop context search
+    // the plan stays small and two eager materializations per hop cost
+    // more than they save
+    val cut = maxHops > 3
     while (hop < maxHops && !frontier.isEmpty) {
       hop += 1
-      val next = undirected.join(frontier.select(col("id").as("src")), "src")
+      var next = undirected.join(frontier.select(col("id").as("src")), "src")
         .select(col("dst").as("id")).distinct()
         .join(visited.select("id"), Seq("id"), "left_anti")
         .withColumn("hop", lit(hop))
-        .localCheckpoint(true)
+      if (cut) next = next.localCheckpoint(true)
       frontier = next
-      visited = visited.unionByName(next).localCheckpoint(true)
+      visited = visited.unionByName(next)
+      if (cut) visited = visited.localCheckpoint(true)
     }
     visited
   }
