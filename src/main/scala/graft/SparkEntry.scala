@@ -20,7 +20,8 @@ object SparkEntry {
       NeedleQLQueries.defs ++ AnnQueries.defs ++ MutationQueries.defs ++
       StreamQueries.defs ++ MultimodalQueries.defs ++ MoreSearchQueries.defs ++
       ExtrasQueries.defs ++ FederatedQueries.defs ++ TemporalQueries.defs ++
-      MemoryGraphQueries.defs ++ CrdtQueries.defs ++ HookQueries.defs
+      MemoryGraphQueries.defs ++ CrdtQueries.defs ++ HookQueries.defs ++
+      AnalyticsDashQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.QueryAnalytics
+
+/** Oracle gates for the query-analytics dashboard (reference:
+  * src/experimental/analytics.rs). The query log derives from `events`:
+  * operation classes cycle with event_id (6 search : 1 query : 1 insert :
+  * 1 upsert : 1 delete), latency = value·10, and timestamps are synthetic
+  * epoch seconds so the rate window is deterministic.
+  */
+object AnalyticsDashQueries {
+
+  private val qlogCte =
+    """qlog AS (
+      |  SELECT event_type AS collection,
+      |         CASE event_id % 10 WHEN 7 THEN 'insert' WHEN 8 THEN 'upsert'
+      |              WHEN 9 THEN 'delete' WHEN 6 THEN 'query'
+      |              ELSE 'search' END AS operation,
+      |         round(value * 10, 3) AS latency_ms,
+      |         CAST(event_id % 20 AS BIGINT) AS result_count,
+      |         CASE event_id % 3 WHEN 0 THEN 10 WHEN 1 THEN 50 END AS k,
+      |         event_id % 2 = 0 AS has_filter,
+      |         CAST(CASE WHEN event_id % 5 = 0 THEN 8 ELSE 2 END AS BIGINT) AS filter_complexity,
+      |         1700000000 + event_id % 5000 AS ts
+      |  FROM events WHERE event_id < 6000
+      |)""".stripMargin
+
+  private def qlog(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "events").filter(col("event_id") < 6000).select(
+      col("event_type").as("collection"),
+      when(col("event_id") % 10 === 7, "insert")
+        .when(col("event_id") % 10 === 8, "upsert")
+        .when(col("event_id") % 10 === 9, "delete")
+        .when(col("event_id") % 10 === 6, "query")
+        .otherwise("search").as("operation"),
+      round(col("value") * 10, 3).as("latency_ms"),
+      (col("event_id") % 20).as("result_count"),
+      when(col("event_id") % 3 === 0, 10)
+        .when(col("event_id") % 3 === 1, 50).as("k"),
+      (col("event_id") % 2 === 0).as("has_filter"),
+      when(col("event_id") % 5 === 0, 8L).otherwise(2L)
+        .as("filter_complexity"),
+      (lit(1700000000L) + col("event_id") % 5000).as("ts"))
+
+  val defs: Map[String, Q] = Map(
+    // Dashboard insights (analytics.rs:506-577): QPS over the rate
+    // window, index-based latency percentiles (p99 = max, the reference's
+    // degenerate index expression), op-class totals, slow count, filtered
+    // ratio.
+    "query_insights" -> Q(
+      s"""WITH $qlogCte,
+        |w AS (SELECT * FROM qlog WHERE ts > 1700000000 AND ts <= 1700005000),
+        |s AS (
+        |  SELECT latency_ms,
+        |         row_number() OVER (ORDER BY latency_ms, ts) - 1 AS r,
+        |         count(*) OVER () AS n
+        |  FROM w WHERE operation IN ('search', 'query')
+        |),
+        |lat AS (
+        |  SELECT round(avg(latency_ms), 6) AS avg_latency_ms,
+        |         round(max(CASE WHEN r = n * 50 // 100 THEN latency_ms END), 6) AS p50_latency_ms,
+        |         round(max(CASE WHEN r = n * 95 // 100 THEN latency_ms END), 6) AS p95_latency_ms,
+        |         round(max(latency_ms), 6) AS p99_latency_ms
+        |  FROM s
+        |),
+        |c AS (
+        |  SELECT round(count(*) / 5000.0, 6) AS current_qps,
+        |         sum(CASE WHEN operation IN ('search', 'query') THEN 1 ELSE 0 END) AS total_queries,
+        |         sum(CASE WHEN operation IN ('insert', 'upsert') THEN 1 ELSE 0 END) AS total_inserts,
+        |         sum(CASE WHEN operation = 'delete' THEN 1 ELSE 0 END) AS total_deletes,
+        |         sum(CASE WHEN operation IN ('search', 'query') AND latency_ms > 90 THEN 1 ELSE 0 END) AS slow_query_count,
+        |         round(sum(CASE WHEN operation IN ('search', 'query') AND has_filter THEN 1 ELSE 0 END)::DOUBLE /
+        |               sum(CASE WHEN operation IN ('search', 'query') THEN 1 ELSE 0 END), 6) AS filtered_query_ratio
+        |  FROM w
+        |)
+        |SELECT * FROM c CROSS JOIN lat""".stripMargin
+    ) { (s, dir) =>
+      QueryAnalytics.insights(qlog(s, dir), now = 1700005000L,
+          windowSecs = 5000L, slowThresholdMs = 90.0)
+        .select(round(col("current_qps"), 6).as("current_qps"),
+          col("total_queries"), col("total_inserts"), col("total_deletes"),
+          col("slow_query_count"),
+          round(col("filtered_query_ratio"), 6).as("filtered_query_ratio"),
+          round(col("avg_latency_ms"), 6).as("avg_latency_ms"),
+          round(col("p50_latency_ms"), 6).as("p50_latency_ms"),
+          round(col("p95_latency_ms"), 6).as("p95_latency_ms"),
+          round(col("p99_latency_ms"), 6).as("p99_latency_ms"))
+    },
+
+    // Query patterns (analytics.rs:208-256) keyed by (collection,
+    // operation, has_filter, k) — top 15 by frequency.
+    "query_patterns" -> Q(
+      s"""WITH $qlogCte,
+        |p AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY collection, operation, has_filter, k
+        |                            ORDER BY latency_ms, ts) - 1 AS r,
+        |         count(*) OVER (PARTITION BY collection, operation, has_filter, k) AS n
+        |  FROM qlog
+        |),
+        |g AS (
+        |  SELECT collection, operation,
+        |         CAST(has_filter AS BIGINT) AS uses_filter,
+        |         CAST(coalesce(k, 10) AS BIGINT) AS typical_k,
+        |         count(*) AS n_events,
+        |         round(avg(latency_ms), 6) AS avg_latency_ms,
+        |         round(max(CASE WHEN r = n * 50 // 100 THEN latency_ms END), 6) AS p50_latency_ms,
+        |         round(max(CASE WHEN r = n * 95 // 100 THEN latency_ms END), 6) AS p95_latency_ms,
+        |         round(max(latency_ms), 6) AS p99_latency_ms,
+        |         round(avg(result_count), 6) AS avg_result_count,
+        |         min(ts) AS first_seen, max(ts) AS last_seen
+        |  FROM p GROUP BY collection, operation, has_filter, k
+        |)
+        |SELECT * FROM g
+        |ORDER BY n_events DESC, collection, operation, uses_filter, typical_k
+        |LIMIT 15""".stripMargin
+    ) { (s, dir) =>
+      QueryAnalytics.patterns(qlog(s, dir))
+        .select(col("collection"), col("operation"),
+          col("uses_filter").cast("long").as("uses_filter"),
+          col("typical_k").cast("long").as("typical_k"),
+          col("count").as("n_events"),
+          round(col("avg_latency_ms"), 6).as("avg_latency_ms"),
+          round(col("p50_latency_ms"), 6).as("p50_latency_ms"),
+          round(col("p95_latency_ms"), 6).as("p95_latency_ms"),
+          round(col("p99_latency_ms"), 6).as("p99_latency_ms"),
+          round(col("avg_result_count"), 6).as("avg_result_count"),
+          col("first_seen"), col("last_seen"))
+        .orderBy(col("n_events").desc, col("collection"), col("operation"),
+          col("uses_filter"), col("typical_k"))
+        .limit(15)
+    },
+
+    // Per-collection analytics (analytics.rs:429-456).
+    "collection_analytics" -> Q(
+      s"""WITH $qlogCte
+        |SELECT collection,
+        |       sum(CASE WHEN operation IN ('search', 'query') THEN 1 ELSE 0 END) AS total_queries,
+        |       sum(CASE WHEN operation IN ('insert', 'upsert') THEN 1 ELSE 0 END) AS total_inserts,
+        |       sum(CASE WHEN operation = 'delete' THEN 1 ELSE 0 END) AS total_deletes,
+        |       round(coalesce(avg(CASE WHEN operation IN ('search', 'query') THEN latency_ms END), 0), 6) AS avg_search_latency_ms,
+        |       round(coalesce(avg(CASE WHEN operation IN ('insert', 'upsert') THEN latency_ms END), 0), 6) AS avg_insert_latency_ms
+        |FROM qlog GROUP BY collection ORDER BY collection""".stripMargin
+    ) { (s, dir) =>
+      QueryAnalytics.collectionAnalytics(qlog(s, dir))
+        .select(col("collection"), col("total_queries"), col("total_inserts"),
+          col("total_deletes"),
+          round(col("avg_search_latency_ms"), 6).as("avg_search_latency_ms"),
+          round(col("avg_insert_latency_ms"), 6).as("avg_insert_latency_ms"))
+        .orderBy(col("collection"))
+    },
+  )
+}
