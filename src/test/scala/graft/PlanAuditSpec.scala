@@ -24,7 +24,8 @@ class PlanAuditSpec extends SparkSpec {
     "feedback_adjust", "ab_report", "memory_recall",
     "memory_context_recall", "memory_consolidate", "kg_search",
     "kg_context_search", "crdt_converge", "crdt_merkle_diff",
-    "hooked_pipeline")
+    "hooked_pipeline", "query_patterns",
+    "collection_analytics", "drift_dimensions", "drift_report")
 
   // allowed a bounded broadcast nested loop — a 1-ROW broadcast frame
   // (BM25's (n, avgdl) corpus stats, the dedup gates' planted-pair count,
@@ -34,7 +35,9 @@ class PlanAuditSpec extends SparkSpec {
     "bm25_search", "minhash_lsh_dedup", "simhash_near_dup",
     "hybrid_rrf", "ivf_knn_full_probe", "ivf_knn_pruned", "vec_cluster",
     "crossmodal_rrf", "ensemble_rerank", "batch_knn_cosine",
-    "cf_recommend", "field_stats", "needleql_rerank_field")
+    "cf_recommend", "field_stats", "needleql_rerank_field",
+    // two 1-row aggregate frames cross-joined into the report row
+    "query_insights")
 
   for (name <- strictQueries)
     test(s"$name plans no cartesian and no nested-loop join") {
