@@ -21,7 +21,8 @@ object SparkEntry {
       StreamQueries.defs ++ MultimodalQueries.defs ++ MoreSearchQueries.defs ++
       ExtrasQueries.defs ++ FederatedQueries.defs ++ TemporalQueries.defs ++
       MemoryGraphQueries.defs ++ CrdtQueries.defs ++ HookQueries.defs ++
-      AnalyticsDashQueries.defs ++ AnomalyQueries.defs ++ DriftQueries.defs
+      AnalyticsDashQueries.defs ++ AnomalyQueries.defs ++ DriftQueries.defs ++
+      PrewarmQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
