@@ -86,6 +86,32 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(boosted.subsetOf(Set(98L, 99L, 100L, 101L, 102L)))
   }
 
+  test("LOF over blocked candidate edges at 10k vectors finds planted outliers") {
+    val rnd = new scala.util.Random(21)
+    val centers = Array.tabulate(16)(i =>
+      Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat * 2f))
+    val inliers = (0 until 10000).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.05f).toSeq)
+    }
+    // two isolated directions, mutually orthogonal in cosine space (the
+    // blocked graph's metric) so they cannot form their own dense cluster
+    val outliers = Seq(
+      (100000L, Seq.fill(8)(25f)),
+      (100001L, Seq.tabulate(8)(d => if (d % 2 == 0) 25f else -25f)))
+    val df = (inliers ++ outliers).toDF("id", "vector").repartition(8)
+    // the scale path: IVF-blocked candidate edges feed the SAME LOF algebra
+    val edges = graft.ops.SemanticGraph.buildBlocked(
+      df, col("id"), col("vector"), k = 10, numCells = 64, nprobe = 3)
+      .select(col("src"), col("dst"),
+        (lit(1.0) - col("similarity")).as("distance"))
+    val scores = graft.ops.Anomaly.lofFromEdges(edges)
+    val top10 = scores.orderBy(col("lof_score").desc).limit(10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(outliers.map(_._1).toSet.subsetOf(top10),
+      s"planted outliers must rank in blocked-edge LOF top-10, got $top10")
+  }
+
   test("ngram jaccard at 10k docs sharing a corpus-wide hot prefix") {
     // every doc opens with the same 5 tokens -> 3 hot shingles with
     // df=10050; candidate generation must never join through them
