@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.pipeline.{Contamination, Repetition, Sampling}
+
+/** Training-data pipeline: deterministic sampling / splitting / shuffling /
+  * packing, repetition quality signals, and benchmark-contamination checks.
+  * All hash keys are md5 hex prefixes, so every query has an exact DuckDB
+  * oracle (hex strings compare identically in any ANSI engine).
+  */
+object SamplingQueries {
+
+  /** DuckDB replica of Repetition.words. */
+  private val duckWords =
+    """list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |            x -> len(x) > 0)""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    // Deterministic 80/10/10 train/val/test split on md5(doc_id) buckets;
+    // the gate checks the per-split counts AND per-split lang mix (a split
+    // keyed on a biased column would skew it).
+    "split_assign" -> Q(
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       lang, count(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(Sampling.splitLabel(col("doc_id"), 0.8, 0.1).as("split"),
+          col("lang"))
+        .groupBy(col("split"), col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("split"), col("lang"))
+    },
+
+    // Deterministic ~10% sample: same ids every run, every engine.
+    "sample_hash" -> Q(
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Sampling.sampleByHash(Tables.load(s, dir, "documents"),
+          col("doc_id"), 0.1)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Equal-allocation stratified sample: first 5 docs per language in
+    // deterministic hash order.
+    "stratified_sample" -> Q(
+      """SELECT lang, doc_id FROM documents
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY lang
+        |  ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) <= 5
+        |ORDER BY lang, doc_id""".stripMargin
+    ) { (s, dir) =>
+      Sampling.stratifiedSample(Tables.load(s, dir, "documents"),
+          col("lang"), col("doc_id"), perStratum = 5)
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+
+    // Reproducible epoch shuffle: the first 20 positions of the seed-42
+    // permutation. A different seed gives an independent permutation.
+    "training_shuffle" -> Q(
+      """SELECT pos, doc_id FROM (
+        |  SELECT row_number() OVER (
+        |           ORDER BY md5('epoch42:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos,
+        |         doc_id
+        |  FROM documents)
+        |WHERE pos <= 20 ORDER BY pos""".stripMargin
+    ) { (s, dir) =>
+      Sampling.shuffleRank(Tables.load(s, dir, "documents"),
+          col("doc_id"), seed = "epoch42")
+        .select(col("pos"), col("doc_id"))
+        .filter(col("pos") <= 20)
+        .orderBy(col("pos"))
+    },
+
+    // Sequence packing into 512-token windows over doc_id order: per-window
+    // doc count and token total. Runs through the DISTRIBUTED two-phase
+    // prefix-sum (packSequentialScalable); the oracle is the single global
+    // running sum — they must agree exactly.
+    "pack_sequential" -> Q(
+      """WITH t AS (
+        |  SELECT doc_id, len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                                 x -> len(x) > 0)) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |         coalesce(sum(n_tok) OVER (
+        |           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM t)
+        |SELECT CAST(floor(before / 512) AS BIGINT) AS window_id,
+        |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(Repetition.words(col("text"))).as("n_tok"))
+      Sampling.packSequentialScalable(d, "doc_id", col("n_tok"), budget = 512)
+        .groupBy(col("window_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy(col("window_id"))
+    },
+
+    // Gopher-style repetition signals: duplicate-word fraction and
+    // top-bigram coverage per document.
+    "repetition_signals" -> Q(
+      s"""WITH w AS (
+         |  SELECT doc_id, $duckWords AS ws FROM documents WHERE doc_id < 100),
+         |base AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 2),
+         |bg AS (
+         |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram
+         |  FROM base, unnest(generate_series(1, len(ws) - 1)) AS t(i)),
+         |cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+         |top AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac
+         |        FROM cnt GROUP BY 1)
+         |SELECT base.doc_id AS id, CAST(len(ws) AS BIGINT) AS n_words,
+         |       round(1.0 - len(list_distinct(ws))::DOUBLE / len(ws), 6) AS dup_word_frac,
+         |       top.top_bigram_frac
+         |FROM base JOIN top ON base.doc_id = top.doc_id
+         |ORDER BY id""".stripMargin
+    ) { (s, dir) =>
+      Repetition.signals(
+          Tables.load(s, dir, "documents").filter(col("doc_id") < 100),
+          col("doc_id"), col("text"))
+        .orderBy(col("id"))
+    },
+
+    // Benchmark contamination: docs sharing a verbatim 8-gram with the
+    // held-out set (doc_id % 10 = 0 stands in as the benchmark). The
+    // benchmark gram set is broadcast; the corpus side is a map-side join.
+    "contamination_ngram" -> Q(
+      s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+         |g AS (
+         |  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+         |  FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+         |  WHERE len(ws) >= 8),
+         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+         |hits AS (SELECT DISTINCT g.doc_id, g.gram
+         |         FROM g JOIN bench USING (gram) WHERE g.doc_id % 10 <> 0)
+         |SELECT doc_id, count(*) AS n_shared FROM hits
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Contamination.flag(
+          docs.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 10 === 0), col("text"), n = 8)
+        .orderBy(col("doc_id"))
+    },
+  )
+}
