@@ -90,7 +90,8 @@ object Bench {
     val headline: Seq[String] = Seq(
       "knn_cosine", "knn_euclidean", "knn_dot", "knn_manhattan",
       "knn_chebyshev", "knn_hamming", "knn_filtered", "batch_knn_cosine",
-      "batch_knn_filtered", "radius_cosine", "radius_filtered", "matryoshka",
+      "batch_knn_bulk", "batch_knn_filtered", "radius_cosine",
+      "radius_filtered", "matryoshka",
       "search_after", "recommend", "bm25_search", "hybrid_rrf",
       "term_overlap_rerank", "mmr_diversify", "maxsim", "maxsim_two_stage",
       "sparse_dot", "sparse_cosine", "multimodal_fusion", "crossmodal_rrf",
@@ -102,7 +103,8 @@ object Bench {
       "q4_join_topk", "vec_centroid", "vec_medoid", "vec_cluster",
       "pipeline_full", "upsert_merge", "change_feed", "federated_rrf",
       "bandit_rerank", "trajectory_dtw", "kg_search", "memory_recall",
-      "crdt_converge")
+      "crdt_converge", "split_assign", "pack_sequential",
+      "repetition_signals", "contamination_ngram")
     val shown =
       if (only.nonEmpty) results
       else results.filter { case (k, _, _, _) => headline.contains(k) }

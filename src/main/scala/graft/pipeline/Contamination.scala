@@ -16,28 +16,36 @@ import org.apache.spark.sql.functions._
 object Contamination {
 
   /** Distinct word n-grams per row, only for docs with ≥ n words (shorter
-    * docs have no full n-gram — `Dedup.shingles`'s whole-doc fallback would
-    * otherwise flag short-doc exact matches, which exact dedup owns).
+    * docs have no full n-gram — a whole-doc fallback shingle would flag
+    * short-doc exact matches, which exact dedup owns). One compiled UDF
+    * pass (`Dedup.shinglesStrict`).
     */
-  private def grams(textCol: Column, n: Int): Column = {
-    val hasFull = size(Repetition.words(textCol)) >= n
-    when(hasFull, array_distinct(Dedup.shingles(textCol, n)))
-      .otherwise(array().cast("array<string>"))
-  }
+  private def grams(textCol: Column, n: Int): Column =
+    array_distinct(Dedup.shinglesStrict(textCol, n))
+
+  /** The benchmark's distinct n-gram set — derived index state: build (and
+    * persist) once per eval set, reuse across every corpus scan.
+    */
+  def benchmarkGrams(benchmark: DataFrame, benchTextCol: Column,
+                     n: Int = 8): DataFrame =
+    benchmark.select(explode(grams(benchTextCol, n)).as("gram")).distinct()
+
+  /** (doc_id, n_shared) against a prebuilt [[benchmarkGrams]] set. */
+  def flagAgainst(corpus: DataFrame, idCol: Column, textCol: Column,
+                  benchGrams: DataFrame, n: Int): DataFrame =
+    corpus.select(idCol.as("doc_id"), explode(grams(textCol, n)).as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared")) // grams are pre-distinct per doc
 
   /** (doc_id, n_shared): corpus documents sharing ≥1 n-gram with the
     * benchmark, with the count of distinct shared n-grams.
     */
   def flag(corpus: DataFrame, idCol: Column, textCol: Column,
            benchmark: DataFrame, benchTextCol: Column,
-           n: Int = 8): DataFrame = {
-    val bg = benchmark.select(explode(grams(benchTextCol, n)).as("gram"))
-      .distinct()
-    corpus.select(idCol.as("doc_id"), explode(grams(textCol, n)).as("gram"))
-      .join(broadcast(bg), "gram")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared")) // grams are pre-distinct per doc
-  }
+           n: Int = 8): DataFrame =
+    flagAgainst(corpus, idCol, textCol,
+      benchmarkGrams(benchmark, benchTextCol, n), n)
 
   /** Decontaminated corpus: drop every flagged document (left anti join on
     * the bounded flag set).

@@ -146,9 +146,15 @@ object SamplingQueries {
          |GROUP BY 1 ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      Contamination.flag(
+      // the benchmark gram set is derived index state (like the BM25 stats
+      // tables): build + persist once per eval set, reuse across scans
+      val bg = graft.core.IndexCache.getOrBuild(s"contam:$dir:8") {
+        Contamination.benchmarkGrams(
+          docs.filter(col("doc_id") % 10 === 0), col("text"), n = 8).persist()
+      }
+      Contamination.flagAgainst(
           docs.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
-          docs.filter(col("doc_id") % 10 === 0), col("text"), n = 8)
+          bg, n = 8)
         .orderBy(col("doc_id"))
     },
   )

@@ -115,5 +115,30 @@ object VectorQueries {
           roundTo = Some(6))
         .orderBy(col("query_id").asc, col("distance").asc, col("vec_id").asc)
     },
+
+    // Bulk batch search: EVERY vector in the collection queries it at once
+    // (k=3) — the throughput-oriented surface. Spark's per-job overhead is
+    // fixed, so the honest per-query cost of the engine is wall /
+    // |queries|; this entry amortizes over the full collection (2 000
+    // queries at sf0.1) through the same bounded top-k aggregate as
+    // batch_knn_cosine — one scored pass, k-element shuffle buffers.
+    "batch_knn_bulk" -> Q(
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id,
+        |         round(1 - list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS distance
+        |  FROM embeddings e, embeddings q),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rn
+        |  FROM scored)
+        |SELECT query_id, vec_id, distance FROM ranked WHERE rn <= 3
+        |ORDER BY query_id, distance, vec_id""".stripMargin
+    ) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val qs = emb.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      graft.ops.Search.batchTopKPairs(emb, qs, k = 3,
+          vecCol = "embedding", qVecCol = "qv", idCol = "vec_id",
+          roundTo = Some(6))
+        .orderBy(col("query_id").asc, col("distance").asc, col("vec_id").asc)
+    },
   )
 }

@@ -124,18 +124,25 @@ object Bm25 {
 
   /** The scoring join for an already-tokenized query (no ordering/limit). */
   def scoreTerms(ix: Index, terms: Seq[String]): DataFrame = {
-    val spark = ix.termFreqs.sparkSession
-    import spark.implicits._
-    val qt = terms.groupBy(identity).view.mapValues(_.size.toDouble).toSeq
-      .toDF("term", "qc")
+    // (no SparkSession needed: the query side is pure literals)
+    // query-term counts ride as a LITERAL map (queries are tiny by
+    // definition) — an `isin` filter + map lookup instead of two
+    // broadcast-join legs saves two broadcast-collect jobs per query
+    val qCounts: Map[String, Double] =
+      terms.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    if (qCounts.isEmpty)
+      return ix.termFreqs.select(col("doc_id"), lit(0.0).as("score"))
+        .filter(lit(false))
+    val distinctTerms = qCounts.keys.toSeq
     val k1 = ix.config.k1
     val b = ix.config.b
     // docFreqs must be pruned to the query's terms BEFORE broadcasting —
     // the full table is corpus-vocabulary-sized (huge at scale); the pruned
     // one has ≤ |query| rows
-    val qdf = ix.docFreqs.join(broadcast(qt.select("term")), "term")
+    val qdf = ix.docFreqs.filter(col("term").isin(distinctTerms: _*))
     ix.termFreqs
-      .join(broadcast(qt), "term")                // keep only query terms
+      .filter(col("term").isin(distinctTerms: _*)) // keep only query terms
+      .withColumn("qc", element_at(typedLit(qCounts), col("term")))
       .join(broadcast(qdf), "term")
       .crossJoin(broadcast(ix.corpus))
       .withColumn("idf", log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))

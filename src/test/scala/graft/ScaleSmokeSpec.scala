@@ -126,4 +126,39 @@ class ScaleSmokeSpec extends SparkSpec {
       .count()
     assert(got == 50L, s"planted pairs found: $got")
   }
+
+  test("contamination at 50k docs vs a 500-doc benchmark stays broadcast") {
+    // 500 corpus docs (1%) verbatim-contain a benchmark 8-gram; the
+    // benchmark gram set is the ONLY broadcast side, the 50k corpus
+    // streams through a map-side join
+    val bench = (0 until 500).map { i =>
+      (i.toLong, s"held out evaluation prompt b$i alpha beta gamma delta epsilon zeta")
+    }.toDF("id", "text")
+    val corpus = (0 until 50000).map { i =>
+      if (i % 100 == 0)
+        (1000000L + i, s"leading words then held out evaluation prompt b${i / 100} alpha beta gamma delta epsilon zeta trailing")
+      else
+        (1000000L + i, s"clean document c$i with its own content words w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g")
+    }.toDF("id", "text").repartition(8)
+    val flagged = graft.pipeline.Contamination.flag(
+      corpus, col("id"), col("text"), bench, col("text"), n = 8)
+    assert(flagged.count() == 500L)
+    val plan = flagged.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      "corpus side must not shuffle for the benchmark join")
+  }
+
+  test("scalable sequence packing at 100k rows matches the window form") {
+    val big = spark.range(100000).select(col("id"),
+      (pmod(col("id") * 40503L, lit(211)) + 1).cast("int").as("n_tok"))
+      .repartition(8)
+    val scalable = graft.pipeline.Sampling
+      .packSequentialScalable(big, "id", col("n_tok"), budget = 2048,
+        numPartitions = 16)
+    val oracle = graft.pipeline.Sampling
+      .packSequential(big, col("id"), col("n_tok"), budget = 2048)
+    assert(scalable.select("id", "window_id")
+      .except(oracle.select("id", "window_id")).count() == 0)
+    assert(scalable.agg(max("window_id")).head().getLong(0) > 5000L)
+  }
 }
