@@ -37,6 +37,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // avoid RPC-backed executor class loading (see build.sbt javaOptions)
       .config("spark.sql.artifact.isolation.enabled", "false")
+      // bounded-buffer aggregates (TopKAgg) keep k·16 bytes per group —
+      // the 128-group default silently degrades them to sort-based
+      // aggregation (sorts EVERY scored row, the cost the aggregate
+      // exists to avoid). 64k groups/task ≈ 10 MB at k=10: safe.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM/codegen/IO paths once so the first measured query

@@ -16,6 +16,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // avoid RPC-backed executor class loading (see build.sbt javaOptions)
       .config("spark.sql.artifact.isolation.enabled", "false")
+      // see Bench: keep bounded top-k aggregates in hash mode
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

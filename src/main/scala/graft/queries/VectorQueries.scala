@@ -133,7 +133,11 @@ object VectorQueries {
         |SELECT query_id, vec_id, distance FROM ranked WHERE rn <= 3
         |ORDER BY query_id, distance, vec_id""".stripMargin
     ) { (s, dir) =>
+      // the collection lands in ONE scan partition (small single file);
+      // spread it so the |queries|×|vectors| scoring pass uses every core —
+      // at real scale files.maxPartitionBytes does this split natively
       val emb = Tables.load(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
       val qs = emb.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       graft.ops.Search.batchTopKPairs(emb, qs, k = 3,
           vecCol = "embedding", qVecCol = "qv", idCol = "vec_id",
