@@ -82,5 +82,32 @@ object NeedleQLQueries {
           |WHERE lang IN ('en', 'fr') AND text LIKE '%spark%'
           |ORDER BY doc_id LIMIT 50""".stripMargin)
     },
+
+    // Visual query builder (reference query_builder.rs): NL → intent class
+    // → NeedleQL, profile-driven hints, quality score. The profile derives
+    // from the embeddings DataFrame in one aggregation pass; check_passed
+    // asserts each generated query round-trips through the parser, the
+    // intent class matches the planted expectation, and quality ∈ [0,1].
+    "query_builder" -> Q.noOracle { (s, dir) =>
+      import s.implicits._
+      import graft.needleql.{QueryBuilder => QB}
+      val profile = QB.profileOf(
+        graft.core.Tables.load(s, dir, "embeddings"), "embeddings",
+        "embedding", Seq("label" -> QB.FieldType.Num))
+      val cases = Seq(
+        ("find vectors about spark streaming", QB.Semantic),
+        ("find items with score greater than 50", QB.Hybrid),
+        ("how many vectors are there", QB.Aggregation),
+        ("category news", QB.MetadataOnly))
+      cases.map { case (nl, expected) =>
+        val r = QB.build(profile, nl)
+        (nl, r.analysis.queryClass, r.analysis.complexity, r.needleql,
+          math.rint(r.qualityScore * 1e6) / 1e6,
+          r.optimizationHints.size, r.suggestions.size,
+          r.parsed.isDefined && r.analysis.queryClass == expected &&
+            r.qualityScore >= 0.0 && r.qualityScore <= 1.0)
+      }.toDF("nl", "query_class", "complexity", "needleql", "quality",
+        "n_hints", "n_suggestions", "check_passed")
+    },
   )
 }
