@@ -167,5 +167,37 @@ object AnnQueries {
       approx.crossJoin(broadcast(hits))
         .withColumn("check_passed", col("n_hit") >= 5).drop("n_hit")
     },
+
+    // Data profiling + smart index selection (tuning.rs:1122-1445): the
+    // moment statistics run as one distributed aggregation over the whole
+    // corpus; the pairwise estimators run the reference's step-capped loop
+    // on a bounded sample. check_passed pins the structural contract:
+    // dimension/count read from the data, ratios in range, and the
+    // selection consistent with the corpus size.
+    "data_profile" -> Q.noOracle { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val n = emb.count()
+      val sel = graft.ann.SmartIndexSelector.select(emb, col("embedding"))
+      val p = sel.profile
+      val ok = p.dimensions == 64 && p.sampleSize == n &&
+        p.sparsityRatio >= 0.0 && p.sparsityRatio <= 1.0 &&
+        p.estimatedClusters >= 1 && p.meanPairwiseDistance > 0.0 &&
+        p.intrinsicDimensionality > 0.0 &&
+        p.intrinsicDimensionality <= p.dimensions &&
+        sel.confidence > 0.0 && sel.confidence <= 1.0 &&
+        (n * 10 < 100000) == (sel.recommended == "exact")
+      Seq((p.dimensions, p.sampleSize,
+        math.rint(p.meanMagnitude * 1e6) / 1e6,
+        math.rint(p.meanPairwiseDistance * 1e6) / 1e6,
+        math.rint(p.intrinsicDimensionality * 1e6) / 1e6,
+        p.appearsNormalized, p.estimatedClusters,
+        math.rint(p.sparsityRatio * 1e6) / 1e6,
+        sel.recommended, ok))
+        .toDF("dimensions", "n_vectors", "mean_magnitude",
+          "mean_pairwise_distance", "intrinsic_dim", "appears_normalized",
+          "estimated_clusters", "sparsity_ratio", "recommended_index",
+          "check_passed")
+    },
   )
 }
