@@ -109,7 +109,8 @@ object Bench {
       "pipeline_full", "upsert_merge", "change_feed", "federated_rrf",
       "bandit_rerank", "trajectory_dtw", "kg_search", "memory_recall",
       "crdt_converge", "split_assign", "pack_sequential",
-      "repetition_signals", "contamination_ngram")
+      "repetition_signals", "contamination_ngram", "query_builder",
+      "data_profile")
     val shown =
       if (only.nonEmpty) results
       else results.filter { case (k, _, _, _) => headline.contains(k) }
