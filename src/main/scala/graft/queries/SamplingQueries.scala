@@ -157,5 +157,76 @@ object SamplingQueries {
           bg, n = 8)
         .orderBy(col("doc_id"))
     },
+
+    // END-TO-END training-data preparation: exact dedup (first occurrence
+    // wins, planted +10000 copies removed) → drop the held-out benchmark
+    // docs and everything sharing an 8-gram with them → repetition-quality
+    // filter (dup-word fraction ≤ 0.3) → deterministic train split →
+    // distributed sequence packing. The whole flow composes as lazy plans
+    // through the library operators, and the DuckDB oracle replays every
+    // stage — the point is that the stages COMPOSE, not just pass alone.
+    "pipeline_train_prep" -> Q(
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20),
+         |w AS (SELECT doc_id, text, $duckWords AS ws FROM corpus),
+         |dd AS (
+         |  SELECT doc_id, text, ws FROM (
+         |    SELECT doc_id, text, ws, row_number() OVER (
+         |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |      ORDER BY doc_id) AS rn
+         |    FROM w) WHERE rn = 1),
+         |g AS (
+         |  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+         |  FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+         |  WHERE len(ws) >= 8),
+         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+         |contaminated AS (
+         |  SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+         |  WHERE g.doc_id % 10 <> 0),
+         |clean AS (
+         |  SELECT doc_id, ws FROM dd
+         |  WHERE doc_id % 10 <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |quality AS (
+         |  SELECT doc_id, ws FROM clean
+         |  WHERE len(ws) >= 2
+         |    AND 1.0 - len(list_distinct(ws))::DOUBLE / len(ws) <= 0.3),
+         |train AS (
+         |  SELECT doc_id, len(ws) AS n_tok FROM quality
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'),
+         |c AS (
+         |  SELECT doc_id, n_tok,
+         |         coalesce(sum(n_tok) OVER (
+         |           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+         |  FROM train)
+         |SELECT CAST(floor(before / 512) AS BIGINT) AS window_id,
+         |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.unionAll(d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val deduped = corpus
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(graft.pipeline.TextAnalysis.fingerprintMd5(col("text")))
+            .orderBy(col("doc_id"))))
+        .filter(col("__rn") === 1).drop("__rn")
+      val cleaned = Contamination.clean(
+        deduped.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
+        corpus.filter(col("doc_id") % 10 === 0), col("text"), n = 8)
+      val quality = cleaned
+        .filter(size(Repetition.words(col("text"))) >= 2)
+        .filter(Repetition.dupWordFraction(col("text")) <= 0.3)
+      val train = quality
+        .filter(Sampling.splitLabel(col("doc_id"), 0.8, 0.1) === "train")
+        .select(col("doc_id"), size(Repetition.words(col("text"))).as("n_tok"))
+      Sampling.packSequentialScalable(train, "doc_id", col("n_tok"), budget = 512)
+        .groupBy(col("window_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy(col("window_id"))
+    },
   )
 }
