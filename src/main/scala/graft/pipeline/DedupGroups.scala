@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Duplicate-group resolution (reference: src/experimental/dedup.rs —
+  * DuplicateGroup :354, generate_dedup_report :482, get_ids_to_remove
+  * :526): turn near-duplicate PAIRS (from any of the Dedup family's
+  * candidate generators) into groups, report statistics, and pick removal
+  * victims per strategy.
+  *
+  * Group formation is exact connected components over the pair edge list —
+  * iterative min-label propagation. Duplicate clusters are near-cliques,
+  * so convergence takes 2-4 supersteps, and every shuffle is bounded by
+  * the PAIR list (tiny), never the corpus. The reference walks groups
+  * sequentially in memory; the canonical member here is the MINIMUM id
+  * (its "first added" insertion order has no distributed meaning).
+  */
+object DedupGroups {
+
+  /** (id, canonical) for every id in `pairs`: exact connected components
+    * via min-label propagation, iterated to fixpoint.
+    */
+  def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                 maxIterations: Int = 50): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val undirected = edges
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true) // cut the candidate-generation plan once
+    var labels = undirected.select(col("src").as("id")).distinct()
+      .withColumn("canonical", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (iter < maxIterations && changed > 0) {
+      iter += 1
+      val neighborMin = undirected
+        .join(labels.select(col("id").as("src"), col("canonical")), "src")
+        .groupBy(col("dst")).agg(min(col("canonical")).as("__nmin"))
+        .select(col("dst").as("id"), col("__nmin"))
+      val viaNeighbors = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("canonical"), coalesce(col("__nmin"), col("canonical")))
+            .as("canonical"))
+      // pointer jumping (path halving): adopt the canonical's canonical —
+      // turns the O(diameter) chain worst case into O(log diameter)
+      val next = viaNeighbors.as("a")
+        .join(viaNeighbors.select(col("id").as("canonical"),
+          col("canonical").as("__cc")).as("b"), Seq("canonical"), "left")
+        .select(col("id"),
+          least(col("canonical"), coalesce(col("__cc"), col("canonical")))
+            .as("canonical"))
+        .localCheckpoint(true) // pin each superstep; lineage stays O(1)
+      changed = next
+        .join(labels.select(col("id"), col("canonical").as("__old")), "id")
+        .filter(col("canonical") =!= col("__old")).count()
+      labels = next
+    }
+    labels
+  }
+
+  /** DuplicateGroup rows (dedup.rs:354-361): (canonical, members sorted,
+    * n_members, avg_similarity within the group's observed pairs).
+    */
+  def groups(pairs: DataFrame, simCol: Column,
+             idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val comp = components(pairs, idA, idB).localCheckpoint(true)
+    val membership = comp.groupBy(col("canonical"))
+      .agg(sort_array(collect_list(col("id"))).as("members"),
+        count(lit(1)).as("n_members"))
+    val sims = pairs.select(col(idA).as("id"), simCol.as("__sim"))
+      .join(comp, "id")
+      .groupBy(col("canonical"))
+      .agg(avg(col("__sim")).as("avg_similarity"),
+        min(col("__sim")).as("__min_sim"))
+    membership.join(sims, "canonical")
+  }
+
+  /** One-row DeduplicationReport (dedup.rs:466-513). The reference stubs
+    * exact_duplicates to 0 (its comment: "would need to track this
+    * separately"); here a group counts as exact when every observed pair
+    * similarity is 1.0.
+    */
+  def report(pairs: DataFrame, simCol: Column, totalVectors: Long,
+             idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    groups(pairs, simCol, idA, idB)
+      .agg(
+        lit(totalVectors).as("total_vectors"),
+        count(lit(1)).as("num_groups"),
+        coalesce(sum(col("n_members") - 1), lit(0L)).as("num_duplicates"),
+        coalesce(sum(when(col("__min_sim") >= 1.0, col("n_members") - 1)
+          .otherwise(0L)), lit(0L)).as("exact_duplicates"),
+        coalesce(sum(when(col("__min_sim") < 1.0, col("n_members") - 1)
+          .otherwise(0L)), lit(0L)).as("near_duplicates"))
+  }
+
+  sealed trait Strategy
+  object Strategy {
+    /** Keep the minimum id (the canonical). */
+    case object KeepFirst extends Strategy
+    /** Keep the maximum id. */
+    case object KeepLatest extends Strategy
+    /** Keep the member with the highest `richness`; ties → smaller id.
+      * (The reference declares this strategy but falls back to first —
+      * dedup.rs:545; here it is honored when a richness table is given.)
+      */
+    final case class KeepRichest(richness: DataFrame) extends Strategy
+  }
+
+  /** Ids to remove (dedup.rs:526-553): every group member except the
+    * strategy's keeper.
+    */
+  def idsToRemove(pairs: DataFrame, strategy: Strategy,
+                  idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val comp = components(pairs, idA, idB)
+    val keeper = strategy match {
+      case Strategy.KeepFirst =>
+        comp.groupBy(col("canonical")).agg(min(col("id")).as("__keep"))
+      case Strategy.KeepLatest =>
+        comp.groupBy(col("canonical")).agg(max(col("id")).as("__keep"))
+      case Strategy.KeepRichest(rich) =>
+        import org.apache.spark.sql.expressions.Window
+        comp.join(rich.toDF("id", "__richness"), Seq("id"), "left")
+          .withColumn("__r", row_number().over(
+            Window.partitionBy(col("canonical"))
+              .orderBy(coalesce(col("__richness"), lit(0.0)).desc, col("id").asc)))
+          .filter(col("__r") === 1)
+          .select(col("canonical"), col("id").as("__keep"))
+    }
+    comp.join(keeper, "canonical")
+      .filter(col("id") =!= col("__keep"))
+      .select(col("id"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.pipeline.{Contamination, Repetition, Sampling}
+import graft.pipeline.{Contamination, Dedup, Repetition, Sampling}
 
 /** Training-data pipeline: deterministic sampling / splitting / shuffling /
   * packing, repetition quality signals, and benchmark-contamination checks.
@@ -156,6 +156,42 @@ object SamplingQueries {
           docs.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
           bg, n = 8)
         .orderBy(col("doc_id"))
+    },
+
+    // Duplicate-group resolution (experimental/dedup.rs): near-dup PAIRS
+    // from the n-gram candidate generator run through exact distributed
+    // connected components (min-label + pointer jumping), then group
+    // stats. Planted triples {i, i+10000, i+20000} (i<10) and pairs
+    // {i, i+10000} (10≤i<20) must each collapse to ONE group; the oracle
+    // derives the same groups relationally from the content fingerprint.
+    "dedup_groups" -> Q(
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text FROM documents WHERE doc_id < 10)
+        |SELECT min(doc_id) AS canonical,
+        |       array_to_string(list_sort(list(doc_id)), ',') AS members,
+        |       count(*) AS n_members,
+        |       1.0 AS avg_similarity
+        |FROM corpus
+        |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |HAVING count(*) > 1
+        |ORDER BY canonical""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.filter(col("doc_id") < 40)
+        .unionAll(d.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionAll(d.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      val pairs = Dedup.ngramJaccard(corpus, col("doc_id"), col("text"),
+        n = 3, threshold = 0.9, maxShingleFreq = 50)
+      graft.pipeline.DedupGroups.groups(pairs, col("jaccard"))
+        .select(col("canonical"), concat_ws(",", col("members")).as("members"),
+          col("n_members"), round(col("avg_similarity"), 6).as("avg_similarity"))
+        .orderBy(col("canonical"))
     },
 
     // END-TO-END training-data preparation: exact dedup (first occurrence
