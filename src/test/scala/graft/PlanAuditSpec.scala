@@ -25,7 +25,12 @@ class PlanAuditSpec extends SparkSpec {
     "memory_context_recall", "memory_consolidate", "kg_search",
     "kg_context_search", "crdt_converge", "crdt_merkle_diff",
     "hooked_pipeline", "query_patterns",
-    "collection_analytics", "drift_dimensions", "drift_report")
+    "collection_analytics", "drift_dimensions", "drift_report",
+    // round-5 surfaces: deterministic corpus plumbing + dedup groups —
+    // all equi-join/aggregation shapes
+    "split_assign", "sample_hash", "stratified_sample", "training_shuffle",
+    "pack_sequential", "repetition_signals", "contamination_ngram",
+    "pipeline_train_prep", "dedup_groups")
 
   // allowed a bounded broadcast nested loop — a 1-ROW broadcast frame
   // (BM25's (n, avgdl) corpus stats, the dedup gates' planted-pair count,
@@ -37,7 +42,9 @@ class PlanAuditSpec extends SparkSpec {
     "crossmodal_rrf", "ensemble_rerank", "batch_knn_cosine",
     "cf_recommend", "field_stats", "needleql_rerank_field",
     // two 1-row aggregate frames cross-joined into the report row
-    "query_insights")
+    "query_insights",
+    // broadcast query-vector frame feeding the bounded top-k aggregate
+    "batch_knn_bulk")
 
   for (name <- strictQueries)
     test(s"$name plans no cartesian and no nested-loop join") {
