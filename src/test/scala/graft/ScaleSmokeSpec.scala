@@ -148,6 +148,55 @@ class ScaleSmokeSpec extends SparkSpec {
       "corpus side must not shuffle for the benchmark join")
   }
 
+  test("train-prep composition at 20k docs: dedup → decontaminate → " +
+       "quality → split → pack, planted drops land exactly") {
+    import graft.pipeline.{Contamination, Repetition, Sampling, TextAnalysis}
+    import org.apache.spark.sql.expressions.Window
+    // 20k base docs; 500 exact dups of the first 500; 200 docs verbatim-
+    // contain a benchmark 8-gram; 300 docs are pure repetition spam
+    val base = (0 until 20000).map { i =>
+      // disjoint mod-100 classes: ==1 quotes the benchmark (200 docs),
+      // ==2 plus (==3, i<10000) are repetition spam (300 docs, unique
+      // tails so exact dedup cannot collapse them), rest are clean
+      val body =
+        if (i % 100 == 1)
+          s"document $i quotes held out benchmark passage q${i / 100} alpha beta gamma delta epsilon"
+        else if (i % 100 == 2 || (i % 100 == 3 && i < 10000))
+          s"spam spam spam spam spam spam spam s$i"
+        else
+          s"document number $i discusses topic${i % 97} with tokens t${i}a t${i}b t${i}c t${i}d"
+      (i.toLong, body)
+    }
+    val corpus = (base ++ (0 until 500).map(i => (100000L + i, base(i)._2)))
+      .toDF("doc_id", "text").repartition(8)
+    val bench = (0 until 200).map(q =>
+      (q.toLong, s"held out benchmark passage q$q alpha beta gamma delta epsilon zeta eta"))
+      .toDF("bench_id", "text")
+    val deduped = corpus
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(TextAnalysis.fingerprintMd5(col("text")))
+          .orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1).drop("__rn")
+    assert(deduped.count() == 20000L) // the 500 planted copies removed
+    val cleaned = Contamination.clean(deduped, col("doc_id"), col("text"),
+      bench, col("text"), n = 8)
+    assert(cleaned.count() == 19800L) // the 200 quoting docs removed
+    val quality = cleaned
+      .filter(Repetition.dupWordFraction(col("text")) <= 0.3)
+    val nQuality = quality.count()
+    assert(nQuality == 19800L - 300L, s"quality kept $nQuality")
+    val train = quality
+      .filter(Sampling.splitLabel(col("doc_id"), 0.8, 0.1) === "train")
+      .select(col("doc_id"), size(Repetition.words(col("text"))).as("n_tok"))
+    val packed = Sampling
+      .packSequentialScalable(train, "doc_id", col("n_tok"), budget = 256,
+        numPartitions = 8)
+    val windows = packed.groupBy("window_id").agg(sum("n_tok").as("t"))
+    // every window holds ≤ budget + max-doc-tokens
+    assert(windows.filter(col("t") > 256 + 16).count() == 0)
+    assert(packed.count() == train.count())
+  }
+
   test("scalable sequence packing at 100k rows matches the window form") {
     val big = spark.range(100000).select(col("id"),
       (pmod(col("id") * 40503L, lit(211)) + 1).cast("int").as("n_tok"))
