@@ -94,6 +94,26 @@ class QueryBuilderSpec extends SparkSpec {
     assert(label.sampleValues.nonEmpty)
   }
 
+  test("reference analyzer cases verbatim (query_builder.rs tests)") {
+    // test_query_analyzer_simple
+    val simple = QB.analyze("find articles about machine learning")
+    assert(simple.queryClass == QB.Semantic)
+    assert(simple.complexity == QB.Simple)
+    assert(simple.searchTerms.nonEmpty)
+    // test_query_analyzer_with_filter
+    val filtered = QB.analyze(
+      "show documents category technology with score greater than 0.8")
+    assert(filtered.queryClass == QB.Hybrid)
+    assert(filtered.filterFields.nonEmpty)
+    // test_query_analyzer_temporal
+    val temporal = QB.analyze("articles from last week")
+    assert(temporal.temporal.isDefined)
+    assert(temporal.patterns.exists(_.patternType == "temporal_expression"))
+    // test_query_analyzer_aggregation
+    assert(QB.analyze("how many documents are in the database").queryClass ==
+      QB.Aggregation)
+  }
+
   test("field and value autocomplete") {
     assert(QB.suggestFields(smallProfile, "cat").map(_.name) == Seq("category"))
     val withSamples = smallProfile.copy(metadataFields = Seq(
