@@ -197,6 +197,32 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(packed.count() == train.count())
   }
 
+  test("BM25 at 100k docs: stats build is grouped, query reads only " +
+       "query-term postings, planted relevant doc ranks first") {
+    import graft.text.{Bm25, Tokenizer}
+    val docs = (0 until 100000).map { i =>
+      val topic = s"topic${i % 997}"
+      val body =
+        if (i == 31337)
+          "needle haystack needle haystack needle haystack rare treasure"
+        else
+          s"document about $topic with filler words alpha beta gamma u$i"
+      (i.toLong, body)
+    }.toDF("doc_id", "text").repartition(8)
+    val ix = Bm25.index(docs, col("doc_id"), col("text"),
+      Bm25.Config(stemming = false)).persisted()
+    try {
+      val scored = Bm25.scoreTerms(ix,
+        Tokenizer.tokenize("needle haystack treasure", stemming = false))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(5)
+      val top = scored.collect()
+      assert(top.nonEmpty && top.head.getLong(0) == 31337L,
+        s"planted doc must rank first: ${top.mkString(",")}")
+      // only the planted doc contains any query term
+      assert(top.length == 1)
+    } finally ix.unpersist()
+  }
+
   test("scalable sequence packing at 100k rows matches the window form") {
     val big = spark.range(100000).select(col("id"),
       (pmod(col("id") * 40503L, lit(211)) + 1).cast("int").as("n_tok"))
