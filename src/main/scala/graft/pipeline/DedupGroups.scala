@@ -39,23 +39,23 @@ object DedupGroups {
         .join(labels.select(col("id").as("src"), col("canonical")), "src")
         .groupBy(col("dst")).agg(min(col("canonical")).as("__nmin"))
         .select(col("dst").as("id"), col("__nmin"))
+      // the old label rides along so the convergence check needs no
+      // extra join against the previous superstep
       val viaNeighbors = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("canonical").as("__old"),
           least(col("canonical"), coalesce(col("__nmin"), col("canonical")))
             .as("canonical"))
       // pointer jumping (path halving): adopt the canonical's canonical —
       // turns the O(diameter) chain worst case into O(log diameter)
-      val next = viaNeighbors.as("a")
+      val jumped = viaNeighbors.as("a")
         .join(viaNeighbors.select(col("id").as("canonical"),
           col("canonical").as("__cc")).as("b"), Seq("canonical"), "left")
-        .select(col("id"),
+        .select(col("id"), col("__old"),
           least(col("canonical"), coalesce(col("__cc"), col("canonical")))
             .as("canonical"))
         .localCheckpoint(true) // pin each superstep; lineage stays O(1)
-      changed = next
-        .join(labels.select(col("id"), col("canonical").as("__old")), "id")
-        .filter(col("canonical") =!= col("__old")).count()
-      labels = next
+      changed = jumped.filter(col("canonical") =!= col("__old")).count()
+      labels = jumped.select(col("id"), col("canonical"))
     }
     labels
   }
