@@ -27,6 +27,24 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Per-stratum corpus mix report — the data-mixing ledger a training
+    * run is planned against: document and token counts, token share of
+    * the corpus, and mean quality per (source, lang, …) stratum. One
+    * grouped aggregation plus a 1-row broadcast for the shares.
+    */
+  def mixReport(df: DataFrame, strata: Seq[Column], tokensCol: Column,
+                qualityCol: Column): DataFrame = {
+    val per = df.groupBy(strata: _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokensCol.cast("long")).as("n_tokens"),
+        round(avg(qualityCol), 6).as("mean_quality"))
+    val total = per.agg(sum(col("n_tokens")).as("__total"))
+    per.crossJoin(broadcast(total))
+      .withColumn("token_share",
+        round(col("n_tokens") / col("__total"), 6))
+      .drop("__total")
+  }
+
   /** Lowercase hex md5 prefix of an id — the deterministic bucket key. */
   def hashPrefix(idCol: Column, width: Int): Column =
     substring(md5(idCol.cast("string").cast("binary")), 1, width)

@@ -158,6 +158,40 @@ object SamplingQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Corpus mix report: the per-(source, lang) data-mixing ledger —
+    // docs, tokens, token share, mean quality — that a training run's
+    // sampling weights are planned against.
+    "corpus_mix_report" -> Q(
+      s"""WITH t AS (
+         |  SELECT source, lang,
+         |         len($duckWords) AS n_tok,
+         |         round((least(length(text) / 500.0, 1.0)
+         |            + (CASE WHEN list_sum(list_transform(string_split_regex(trim(text), '\\s+'), x -> length(x)))
+         |                         / len(string_split_regex(trim(text), '\\s+')) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+         |            + (CASE WHEN len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |                                         x -> x IN (${graft.text.Tokenizer.defaultStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")})))
+         |                         / len(string_split_regex(lower(trim(text)), '\\s+')) BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END)
+         |            + (1.0 - least((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+         |                           / length(text) * 2.0, 1.0))) / 4.0, 6) AS q
+         |  FROM documents),
+         |per AS (
+         |  SELECT source, lang, count(*) AS n_docs,
+         |         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |         round(avg(q), 6) AS mean_quality
+         |  FROM t GROUP BY source, lang),
+         |tot AS (SELECT sum(n_tokens) AS total FROM per)
+         |SELECT source, lang, n_docs, n_tokens, mean_quality,
+         |       round(n_tokens / tot.total, 6) AS token_share
+         |FROM per, tot ORDER BY source, lang""".stripMargin
+    ) { (s, dir) =>
+      Sampling.mixReport(
+          Tables.load(s, dir, "documents"),
+          Seq(col("source"), col("lang")),
+          size(Repetition.words(col("text"))),
+          graft.pipeline.TextAnalysis.qualityScore(col("text")))
+        .orderBy(col("source"), col("lang"))
+    },
+
     // Duplicate-group resolution (experimental/dedup.rs): near-dup PAIRS
     // from the n-gram candidate generator run through exact distributed
     // connected components (min-label + pointer jumping), then group

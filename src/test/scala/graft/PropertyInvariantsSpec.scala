@@ -114,6 +114,28 @@ class PropertyInvariantsSpec extends SparkSpec {
     }, minSuccessful = 8)
   }
 
+  test("NeedleQL parser is total: any token soup parses or raises its " +
+       "typed errors (never NPE/MatchError/StackOverflow)") {
+    import graft.needleql.{Lexer, Parser}
+    val fragment = Gen.oneOf(
+      "SELECT", "FROM", "WHERE", "*", ",", "(", ")", "docs", "vector",
+      "SIMILAR", "TO", "$q", "LIMIT", "42", "-7", "3.14", "'str'", "AND",
+      "OR", "NOT", "<", ">=", "=", "!=", "[1.0, 2.0]", "NEAREST_TO",
+      "HYBRID_SEARCH", "RERANK", "BY", "ORDER", "ASC", "DESC", "AS", "OF",
+      "USING", "RAG", "BETWEEN", "IN", "LIKE", "IS", "NULL", "INSERT",
+      "DELETE", "CREATE", "VIEW", "EXPLAIN", "7d", "@snap", "💥", "%%",
+      "..", ";", "\"", "\\", "__", "1e309")
+    val genSoup = Gen.listOf(fragment).map(_.mkString(" "))
+    check(forAll(genSoup) { q =>
+      try { Parser.parse(q); true }
+      catch {
+        case _: Parser.ParseError => true
+        case _: Lexer.LexError => true
+        case _: Throwable => false
+      }
+    }, minSuccessful = 300)
+  }
+
   test("interchange roundtrip preserves ids and vector lengths (property_tests.rs:79,286)") {
     check(Prop.forAllNoShrink(genColl) { rows =>
       val dir = java.nio.file.Files.createTempDirectory("prop-jsonl").toString
