@@ -44,7 +44,9 @@ class PlanAuditSpec extends SparkSpec {
     // two 1-row aggregate frames cross-joined into the report row
     "query_insights",
     // broadcast query-vector frame feeding the bounded top-k aggregate
-    "batch_knn_bulk")
+    "batch_knn_bulk",
+    // 1-row broadcast corpus-total frame for the token-share column
+    "corpus_mix_report")
 
   for (name <- strictQueries)
     test(s"$name plans no cartesian and no nested-loop join") {
