@@ -45,6 +45,36 @@ object Sampling {
       .drop("__total")
   }
 
+  /** Mixture sampling — the data-mixing counterpart of [[mixReport]]:
+    * given target token SHARES per stratum and a total token budget,
+    * derive each stratum's sampling fraction (`share·budget / stratum
+    * tokens`, capped at 1) and keep a deterministic hash sample at that
+    * rate. The thresholds are derived relationally from the data (one
+    * grouped aggregation + a broadcast of |strata| rows), so the same
+    * statement replays on any ANSI engine; membership is expectation-based
+    * (hash sampling), not an exact token-count cut.
+    */
+  def mixtureSample(df: DataFrame, strataCol: Column, idCol: Column,
+                    tokensCol: Column, shares: Map[String, Double],
+                    budgetTokens: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.withColumn("__stratum", strataCol)
+      .withColumn("__tok", tokensCol.cast("long"))
+      .filter(col("__stratum").isin(shares.keys.toSeq: _*))
+    val per = base.groupBy(col("__stratum")).agg(sum(col("__tok")).as("__stok"))
+    val frac = col("__share") * budgetTokens / col("__stok")
+    val thr = per.join(shares.toSeq.toDF("__stratum", "__share"), "__stratum")
+      // frac ≥ 1 keeps the whole stratum: 'zzzz' outranks every hex prefix
+      // (hex(65536) would be 5 chars and lpad-4 would TRUNCATE it)
+      .withColumn("__thr", when(frac >= 1.0, lit("zzzz"))
+        .otherwise(lpad(lower(hex(floor(frac * 65536).cast("long"))), 4, "0")))
+      .select(col("__stratum"), col("__thr"))
+    base.join(broadcast(thr), "__stratum")
+      .filter(hashPrefix(idCol, 4) < col("__thr"))
+      .drop("__stratum", "__tok", "__thr")
+  }
+
   /** Lowercase hex md5 prefix of an id — the deterministic bucket key. */
   def hashPrefix(idCol: Column, width: Int): Column =
     substring(md5(idCol.cast("string").cast("binary")), 1, width)

@@ -192,6 +192,38 @@ object SamplingQueries {
         .orderBy(col("source"), col("lang"))
     },
 
+    // Mixture sampling: target token shares {src0: .5, src1: .3, src2: .2}
+    // over a 2000-token budget → per-stratum hash thresholds derived
+    // relationally from the corpus (share·budget / stratum-tokens), so
+    // both engines compute identical sample membership.
+    "mixture_sample" -> Q(
+      s"""WITH t AS (
+         |  SELECT doc_id, source, len($duckWords) AS n_tok
+         |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+         |per AS (SELECT source, sum(n_tok) AS tok FROM t GROUP BY source),
+         |sh AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)) AS s(source, share)),
+         |thr AS (
+         |  SELECT per.source,
+         |         CASE WHEN sh.share * 2000 / per.tok >= 1 THEN 'zzzz'
+         |              ELSE lpad(lower(to_hex(CAST(floor(sh.share * 2000 / per.tok * 65536) AS BIGINT))), 4, '0') END AS h
+         |  FROM per JOIN sh USING (source))
+         |SELECT t.source, count(*) AS n_docs, CAST(sum(t.n_tok) AS BIGINT) AS n_tokens
+         |FROM t JOIN thr USING (source)
+         |WHERE substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4) < thr.h
+         |GROUP BY t.source ORDER BY t.source""".stripMargin
+    ) { (s, dir) =>
+      val sampled = Sampling.mixtureSample(
+        Tables.load(s, dir, "documents"),
+        col("source"), col("doc_id"),
+        size(Repetition.words(col("text"))),
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+        budgetTokens = 2000L)
+      sampled.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(Repetition.words(col("text"))).cast("long")).as("n_tokens"))
+        .orderBy(col("source"))
+    },
+
     // Duplicate-group resolution (experimental/dedup.rs): near-dup PAIRS
     // from the n-gram candidate generator run through exact distributed
     // connected components (min-label + pointer jumping), then group

@@ -86,6 +86,31 @@ class SamplingSpec extends SparkSpec {
     assert(totals <= 256 + 97, s"window overflow: $totals")
   }
 
+  test("mixtureSample: budget-scaled fractions, full-keep cap, strata out " +
+       "of the target map excluded") {
+    import graft.pipeline.Repetition
+    val docs01 = sf("documents")
+    val toks = size(Repetition.words(col("text")))
+    // huge budget -> every requested stratum's fraction caps at 1 (zzzz)
+    val all = Sampling.mixtureSample(docs01, col("source"), col("doc_id"),
+      toks, Map("src0" -> 0.5, "src1" -> 0.5), budgetTokens = 10000000L)
+    val bySource = all.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs01.filter(col("source").isin("src0", "src1"))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource == full, s"cap at 1 keeps everything: $bySource vs $full")
+    // small budget -> strict subset, only requested strata, deterministic
+    val small = Sampling.mixtureSample(docs01, col("source"), col("doc_id"),
+      toks, Map("src0" -> 1.0), budgetTokens = 50L)
+    assert(small.select("source").distinct().collect()
+      .map(_.getString(0)).toSet == Set("src0"))
+    assert(small.count() < full("src0"))
+    val again = Sampling.mixtureSample(docs01, col("source"), col("doc_id"),
+      toks, Map("src0" -> 1.0), budgetTokens = 50L)
+    assert(small.select("doc_id").except(again.select("doc_id")).count() == 0)
+  }
+
   test("repetition signals: planted repetitive doc scores high") {
     val planted = Seq(
       (1L, "spam spam spam spam spam spam"),
