@@ -110,7 +110,8 @@ object Bench {
       "bandit_rerank", "trajectory_dtw", "kg_search", "memory_recall",
       "crdt_converge", "split_assign", "pack_sequential",
       "repetition_signals", "contamination_ngram", "query_builder",
-      "data_profile", "pipeline_train_prep", "corpus_mix_report")
+      "data_profile", "pipeline_train_prep", "corpus_mix_report",
+      "gopher_rules", "span_dedup")
     val shown =
       if (only.nonEmpty) results
       else results.filter { case (k, _, _, _) => headline.contains(k) }

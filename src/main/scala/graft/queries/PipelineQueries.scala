@@ -311,5 +311,70 @@ object PipelineQueries {
         .withColumn("check_passed", col("n_planted") === 20).drop("n_planted")
         .orderBy(col("id_a"), col("id_b"))
     },
+
+    // Gopher/MassiveText quality-filter rule set (Rae et al. 2021 A1) —
+    // one 0/1 column per rule so the gate checks each rule's semantics.
+    "gopher_rules" -> Q(
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS ws,
+        |         string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, ws, lines,
+        |         len(ws) AS n_words,
+        |         CASE WHEN len(ws) = 0 THEN 0.0
+        |              ELSE list_sum(list_transform(ws, x -> length(x))) * 1.0 / len(ws) END AS mwl,
+        |         length(text) - length(replace(text, '#', '')) AS n_hash,
+        |         (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell,
+        |         len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+        |         len(list_filter(['the','be','to','of','and','that','have','with'],
+        |             s -> list_contains(string_split_regex(lower(trim(text)), '\s+'), s))) AS n_stops,
+        |         len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS n_bullet,
+        |         len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS n_ellline,
+        |         len(lines) AS n_lines
+        |  FROM w)
+        |SELECT doc_id,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_word_count,
+        |  CAST(CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END AS BIGINT) AS r_mean_word_len,
+        |  CAST(CASE WHEN n_words > 0 AND (n_hash + n_ell) * 1.0 / n_words <= 0.1 THEN 1 ELSE 0 END AS BIGINT) AS r_symbol_ratio,
+        |  CAST(CASE WHEN n_bullet * 1.0 / n_lines <= 0.9 THEN 1 ELSE 0 END AS BIGINT) AS r_bullet_lines,
+        |  CAST(CASE WHEN n_ellline * 1.0 / n_lines <= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS r_ellipsis_lines,
+        |  CAST(CASE WHEN n_words > 0 AND n_alpha * 1.0 / n_words >= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS r_alpha_words,
+        |  CAST(CASE WHEN n_stops >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop_words
+        |FROM m ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val flags = TextAnalysis.gopherFlags(col("text"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id") +: flags.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    },
+
+    // Span-level exact dedup (Lee et al. 2021 shape): 20-word windows,
+    // global first-occurrence survives, documents rebuilt from kept spans.
+    "span_dedup" -> Q(
+      s"""WITH docs AS $dupUnionSql,
+         |w AS (SELECT doc_id,
+         |             list_filter(string_split_regex(trim(text), '\\s+'),
+         |                         x -> length(x) > 0) AS ws
+         |      FROM docs),
+         |spans AS (
+         |  SELECT doc_id, CAST(i AS INT) AS span_idx,
+         |         array_to_string(ws[CAST(i*20+1 AS BIGINT):CAST(i*20+20 AS BIGINT)], ' ') AS span
+         |  FROM w, unnest(range(0, greatest(CAST(ceil(len(ws)/20.0) AS BIGINT), 1))) AS t(i)),
+         |ranked AS (SELECT doc_id, span_idx, span,
+         |                  row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+         |           FROM spans)
+         |SELECT doc_id,
+         |       coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY span_idx), '') AS retained_text,
+         |       count(*) AS n_spans,
+         |       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Dedup.spanDedup(withPlantedDups(s, dir), col("doc_id"), col("text"),
+        spanWords = 20)
+        .orderBy(col("doc_id"))
+    },
   )
 }

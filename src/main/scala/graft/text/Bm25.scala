@@ -136,19 +136,34 @@ object Bm25 {
     val distinctTerms = qCounts.keys.toSeq
     val k1 = ix.config.k1
     val b = ix.config.b
-    // docFreqs must be pruned to the query's terms BEFORE broadcasting —
-    // the full table is corpus-vocabulary-sized (huge at scale); the pruned
-    // one has ≤ |query| rows
-    val qdf = ix.docFreqs.filter(col("term").isin(distinctTerms: _*))
+    // Query-side stats ride as LITERALS, not join legs: docFreqs pruned to
+    // the query's terms (≤ |query| rows — the full table is corpus-
+    // vocabulary-sized) plus the 1-row corpus table, collected in ONE small
+    // job. The previous two-broadcast-leg formulation (join(broadcast(qdf))
+    // + crossJoin(broadcast(corpus))) paid two broadcast-exchange jobs and
+    // three AQE stages per query — ~1 s of pure scheduling at any data
+    // size. With per-term `qc·idf` weights folded into a literal map the
+    // postings side is filter → map lookup → one hash aggregate: a single
+    // shuffle, and the same double-op order as before (qc·idf first), so
+    // scores are bit-identical.
+    val stats = ix.docFreqs.filter(col("term").isin(distinctTerms: _*))
+      .crossJoin(ix.corpus).collect()
+    if (stats.isEmpty)
+      return ix.termFreqs.select(col("doc_id"), lit(0.0).as("score"))
+        .filter(lit(false))
+    val n = stats.head.getAs[Double]("n")
+    val avgdl = stats.head.getAs[Double]("avgdl")
+    val weights: Map[String, Double] = stats.map { r =>
+      val term = r.getAs[String]("term")
+      val df = r.getAs[Double]("df")
+      val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+      term -> qCounts(term) * idf
+    }.toMap
     ix.termFreqs
-      .filter(col("term").isin(distinctTerms: _*)) // keep only query terms
-      .withColumn("qc", element_at(typedLit(qCounts), col("term")))
-      .join(broadcast(qdf), "term")
-      .crossJoin(broadcast(ix.corpus))
-      .withColumn("idf", log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-      .withColumn("lennorm", lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))
+      .filter(col("term").isin(weights.keys.toSeq: _*))
+      .withColumn("lennorm", lit(1.0) - b + lit(b) * col("dl") / lit(avgdl))
       .withColumn("contrib",
-        col("qc") * col("idf") * col("tf") * lit(k1 + 1.0) /
+        element_at(typedLit(weights), col("term")) * col("tf") * lit(k1 + 1.0) /
           (col("tf") + lit(k1) * col("lennorm")))
       .groupBy(col("doc_id"))
       .agg(sum(col("contrib")).as("score"))

@@ -41,6 +41,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
 
+  test("gopher rules: each rule fires on its designed violation") {
+    val good = (("the of and " + "sensible words here ") * 10).trim // 50 words, stops present
+    val short = "the of too short"
+    val symbols = ("### " * 30 + "the of ok " * 20).trim           // '#' soup
+    val numeric = (("123 456 " * 30) + "the of").trim              // <80% alpha words
+    val noStops = ("wordy content without common function terms " * 10).trim
+    val df = Seq((1L, good), (2L, short), (3L, symbols), (4L, numeric), (5L, noStops))
+      .toDF("id", "t")
+    val flags = TextAnalysis.gopherFlags(col("t"), minWords = 20)
+    val out = df.select(col("id") +: flags.map { case (n, c) => c.as(n) } :+
+        TextAnalysis.gopherPass(flags).as("pass"): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("pass") == 1L)
+    assert(out(2L).getAs[Long]("r_word_count") == 0L)
+    assert(out(3L).getAs[Long]("r_symbol_ratio") == 0L)
+    assert(out(4L).getAs[Long]("r_alpha_words") == 0L)
+    assert(out(5L).getAs[Long]("r_stop_words") == 0L)
+    // the violations are disjoint: each bad doc fails overall
+    Seq(2L, 3L, 4L, 5L).foreach(id => assert(out(id).getAs[Long]("pass") == 0L))
+  }
+
+  test("gopher rules: bullet and ellipsis line fractions") {
+    val bullets = (Seq.fill(10)("- item line") :+ "prose the of line").mkString("\n")
+    val ellipses = (Seq.fill(5)("trailing thought...") :+ "the of end").mkString("\n")
+    val df = Seq((1L, bullets), (2L, ellipses)).toDF("id", "t")
+    val flags = TextAnalysis.gopherFlags(col("t"), minWords = 1)
+    val out = df.select(col("id") +: flags.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("r_bullet_lines") == 0L)   // 10/11 > 0.9
+    assert(out(2L).getAs[Long]("r_ellipsis_lines") == 0L) // 5/6 > 0.3
+  }
+
   test("rolling hash is the polynomial hash") {
     assert(TextAnalysis.rollingHash("") == 0L)
     assert(TextAnalysis.rollingHash("a") == 'a'.toLong)
@@ -115,6 +147,28 @@ class DedupSpec extends SparkSpec {
     val exact = got.find(r => r._1 == 1L && r._2 == 2L)
     assert(exact.nonEmpty && exact.get._3 == 0)
     assert(!got.exists(r => (r._1, r._2) == ((4L, 5L))))
+  }
+
+  test("span dedup: repeated spans dropped at their later occurrence") {
+    // 4-word spans; doc 2 repeats doc 1's opening span, doc 3 is untouched
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta iota kappa lambda mu"),
+      (3L, "nu xi omicron pi")).toDF("id", "t")
+    val out = Dedup.spanDedup(df, col("id"), col("t"), spanWords = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("alpha beta gamma delta epsilon zeta eta theta", 2L, 0L)))
+    assert(out(2L) == (("iota kappa lambda mu", 2L, 1L))) // first span deduped away
+    assert(out(3L) == (("nu xi omicron pi", 1L, 0L)))
+  }
+
+  test("span dedup: exact duplicate doc reduces to empty text") {
+    val df = Seq((1L, base), (2L, base)).toDF("id", "t")
+    val out = Dedup.spanDedup(df, col("id"), col("t"), spanWords = 5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(out(1L)._1.nonEmpty && out(1L)._2 == 0L)
+    assert(out(2L)._1.isEmpty && out(2L)._2 > 0L)
   }
 
   test("embedding near-dup threshold join") {
