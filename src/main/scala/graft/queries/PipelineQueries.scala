@@ -351,6 +351,45 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // PII detect → redact → density-drop (the C4/CCNet/Dolma scrub step)
+    // over a corpus with deterministically planted emails/phones/IPs.
+    "pii_scrub" -> Q(
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 10 = 0
+        |              THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1 555-123-4567 at 192.168.1.' || CAST(doc_id % 255 AS VARCHAR)
+        |              ELSE text END AS text
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '(?:\+?[0-9]{1,3}[- .]?)?\(?[0-9]{3}\)?[- .]?[0-9]{3}[- .]?[0-9]{4}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '|||EMAIL|||', 'g'),
+        |      '(?:\+?[0-9]{1,3}[- .]?)?\(?[0-9]{3}\)?[- .]?[0-9]{3}[- .]?[0-9]{4}', '|||PHONE|||', 'g'),
+        |      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '|||IP|||', 'g') AS redacted,
+        |  CAST(CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) = 0
+        |         AND len(regexp_extract_all(text, '(?:\+?[0-9]{1,3}[- .]?)?\(?[0-9]{3}\)?[- .]?[0-9]{3}[- .]?[0-9]{4}')) = 0
+        |         AND len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM docs ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      import graft.pipeline.Pii
+      val planted = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"), lit("@example.com or +1 555-123-4567 at 192.168.1."),
+              (col("doc_id") % 255).cast("string")))
+            .otherwise(col("text")).as("text"))
+      planted.select(
+        col("doc_id") +:
+          Pii.detect(col("text")).map { case (n, c) => c.as(n) } :+
+          Pii.redact(col("text")).as("redacted") :+
+          when(Pii.dropDense(col("text"), maxPerDoc = 0), 1L).otherwise(0L).as("keep"): _*)
+        .orderBy(col("doc_id"))
+    },
+
     // Span-level exact dedup (Lee et al. 2021 shape): 20-word windows,
     // global first-occurrence survives, documents rebuilt from kept spans.
     "span_dedup" -> Q(

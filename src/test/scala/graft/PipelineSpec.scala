@@ -73,6 +73,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("r_ellipsis_lines") == 0L) // 5/6 > 0.3
   }
 
+  test("pii: detect counts, typed redaction, density drop") {
+    import graft.pipeline.Pii
+    val df = Seq(
+      (1L, "mail me at jane.doe+spam@corp.example.org today"),
+      (2L, "call +1 (415) 555-0199 or 415-555-0142"),
+      (3L, "server at 10.0.0.1 and 192.168.255.254"),
+      (4L, "clean prose with no identifiers at all"),
+      (5L, "a@b.io c@d.io e@f.io g@h.io i@j.io k@l.io")) // 6 emails: dense
+      .toDF("id", "t")
+    val out = df.select(
+      col("id") +: Pii.detect(col("t")).map { case (n, c) => c.as(n) } :+
+        Pii.redact(col("t")).as("red") :+
+        Pii.dropDense(col("t"), maxPerDoc = 5).as("keep"): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_email") == 1 &&
+      out(1L).getAs[String]("red") == "mail me at |||EMAIL||| today")
+    assert(out(2L).getAs[Long]("n_phone") == 2 &&
+      !out(2L).getAs[String]("red").exists(_.isDigit))
+    assert(out(3L).getAs[Long]("n_ip") == 2 &&
+      out(3L).getAs[String]("red") == "server at |||IP||| and |||IP|||")
+    assert(out(4L).getAs[String]("red") == "clean prose with no identifiers at all"
+      && out(4L).getAs[Boolean]("keep"))
+    assert(out(5L).getAs[Long]("n_email") == 6 && !out(5L).getAs[Boolean]("keep"))
+  }
+
   test("rolling hash is the polynomial hash") {
     assert(TextAnalysis.rollingHash("") == 0L)
     assert(TextAnalysis.rollingHash("a") == 'a'.toLong)
