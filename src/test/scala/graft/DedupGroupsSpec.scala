@@ -53,12 +53,27 @@ class DedupGroupsSpec extends SparkSpec {
   }
 
   test("components at 5k pairs: star topology converges in few supersteps") {
-    // one hub connected to 5000 spokes plus a disjoint 1000-chain segment
+    // one hub connected to 5000 spokes plus a disjoint 1000-chain segment;
+    // threshold 0 forces the distributed superstep path
     val star = (1L to 5000L).map(i => (0L, i)).toDF("id_a", "id_b")
-    val comp = DedupGroups.components(star)
+    val comp = DedupGroups.components(star, smallGraphThreshold = 0L)
     assert(comp.filter(col("canonical") === 0L).count() == 5001L)
     val chain = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val c2 = DedupGroups.components(chain)
+    val c2 = DedupGroups.components(chain, smallGraphThreshold = 0L)
     assert(c2.filter(col("canonical") === 0L).count() == 201L)
+  }
+
+  test("small-graph union-find path equals the distributed supersteps") {
+    // mixed topology: chain + star + singleton pair + transitive bridge
+    val edges = ((0L until 50L).map(i => (i, i + 1)) ++
+      (100L to 140L).map(i => (99L, i)) ++
+      Seq((200L, 201L), (50L, 99L))).toDF("id_a", "id_b")
+    val fast = DedupGroups.components(edges)
+      .collect().map(r => (r.get(0), r.get(1))).toSet
+    val dist = DedupGroups.components(edges, smallGraphThreshold = 0L)
+      .collect().map(r => (r.get(0), r.get(1))).toSet
+    assert(fast == dist)
+    // the bridge (50,99) merges chain and star into one 0-rooted component
+    assert(fast.count(_._2 == 0L) == 93)
   }
 }
