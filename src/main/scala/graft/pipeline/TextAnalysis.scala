@@ -174,6 +174,48 @@ object TextAnalysis {
     flags.collect { case (n, c) if n.startsWith("r_") => c }
       .reduce(_ * _).cast("long")
 
+  /** The C4 cleaning rules (Raffel et al. 2020 §2.2 — the other canonical
+    * public quality-filter recipe next to [[gopherFlags]]): keep only lines
+    * that end in terminal punctuation, have ≥ `minLineWords` words and do
+    * not mention javascript; drop whole pages containing "lorem ipsum" or a
+    * curly brace, or whose retained text has fewer than `minSentences`
+    * sentences. One compiled pass per document; emits the retained text so
+    * the line filter is part of the checked semantics, not just a flag.
+    */
+  private val c4TerminalRe = java.util.regex.Pattern.compile("[.!?\"]$")
+  private lazy val c4CountsUdf = udf((s: String, minLineWords: Int) => {
+    val t = if (s == null) "" else s
+    val lines = t.split("\n", -1)
+    val kept = lines.filter { l =>
+      val lt = l.trim
+      c4TerminalRe.matcher(lt).find() &&
+        lt.split("\\s+").count(_.nonEmpty) >= minLineWords &&
+        !lt.toLowerCase.split("[^a-z0-9]+").contains("javascript")
+    }
+    val retained = kept.mkString("\n")
+    val nSentences = retained.count(c => c == '.' || c == '!' || c == '?').toLong
+    (retained, lines.length.toLong, kept.length.toLong, nSentences,
+      if (t.toLowerCase.contains("lorem ipsum")) 1L else 0L,
+      if (t.contains('{')) 1L else 0L)
+  })
+
+  /** Columns: retained text, line counts, sentence count, page-drop flags
+    * and the overall keep flag. */
+  def c4Flags(text: Column, minLineWords: Int = 5, minSentences: Int = 3)
+      : Seq[(String, Column)] = {
+    val c = c4CountsUdf(text, lit(minLineWords))
+    val keep = when(c.getField("_4") >= minSentences &&
+      c.getField("_5") === 0L && c.getField("_6") === 0L, 1L).otherwise(0L)
+    Seq(
+      "retained" -> c.getField("_1"),
+      "n_lines" -> c.getField("_2"),
+      "n_kept_lines" -> c.getField("_3"),
+      "n_sentences" -> c.getField("_4"),
+      "has_lorem" -> c.getField("_5"),
+      "has_brace" -> c.getField("_6"),
+      "keep" -> keep)
+  }
+
   /** Content fingerprint for exact dedup: md5 of whitespace-normalized,
     * lowercased text (stable across formatting differences).
     */

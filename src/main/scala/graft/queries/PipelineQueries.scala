@@ -351,6 +351,57 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // C4 cleaning rules (Raffel et al. 2020 §2.2) over pages assembled
+    // deterministically from the word-salad docs: terminal-punctuation
+    // line filter, ≥5-word lines, javascript-line drop, lorem-ipsum /
+    // curly-brace page drop, ≥3-sentence minimum. The retained text is
+    // part of the compared output, so the line filter itself is oracle-
+    // checked, not just the flags.
+    "c4_rules" -> Q(
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS ws
+        |           FROM documents WHERE doc_id < 150),
+        |pages AS (SELECT doc_id, concat_ws(chr(10),
+        |    coalesce(array_to_string(ws[1:8], ' '), '') || '. second bit done. third bit here.',
+        |    coalesce(array_to_string(ws[9:12], ' '), ''),
+        |    coalesce(array_to_string(ws[13:18], ' '), '') || ' uses javascript here.',
+        |    CASE WHEN doc_id % 5 = 0 THEN 'lorem ipsum dolor sit amet.' END,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'function() { return 1; }' END) AS text
+        |  FROM w),
+        |r AS (SELECT doc_id, text,
+        |    list_filter(string_split(text, chr(10)),
+        |      l -> regexp_matches(trim(l), '[.!?"]$')
+        |       AND len(list_filter(string_split_regex(trim(l), '\s+'), x -> length(x) > 0)) >= 5
+        |       AND NOT list_contains(string_split_regex(lower(trim(l)), '[^a-z0-9]+'), 'javascript')) AS kept,
+        |    len(string_split(text, chr(10))) AS n_lines
+        |  FROM pages)
+        |SELECT doc_id,
+        |  array_to_string(kept, chr(10)) AS retained,
+        |  CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |  CAST(len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]')) AS BIGINT) AS n_sentences,
+        |  CAST(CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END AS BIGINT) AS has_lorem,
+        |  CAST(CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS BIGINT) AS has_brace,
+        |  CAST(CASE WHEN len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]')) >= 3
+        |        AND NOT contains(lower(text), 'lorem ipsum')
+        |        AND NOT contains(text, '{') THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val words = filter(split(trim(col("text")), "\\s+"), w => length(w) > 0)
+      val page = concat_ws("\n",
+        concat(array_join(slice(words, 1, 8), " "),
+          lit(". second bit done. third bit here.")),
+        array_join(slice(words, 9, 4), " "),
+        concat(array_join(slice(words, 13, 6), " "), lit(" uses javascript here.")),
+        when(col("doc_id") % 5 === 0, lit("lorem ipsum dolor sit amet.")),
+        when(col("doc_id") % 7 === 0, lit("function() { return 1; }")))
+      val paged = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 150)
+        .select(col("doc_id"), page.as("text"))
+      paged.select(col("doc_id") +:
+          TextAnalysis.c4Flags(col("text")).map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    },
+
     // PII detect → redact → density-drop (the C4/CCNet/Dolma scrub step)
     // over a corpus with deterministically planted emails/phones/IPs.
     "pii_scrub" -> Q(

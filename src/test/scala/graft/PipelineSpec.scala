@@ -73,6 +73,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("r_ellipsis_lines") == 0L) // 5/6 > 0.3
   }
 
+  test("c4 rules: line filter, page drops, sentence minimum") {
+    val page1 = Seq( // clean page: 3 kept lines, 3 sentences
+      "this line has enough words to survive.",
+      "so does this one with its terminal mark!",
+      "and a third full sentence right here?").mkString("\n")
+    val page2 = Seq( // line-level drops
+      "too short.",                                    // <5 words
+      "no terminal punctuation on this long line",     // no punct
+      "we enable JavaScript on this long line.",       // javascript
+      "the only surviving line is this one here.").mkString("\n")
+    val page3 = "a fine sentence here. lorem ipsum dolor sit amet. done now ok."
+    val page4 = "config = { \"k\": 1 } is code. more words here. end of it."
+    val df = Seq((1L, page1), (2L, page2), (3L, page3), (4L, page4)).toDF("id", "t")
+    val out = df.select(col("id") +:
+        TextAnalysis.c4Flags(col("t")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_kept_lines") == 3 &&
+      out(1L).getAs[Long]("keep") == 1)
+    assert(out(2L).getAs[Long]("n_kept_lines") == 1 &&
+      out(2L).getAs[String]("retained") == "the only surviving line is this one here." &&
+      out(2L).getAs[Long]("keep") == 0) // 1 sentence < 3
+    assert(out(3L).getAs[Long]("has_lorem") == 1 && out(3L).getAs[Long]("keep") == 0)
+    assert(out(4L).getAs[Long]("has_brace") == 1 && out(4L).getAs[Long]("keep") == 0)
+  }
+
   test("pii: detect counts, typed redaction, density drop") {
     import graft.pipeline.Pii
     val df = Seq(
