@@ -111,7 +111,8 @@ object Bench {
       "crdt_converge", "split_assign", "pack_sequential",
       "repetition_signals", "contamination_ngram", "query_builder",
       "data_profile", "pipeline_train_prep", "corpus_mix_report",
-      "gopher_rules", "span_dedup", "pii_scrub", "c4_rules")
+      "gopher_rules", "span_dedup", "pii_scrub", "c4_rules",
+      "quality_classifier")
     val shown =
       if (only.nonEmpty) results
       else results.filter { case (k, _, _, _) => headline.contains(k) }

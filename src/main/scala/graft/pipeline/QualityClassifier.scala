@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+import org.apache.spark.ml.feature.HashingTF
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based document-quality scoring — the fastText-style classifier
+  * step of the published GPT-3/CCNet pipeline (train a linear model on
+  * hashed token features against a small labeled seed, then score the
+  * whole corpus), complementing the rule sets ([[TextAnalysis.gopherFlags]],
+  * [[TextAnalysis.c4Flags]]) with a learned filter.
+  *
+  * Spark-native shape: MLlib `HashingTF` + `LogisticRegression` — the fit
+  * runs on the (small, by definition) labeled seed; scoring is one narrow
+  * model.transform over the corpus, no shuffle, so the expensive side
+  * scales to 100 TB as a scan. Tokenization reuses the engine's single-pass
+  * tokenizer so classifier features match the BM25/text-analysis view of a
+  * document.
+  */
+object QualityClassifier {
+
+  final case class Config(numFeatures: Int = 1 << 18,
+                          regParam: Double = 1e-3,
+                          maxIter: Int = 50)
+
+  private def featurize(df: DataFrame, textCol: Column, cfg: Config): DataFrame = {
+    val toks = df.withColumn("__toks",
+      graft.text.Tokenizer.tokens(textCol, stemming = false))
+    new HashingTF().setInputCol("__toks").setOutputCol("__features")
+      .setNumFeatures(cfg.numFeatures)
+      .transform(toks)
+  }
+
+  /** Fit on labeled seed rows (`labelCol` ∈ {0.0, 1.0}). */
+  def train(seed: DataFrame, textCol: Column, labelCol: Column,
+            cfg: Config = Config()): LogisticRegressionModel = {
+    val feats = featurize(seed.withColumn("__label", labelCol.cast("double")),
+      textCol, cfg)
+    new LogisticRegression()
+      .setFeaturesCol("__features").setLabelCol("__label")
+      .setRegParam(cfg.regParam).setMaxIter(cfg.maxIter)
+      .fit(feats)
+  }
+
+  /** Score a corpus: adds `quality_prob` (P(label=1)) and `quality_pred`
+    * (0/1 at 0.5). */
+  def score(model: LogisticRegressionModel, corpus: DataFrame,
+            textCol: Column, cfg: Config = Config()): DataFrame = {
+    val probOf1 = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
+    model.setFeaturesCol("__features")
+      .setProbabilityCol("__prob").setPredictionCol("__pred")
+      .setRawPredictionCol("__raw")
+      .transform(featurize(corpus, textCol, cfg))
+      .withColumn("quality_prob", probOf1(col("__prob")))
+      .withColumn("quality_pred", col("__pred").cast("long"))
+      .drop("__toks", "__features", "__prob", "__pred", "__raw")
+  }
+
+  /** Train/holdout evaluation in one call: deterministic hash split,
+    * returns (model, holdout accuracy). */
+  def trainEval(seed: DataFrame, textCol: Column, labelCol: Column,
+                idCol: Column, holdoutFrac: Double = 0.2,
+                cfg: Config = Config()): (LogisticRegressionModel, Double) = {
+    val bucket = pmod(xxhash64(idCol.cast("string")), lit(1000))
+    val train = seed.filter(bucket >= (holdoutFrac * 1000).toInt)
+    val test = seed.filter(bucket < (holdoutFrac * 1000).toInt)
+    val model = this.train(train, textCol, labelCol, cfg)
+    val scored = score(model, test.withColumn("__label", labelCol.cast("double")),
+      textCol, cfg)
+    val agg = scored.agg(
+      avg(when(col("quality_pred") === col("__label").cast("long"), 1.0)
+        .otherwise(0.0)).as("acc")).collect()(0)
+    (model, agg.getAs[Double]("acc"))
+  }
+}

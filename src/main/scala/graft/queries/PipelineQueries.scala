@@ -312,6 +312,28 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Learned quality filter (the GPT-3/CCNet fastText-style step):
+    // LR over hashed tokens, trained on a planted separable labeling
+    // (docs mentioning 'table'), scored on the deterministic holdout.
+    // check_passed asserts the holdout accuracy — the plumbing is what's
+    // gated; LR weights are not SQL-reproducible, hence rows-only.
+    "quality_classifier" -> Q.noOracle { (s, dir) =>
+      import graft.pipeline.QualityClassifier
+      val labeled = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("label",
+          array_contains(split(lower(col("text")), "\\s+"), "table").cast("int"))
+      val (model, acc) = QualityClassifier.trainEval(
+        labeled, col("text"), col("label"), col("doc_id"))
+      val holdout = labeled.filter(
+        pmod(xxhash64(col("doc_id").cast("string")), lit(1000)) < 200)
+      QualityClassifier.score(model, holdout, col("text"))
+        .select(col("doc_id"), col("label").cast("long").as("label"),
+          col("quality_pred"))
+        .withColumn("check_passed", lit(acc >= 0.9))
+        .orderBy(col("doc_id"))
+    },
+
     // Gopher/MassiveText quality-filter rule set (Rae et al. 2021 A1) —
     // one 0/1 column per rule so the gate checks each rule's semantics.
     "gopher_rules" -> Q(

@@ -73,6 +73,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("r_ellipsis_lines") == 0L) // 5/6 > 0.3
   }
 
+  test("quality classifier learns a separable token signal") {
+    import graft.pipeline.QualityClassifier
+    val rng = new scala.util.Random(7)
+    val vocabHi = Seq("curated", "reviewed", "citation", "edited")
+    val vocabLo = Seq("spam", "clickbait", "adsense", "popup")
+    val docs = (0L until 400L).map { i =>
+      val hi = i % 2 == 0
+      val base = Seq.fill(20)(s"word${rng.nextInt(50)}")
+      val marked = base ++ Seq.fill(3)(
+        if (hi) vocabHi(rng.nextInt(4)) else vocabLo(rng.nextInt(4)))
+      (i, rng.shuffle(marked).mkString(" "), if (hi) 1 else 0)
+    }.toDF("id", "text", "label")
+    val (model, acc) = QualityClassifier.trainEval(
+      docs, col("text"), col("label"), col("id"))
+    assert(acc >= 0.95, s"holdout accuracy $acc")
+    val fresh = Seq((1000L, "a curated reviewed citation piece of writing"),
+      (1001L, "clickbait popup adsense spam garbage")).toDF("id", "text")
+    val preds = QualityClassifier.score(model, fresh, col("text"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("quality_pred")).toMap
+    assert(preds(1000L) == 1L && preds(1001L) == 0L)
+  }
+
   test("c4 rules: line filter, page drops, sentence minimum") {
     val page1 = Seq( // clean page: 3 kept lines, 3 sentences
       "this line has enough words to survive.",
