@@ -312,6 +312,35 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // SemDeDup (Abbas et al. 2023): cluster embeddings, dedup within
+    // clusters, keep the least-prototypical member per group. Rows-only
+    // (k-means is not SQL-reproducible); check_passed asserts that every
+    // planted exact copy resolved into a group that kept exactly one of
+    // the pair.
+    "semantic_dedup" -> Q.noOracle { (s, dir) =>
+      import graft.pipeline.SemDedup
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val planted = emb.unionAll(emb.filter(col("id") < 20)
+        .select((col("id") + 10000).as("id"), col("vec")))
+      val out = SemDedup.semDedup(planted, col("id"), col("vec"),
+        numCells = 8, maxDistance = 1e-6)
+        .localCheckpoint(true) // feeds both the planted check and the output
+      val pairCheck = out.filter(col("id") < 20).select(col("id"),
+          col("canonical").as("c_a"), col("keep").as("k_a"))
+        .join(out.filter(col("id") >= 10000)
+          .select((col("id") - 10000).as("id"),
+            col("canonical").as("c_b"), col("keep").as("k_b")), Seq("id"))
+        .agg(sum(when(col("c_a") === col("c_b") &&
+          col("k_a") + col("k_b") === 1, 1).otherwise(0)).as("n_resolved"))
+      out.crossJoin(broadcast(pairCheck))
+        .withColumn("check_passed", col("n_resolved") === 20)
+        .select(col("id"), col("cell").cast("long").as("cell"),
+          col("centroid_dist"), col("canonical"), col("keep"),
+          col("check_passed"))
+        .orderBy(col("id"))
+    },
+
     // Learned quality filter (the GPT-3/CCNet fastText-style step):
     // LR over hashed tokens, trained on a planted separable labeling
     // (docs mentioning 'table'), scored on the deterministic holdout.

@@ -73,6 +73,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("r_ellipsis_lines") == 0L) // 5/6 > 0.3
   }
 
+  test("semdedup: within-cluster duplicates collapse, farthest-from-centroid survives") {
+    import graft.pipeline.SemDedup
+    // two tight clusters; ids 1,2,3 identical (dup group), 4 nearby but
+    // outside the dup radius; 10,11 identical in the second cluster
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val rows = Seq(
+      (1L, v(1, 0, 0)), (2L, v(1, 0, 0)), (3L, v(1, 0, 0)),
+      (4L, v(0.9, 0.1, 0)),
+      (10L, v(0, 0, 1)), (11L, v(0, 0, 1)), (12L, v(0, 0.1, 0.9)))
+      .toDF("id", "vec")
+    val out = SemDedup.semDedup(rows, col("id"), col("vec"),
+      numCells = 2, maxDistance = 1e-6, seed = 1L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("canonical"), r.getAs[Long]("keep"))).toMap
+    // group {1,2,3}: exactly one kept, canonical = 1
+    assert(Seq(1L, 2L, 3L).map(out(_)._1).distinct == Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(out(_)._2).sum == 1L)
+    // 4 is near but not a duplicate: kept, own canonical
+    assert(out(4L) == ((4L, 1L)))
+    // group {10,11}: one kept
+    assert(Seq(10L, 11L).map(out(_)._1).distinct == Seq(10L))
+    assert(Seq(10L, 11L).map(out(_)._2).sum == 1L)
+    assert(out(12L)._2 == 1L)
+  }
+
   test("quality classifier learns a separable token signal") {
     import graft.pipeline.QualityClassifier
     val rng = new scala.util.Random(7)
