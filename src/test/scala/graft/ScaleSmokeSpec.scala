@@ -223,6 +223,43 @@ class ScaleSmokeSpec extends SparkSpec {
     } finally ix.unpersist()
   }
 
+  test("span dedup at 50k docs with heavy boilerplate stays window-bounded") {
+    // 50k docs, each 40 words; every 5th doc shares one boilerplate span
+    // (a 10k-hot key) and 500 docs are exact copies of doc 0
+    val boiler = "subscribe to our newsletter for updates every single day folks " +
+      "thanks for reading this page all the way to the end"
+    val docs = ((0 until 50000).map { i =>
+      val body = (0 until 20).map(j => s"w${(i * 37 + j * 11) % 9973}").mkString(" ")
+      (i.toLong, if (i % 5 == 0) s"$boiler $body" else s"$body extra pad words here")
+    } ++ (0 until 500).map(i => (100000L + i,
+      (0 until 20).map(j => s"w${j * 11 % 9973}").mkString(" ") + " extra pad words here"))
+    ).toDF("id", "text").repartition(16)
+    val out = graft.pipeline.Dedup.spanDedup(docs, col("id"), col("text"),
+      spanWords = 20).localCheckpoint(true)
+    assert(out.count() == 50500L)
+    // the boilerplate span survives exactly once across its 10k carriers
+    val boilerDrops = out.filter(col("doc_id") % 5 === 0 && col("doc_id") < 100000)
+      .agg(sum(col("n_dropped"))).collect()(0).getLong(0)
+    assert(boilerDrops >= 9999L, s"boilerplate drops: $boilerDrops")
+  }
+
+  test("semdedup at 10k vectors with 1k planted copies resolves groups") {
+    val rnd = new scala.util.Random(29)
+    val centers = Array.tabulate(16)(i =>
+      Array.tabulate(8)(d => math.cos(i * 8 + d).toFloat))
+    val base = (0 until 10000).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.05f))
+    }.toDF("id", "vec")
+    val corpus = base.unionAll(base.filter(col("id") < 1000)
+      .select((col("id") + 100000).as("id"), col("vec"))).repartition(16)
+    val out = graft.pipeline.SemDedup.semDedup(corpus, col("id"), col("vec"),
+      numCells = 32, maxDistance = 1e-6).localCheckpoint(true)
+    assert(out.count() == 11000L)
+    val dropped = out.filter(col("keep") === 0).count()
+    assert(dropped == 1000L, s"dropped: $dropped")
+  }
+
   test("scalable sequence packing at 100k rows matches the window form") {
     val big = spark.range(100000).select(col("id"),
       (pmod(col("id") * 40503L, lit(211)) + 1).cast("int").as("n_tok"))
