@@ -112,7 +112,7 @@ object Bench {
       "repetition_signals", "contamination_ngram", "query_builder",
       "data_profile", "pipeline_train_prep", "corpus_mix_report",
       "gopher_rules", "span_dedup", "pii_scrub", "c4_rules",
-      "quality_classifier", "semantic_dedup")
+      "quality_classifier", "semantic_dedup", "boilerplate_lines")
     val shown =
       if (only.nonEmpty) results
       else results.filter { case (k, _, _, _) => headline.contains(k) }

@@ -458,6 +458,45 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Frequency-based boilerplate line removal (RefinedWeb/CCNet): lines
+    // appearing in >= 100 distinct docs drop from EVERY doc. Pages are
+    // assembled deterministically with planted boilerplate on both sides.
+    "boilerplate_lines" -> Q(
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS ws
+        |           FROM documents),
+        |pages AS (SELECT doc_id, concat_ws(chr(10),
+        |    coalesce(array_to_string(ws[1:8], ' '), ''),
+        |    CASE WHEN doc_id % 2 = 0 THEN 'Subscribe to our newsletter today!' END,
+        |    'Copyright Example Corp',
+        |    coalesce(array_to_string(ws[9:14], ' '), '')) AS text
+        |  FROM w),
+        |lines AS (SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    unnest(range(0, len(string_split(text, chr(10))))) AS line_idx
+        |  FROM pages),
+        |n AS (SELECT doc_id, line_idx, line,
+        |             regexp_replace(lower(trim(line)), '\s+', ' ', 'g') AS norm FROM lines),
+        |hot AS (SELECT norm FROM n WHERE norm <> ''
+        |        GROUP BY norm HAVING count(DISTINCT doc_id) >= 100)
+        |SELECT doc_id,
+        |       coalesce(string_agg(CASE WHEN h.norm IS NULL THEN line END, chr(10) ORDER BY line_idx), '') AS retained_text,
+        |       count(*) AS n_lines,
+        |       CAST(sum(CASE WHEN h.norm IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM n LEFT JOIN hot h ON n.norm = h.norm
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val words = filter(split(trim(col("text")), "\\s+"), w => length(w) > 0)
+      val page = concat_ws("\n",
+        array_join(slice(words, 1, 8), " "),
+        when(col("doc_id") % 2 === 0, lit("Subscribe to our newsletter today!")),
+        lit("Copyright Example Corp"),
+        array_join(slice(words, 9, 6), " "))
+      val paged = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), page.as("text"))
+      Dedup.boilerplateLines(paged, col("doc_id"), col("text"), minDocFreq = 100)
+        .orderBy(col("doc_id"))
+    },
+
     // PII detect → redact → density-drop (the C4/CCNet/Dolma scrub step)
     // over a corpus with deterministically planted emails/phones/IPs.
     "pii_scrub" -> Q(

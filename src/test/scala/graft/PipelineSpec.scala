@@ -246,6 +246,21 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(r => (r._1, r._2) == ((4L, 5L))))
   }
 
+  test("boilerplate lines: frequency-hot lines drop from every doc") {
+    val docs = Seq(
+      (1L, "unique opener one\nSubscribe Now!\nbody text one"),
+      (2L, "unique opener two\nsubscribe   now!\nbody text two"), // case/ws variant
+      (3L, "unique opener three\nSubscribe Now!\nbody text three"),
+      (4L, "no banner here at all\njust prose")).toDF("id", "t")
+    val out = Dedup.boilerplateLines(docs, col("id"), col("t"), minDocFreq = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("unique opener one\nbody text one", 3L, 1L)))
+    assert(out(2L) == (("unique opener two\nbody text two", 3L, 1L)))
+    assert(out(3L) == (("unique opener three\nbody text three", 3L, 1L)))
+    assert(out(4L) == (("no banner here at all\njust prose", 2L, 0L)))
+  }
+
   test("span dedup: repeated spans dropped at their later occurrence") {
     // 4-word spans; doc 2 repeats doc 1's opening span, doc 3 is untouched
     val df = Seq(
