@@ -283,6 +283,61 @@ class DedupSpec extends SparkSpec {
     assert(out(2L)._1.isEmpty && out(2L)._2 > 0L)
   }
 
+  test("span dedup: randomized differential vs in-memory reference") {
+    val rnd = new scala.util.Random(41)
+    // small vocab forces frequent span collisions; lengths straddle the
+    // span boundary (0..11 words at span size 4)
+    val docs = (0L until 120L).map { i =>
+      val n = rnd.nextInt(12)
+      (i, (0 until n).map(_ => s"w${rnd.nextInt(6)}").mkString(" "))
+    }
+    // reference: global first-occurrence by (doc, span_idx)
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val expected = docs.map { case (id, text) =>
+      val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+      val nSpans = math.max(1, math.ceil(ws.length / 4.0).toInt)
+      val spans = (0 until nSpans).map(i => ws.slice(i * 4, i * 4 + 4).mkString(" "))
+      val kept = spans.filter(s => seen.add(s))
+      id -> ((kept.mkString(" "), nSpans.toLong, (spans.size - kept.size).toLong))
+    }.toMap
+    val got = Dedup.spanDedup(docs.toDF("id", "t"), col("id"), col("t"), spanWords = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    docs.foreach { case (id, _) =>
+      assert(got(id) == expected(id),
+        s"doc $id: got ${got(id)}, expected ${expected(id)}")
+    }
+  }
+
+  test("boilerplate lines: randomized differential vs in-memory reference") {
+    val rnd = new scala.util.Random(43)
+    val bank = (0 until 10).map(i => s"line variant $i")
+    val docs = (0L until 100L).map { i =>
+      val n = 1 + rnd.nextInt(5)
+      (i, (0 until n).map(_ => bank(rnd.nextInt(bank.size))).mkString("\n"))
+    }
+    val K = 30
+    val df_ = docs.flatMap { case (id, t) =>
+      t.split("\n", -1).map(_.trim.toLowerCase.replaceAll("\\s+", " "))
+        .filter(_.nonEmpty).distinct.map(_ -> id)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val hot = df_.filter(_._2 >= K).keySet
+    val expected = docs.map { case (id, t) =>
+      val lines = t.split("\n", -1)
+      val kept = lines.filter(l =>
+        !hot(l.trim.toLowerCase.replaceAll("\\s+", " ")))
+      (id, (kept.mkString("\n"), lines.length.toLong,
+        (lines.length - kept.length).toLong))
+    }.toMap
+    val got = Dedup.boilerplateLines(docs.toDF("id", "t"), col("id"), col("t"),
+        minDocFreq = K)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    docs.foreach { case (id, _) =>
+      assert(got(id) == expected(id), s"doc $id: got ${got(id)}, expected ${expected(id)}")
+    }
+  }
+
   test("embedding near-dup threshold join") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f)),
