@@ -65,4 +65,14 @@ class PlanAuditSpec extends SparkSpec {
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name: $plan")
     }
+
+  // narrow per-row operators: the ONLY exchange allowed is the gate's
+  // final ORDER BY (range partitioning) — a hash repartition anywhere
+  // means the "streams at scan speed" claim is false
+  for (name <- Seq("gopher_rules", "pii_scrub", "c4_rules"))
+    test(s"$name shuffles only for its final sort") {
+      val plan = SparkEntry.all(name).fn(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("hashpartitioning"), s"$name: $plan")
+    }
 }
