@@ -105,7 +105,7 @@ object Bench {
       "ngram_jaccard", "minhash_lsh_dedup", "simhash_near_dup",
       "embedding_near_dup", "text_stats", "quality_score", "lang_id",
       "chunk_fixed", "q1_agg", "q2_having", "q3_count_distinct",
-      "q4_join_topk", "vec_centroid", "vec_medoid", "vec_cluster",
+      "q4_join_topk", "q5_region_revenue", "vec_centroid", "vec_medoid", "vec_cluster",
       "pipeline_full", "upsert_merge", "change_feed", "federated_rrf",
       "bandit_rerank", "trajectory_dtw", "kg_search", "memory_recall",
       "crdt_converge", "split_assign", "pack_sequential",

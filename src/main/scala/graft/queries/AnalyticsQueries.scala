@@ -118,5 +118,38 @@ object AnalyticsQueries {
         .orderBy(col("revenue").desc, col("n_name"))
         .limit(10)
     },
+
+    // TPC-H Q5 shape over the full dimension chain — the one query that
+    // touches region/supplier/part: local-supply revenue per nation within
+    // one region, sized parts only. Plan: the fact table is the only
+    // shuffled input; every dimension broadcasts; the p_size filter pushes
+    // to the parquet scan.
+    "q5_region_revenue" -> Q(
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN part     ON l_partkey = p_partkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND p_size <= 25
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin
+    ) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val su = Tables.load(s, dir, "supplier")
+      val p = Tables.load(s, dir, "part").filter(col("p_size") <= 25)
+      val n = Tables.load(s, dir, "nation")
+      val r = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+      li.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
   )
 }

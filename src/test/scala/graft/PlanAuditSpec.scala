@@ -66,6 +66,16 @@ class PlanAuditSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"), s"$name: $plan")
     }
 
+  test("q5_region_revenue: every dimension broadcasts, p_size pushes to the scan") {
+    val plan = SparkEntry.all("q5_region_revenue").fn(spark, dir)
+      .queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 4, s"expected 4 broadcast joins, got $broadcasts:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact table must not sort-merge:\n$plan")
+    assert(plan.contains("LessThanOrEqual(p_size,25)"),
+      s"p_size filter not pushed to the parquet scan:\n$plan")
+  }
+
   // narrow per-row operators: the ONLY exchange allowed is the gate's
   // final ORDER BY (range partitioning) — a hash repartition anywhere
   // means the "streams at scan speed" claim is false
