@@ -22,7 +22,8 @@ object Pii {
   val patterns: Seq[(String, String, String)] = Seq(
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "|||EMAIL|||"),
     ("phone", "(?:\\+?[0-9]{1,3}[- .]?)?\\(?[0-9]{3}\\)?[- .]?[0-9]{3}[- .]?[0-9]{4}", "|||PHONE|||"),
-    ("ip", "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "|||IP|||"))
+    ("ip", "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "|||IP|||"),
+    ("url", "https?://[^\\s]+", "|||URL|||"))
 
   /** Per-document counts of each PII family (detection pass — run this
     * before deciding to redact or drop).

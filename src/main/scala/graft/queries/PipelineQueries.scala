@@ -503,20 +503,23 @@ object PipelineQueries {
       """WITH docs AS (
         |  SELECT doc_id,
         |         CASE WHEN doc_id % 10 = 0
-        |              THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1 555-123-4567 at 192.168.1.' || CAST(doc_id % 255 AS VARCHAR)
+        |              THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1 555-123-4567 at 192.168.1.' || CAST(doc_id % 255 AS VARCHAR) || ' see https://example.com/d/' || CAST(doc_id AS VARCHAR)
         |              ELSE text END AS text
         |  FROM documents WHERE doc_id < 200)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
         |  CAST(len(regexp_extract_all(text, '(?:\+?[0-9]{1,3}[- .]?)?\(?[0-9]{3}\)?[- .]?[0-9]{3}[- .]?[0-9]{4}')) AS BIGINT) AS n_phone,
         |  CAST(len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
-        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_url,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '|||EMAIL|||', 'g'),
         |      '(?:\+?[0-9]{1,3}[- .]?)?\(?[0-9]{3}\)?[- .]?[0-9]{3}[- .]?[0-9]{4}', '|||PHONE|||', 'g'),
-        |      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '|||IP|||', 'g') AS redacted,
+        |      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '|||IP|||', 'g'),
+        |      'https?://[^\s]+', '|||URL|||', 'g') AS redacted,
         |  CAST(CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) = 0
         |         AND len(regexp_extract_all(text, '(?:\+?[0-9]{1,3}[- .]?)?\(?[0-9]{3}\)?[- .]?[0-9]{3}[- .]?[0-9]{4}')) = 0
-        |         AND len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |         AND len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) = 0
+        |         AND len(regexp_extract_all(text, 'https?://[^\s]+')) = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM docs ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
       import graft.pipeline.Pii
@@ -526,7 +529,8 @@ object PipelineQueries {
           when(col("doc_id") % 10 === 0,
             concat(col("text"), lit(" contact user"),
               col("doc_id").cast("string"), lit("@example.com or +1 555-123-4567 at 192.168.1."),
-              (col("doc_id") % 255).cast("string")))
+              (col("doc_id") % 255).cast("string"),
+              lit(" see https://example.com/d/"), col("doc_id").cast("string")))
             .otherwise(col("text")).as("text"))
       planted.select(
         col("doc_id") +:

@@ -152,7 +152,8 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "call +1 (415) 555-0199 or 415-555-0142"),
       (3L, "server at 10.0.0.1 and 192.168.255.254"),
       (4L, "clean prose with no identifiers at all"),
-      (5L, "a@b.io c@d.io e@f.io g@h.io i@j.io k@l.io")) // 6 emails: dense
+      (5L, "a@b.io c@d.io e@f.io g@h.io i@j.io k@l.io"), // 6 emails: dense
+      (6L, "docs at https://example.com/a?q=1 and http://t.co/x"))
       .toDF("id", "t")
     val out = df.select(
       col("id") +: Pii.detect(col("t")).map { case (n, c) => c.as(n) } :+
@@ -168,6 +169,8 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L).getAs[String]("red") == "clean prose with no identifiers at all"
       && out(4L).getAs[Boolean]("keep"))
     assert(out(5L).getAs[Long]("n_email") == 6 && !out(5L).getAs[Boolean]("keep"))
+    assert(out(6L).getAs[Long]("n_url") == 2 &&
+      out(6L).getAs[String]("red") == "docs at |||URL||| and |||URL|||")
   }
 
   test("rolling hash is the polynomial hash") {
