@@ -47,7 +47,7 @@ object Metric {
     Dot, Manhattan, Hamming, Chebyshev)
 
   /** String aliases accepted by the reference (src/distance.rs:132-145). */
-  def parse(s: String): Metric = s.toLowerCase.replace('-', '_') match {
+  def parse(s: String): Metric = s.toLowerCase(java.util.Locale.ROOT).replace('-', '_') match {
     case "cosine"                                             => Cosine
     case "cosine_normalized" | "cosine_norm"                  => CosineNormalized
     case "euclidean" | "l2"                                   => Euclidean

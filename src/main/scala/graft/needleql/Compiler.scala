@@ -367,7 +367,7 @@ class NeedleSession(val spark: SparkSession) {
         val rows = withText(d)
           .select(col(c.idCol).cast("string"), col(textColName)).collect()
         def shingleSet(t: String): Set[String] = {
-          val toks = (if (t == null) "" else t).trim.toLowerCase
+          val toks = (if (t == null) "" else t).trim.toLowerCase(java.util.Locale.ROOT)
             .split("\\s+").filter(_.nonEmpty)
           if (toks.length < 3) Set(toks.mkString(" "))
           else toks.sliding(3).map(_.mkString(" ")).toSet

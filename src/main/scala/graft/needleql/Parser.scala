@@ -201,7 +201,7 @@ object Parser {
       if (tryKw("with")) {
         eatKw("time_decay")
         eatOp("(")
-        val fn = ident().toLowerCase
+        val fn = ident().toLowerCase(java.util.Locale.ROOT)
         if (!Set("linear", "exponential", "gaussian", "step").contains(fn))
           throw ParseError(s"Unknown TIME_DECAY function $fn")
         val params = Map.newBuilder[String, Double]
@@ -226,7 +226,7 @@ object Parser {
         var first = true
         while (!tryOp(")")) {
           if (!first) eatOp(",") else first = false
-          val k = ident().toLowerCase
+          val k = ident().toLowerCase(java.util.Locale.ROOT)
           eatOp("=")
           val v = advance()
           (k, v) match {

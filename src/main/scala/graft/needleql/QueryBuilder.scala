@@ -130,7 +130,7 @@ object QueryBuilder {
   /** Analyze a natural-language query (query_builder.rs:312-345). */
   def analyze(nl: String): Analysis = {
     val parsed = NlFilter.parse(nl)
-    val lower = nl.toLowerCase
+    val lower = nl.toLowerCase(java.util.Locale.ROOT)
     val patterns = detectPatterns(lower)
     val hasSearch = parsed.searchText.trim.nonEmpty
     val hasFilter = parsed.filter.isDefined
@@ -157,7 +157,7 @@ object QueryBuilder {
       if (score <= 3) Simple else if (score <= 7) Moderate else Complex
 
     Analysis(queryClass, complexity,
-      parsed.searchText.split("\\s+").filter(_.length > 2).map(_.toLowerCase).toSeq,
+      parsed.searchText.split("\\s+").filter(_.length > 2).map(_.toLowerCase(java.util.Locale.ROOT)).toSeq,
       parsed.filter.map(f => filterFields(f)).getOrElse(Nil),
       parsed.temporal, parsed.confidence, patterns)
   }
@@ -358,8 +358,8 @@ object QueryBuilder {
   // ---------------------------------------------------------- autocomplete
   /** Field autocomplete by name prefix (query_builder.rs:1023-1038). */
   def suggestFields(profile: CollectionProfile, partial: String): Seq[FieldProfile] = {
-    val p = partial.toLowerCase
-    profile.metadataFields.filter(_.name.toLowerCase.startsWith(p))
+    val p = partial.toLowerCase(java.util.Locale.ROOT)
+    profile.metadataFields.filter(_.name.toLowerCase(java.util.Locale.ROOT).startsWith(p))
   }
 
   /** Sample-value autocomplete for a field (query_builder.rs:1041-1048). */

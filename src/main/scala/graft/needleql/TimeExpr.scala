@@ -46,7 +46,7 @@ object TimeExpr {
   }
 
   def parse(input: String): Parsed = {
-    val in = input.trim.toLowerCase
+    val in = input.trim.toLowerCase(java.util.Locale.ROOT)
     if (namedSet(in)) Named(in)
     else if (in.endsWith(" ago") && parseDuration(in.stripSuffix(" ago")).isDefined)
       RelativeSeconds(-parseDuration(in.stripSuffix(" ago")).get)

@@ -277,7 +277,7 @@ object TermOverlap {
 
   def rerank(docs: DataFrame, query: String, idCol: String = "id",
              textCol: String = "text", topK: Int = 10): DataFrame = {
-    val queryTerms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val queryTerms = query.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).toSeq
     if (queryTerms.isEmpty) return docs.select(col(idCol), lit(0.0).as("score"))
     val spark = docs.sparkSession
     import spark.implicits._

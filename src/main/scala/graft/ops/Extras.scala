@@ -66,7 +66,7 @@ object Extras {
     "how", "which", "whose", "whom", "is", "are", "can", "does", "do")
 
   def extractFeatures(query: String): QueryFeatures = {
-    val firstWord = query.trim.split("\\s+").headOption.map(_.toLowerCase)
+    val firstWord = query.trim.split("\\s+").headOption.map(_.toLowerCase(java.util.Locale.ROOT))
     QueryFeatures(
       isQuestion = firstWord.exists(questionWords.contains) ||
         query.trim.endsWith("?"),

@@ -50,7 +50,7 @@ final class LlmCache(maxEntries: Int = 10000,
 
   private def normalize(q: String): String =
     if (!normalizeQueries) q
-    else q.toLowerCase.trim.split("\\s+").mkString(" ")
+    else q.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").mkString(" ")
 
   private def cosine(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0

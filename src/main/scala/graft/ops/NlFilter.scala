@@ -67,7 +67,7 @@ object NlFilter {
 
   def parse(query: String,
             nowEpochS: Long = System.currentTimeMillis() / 1000): Parsed = {
-    val lower = query.toLowerCase
+    val lower = query.toLowerCase(java.util.Locale.ROOT)
     val words = lower.split("\\s+").filter(_.nonEmpty).toIndexedSeq
 
     val intents = Seq.newBuilder[String]
@@ -233,7 +233,7 @@ object NlFilter {
       sb.toString
     }
     kept.split("\\s+").filter(_.nonEmpty)
-      .filter(w => !stopwords(w.toLowerCase) || w.length > 3)
+      .filter(w => !stopwords(w.toLowerCase(java.util.Locale.ROOT)) || w.length > 3)
       .mkString(" ").trim
   }
 }

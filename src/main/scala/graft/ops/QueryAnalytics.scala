@@ -33,6 +33,16 @@ object QueryAnalytics {
 
   private val searchOps = Seq("search", "query")
 
+  /** Order-independent mean of a latency column known to carry exactly 3
+    * decimal places (the log stores ms at µs-truncated 3-decimal precision,
+    * analytics.rs:429-456): sum as fixed-point longs — associative and
+    * commutative, so Spark's partial-aggregate merge order cannot move the
+    * 6th decimal — then divide once. A plain `avg()` over thousands of f64
+    * values differs from a sequential engine's sum in the last ulps.
+    */
+  private def avgFixed3(c: Column): Column =
+    sum(round(c * 1000, 0).cast("long")).cast("double") / (count(c) * 1000.0)
+
   /** 0-based reference percentile index over an ordered-by-latency window
     * partitioned by the pattern key: picks latency at rank len·p/100.
     */
@@ -51,7 +61,7 @@ object QueryAnalytics {
         row_number().over(Window.partitionBy(lit(1))
           .orderBy(col("latency_ms").asc, col("ts").asc)) - 1)
     val lat = search.agg(
-      coalesce(avg(col("latency_ms")), lit(0.0)).as("avg_latency_ms"),
+      coalesce(avgFixed3(col("latency_ms")), lit(0.0)).as("avg_latency_ms"),
       coalesce(pct("latency_ms", col("__r"), col("__n"), 50), lit(0.0))
         .as("p50_latency_ms"),
       coalesce(pct("latency_ms", col("__r"), col("__n"), 95), lit(0.0))
@@ -117,7 +127,7 @@ object QueryAnalytics {
     ranked.groupBy(key: _*)
       .agg(
         count(lit(1)).as("count"),
-        avg(col("latency_ms")).as("avg_latency_ms"),
+        avgFixed3(col("latency_ms")).as("avg_latency_ms"),
         pct("latency_ms", col("__r"), col("__n"), 50).as("p50_latency_ms"),
         pct("latency_ms", col("__r"), col("__n"), 95).as("p95_latency_ms"),
         max(when(recent1000, col("latency_ms"))).as("p99_latency_ms"),
@@ -137,8 +147,8 @@ object QueryAnalytics {
       col("operation").asc, col("typical_k").asc_nulls_last).limit(limit)
 
   /** Per-collection analytics (analytics.rs:429-456): op-class totals +
-    * average search/insert latency (the running average equals the plain
-    * mean — associativity).
+    * average search/insert latency (the reference's running average equals
+    * the plain mean; computed fixed-point here, see [[avgFixed3]]).
     */
   def collectionAnalytics(log: DataFrame): DataFrame =
     log.groupBy(col("collection"))
@@ -149,8 +159,8 @@ object QueryAnalytics {
           .as("total_inserts"),
         sum(when(col("operation") === "delete", 1L).otherwise(0L))
           .as("total_deletes"),
-        coalesce(avg(when(col("operation").isin(searchOps: _*),
+        coalesce(avgFixed3(when(col("operation").isin(searchOps: _*),
           col("latency_ms"))), lit(0.0)).as("avg_search_latency_ms"),
-        coalesce(avg(when(col("operation").isin("insert", "upsert"),
+        coalesce(avgFixed3(when(col("operation").isin("insert", "upsert"),
           col("latency_ms"))), lit(0.0)).as("avg_insert_latency_ms"))
 }

@@ -21,14 +21,16 @@ object DedupGroups {
   /** (id, canonical) for every id in `pairs`: exact connected components
     * via min-label propagation, iterated to fixpoint.
     *
-    * Pair lists at or below `smallGraphThreshold` edges take a driver-side
-    * union-find fast path instead — identical output (the canonical is
-    * still the component minimum), but one collect + one parallelize in
-    * place of 2-4 supersteps × (2 joins + a convergence count), which
-    * dominate wall time when the pair list is small. Duplicate-pair lists
-    * are bounded by the candidate generators (banding/rare-shingle caps),
-    * so even 100 TB corpora commonly land under the default 1M-edge bound;
-    * the superstep loop remains the exact path for anything larger.
+    * Pair lists whose DOUBLED (undirected, deduped) edge count is at or
+    * below `smallGraphThreshold` take a driver-side union-find fast path
+    * instead — so the threshold effectively applies at ~2× the input pair
+    * count. Identical output (the canonical is still the component
+    * minimum), but one collect + one parallelize in place of 2-4
+    * supersteps × (2 joins + a convergence count), which dominate wall
+    * time when the pair list is small. Duplicate-pair lists are bounded by
+    * the candidate generators (banding/rare-shingle caps), so even 100 TB
+    * corpora commonly land under the default 1M-edge bound; the superstep
+    * loop remains the exact path for anything larger.
     */
   def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                  maxIterations: Int = 50,
@@ -80,14 +82,37 @@ object DedupGroups {
   private def componentsLocal(undirected: DataFrame): DataFrame = {
     val spark = undirected.sparkSession
     val idType = undirected.schema.fields.head.dataType
+    // Must match the distributed path's Spark min/least ordering exactly,
+    // or the chosen canonical would depend on smallGraphThreshold: Spark
+    // compares strings as unsigned UTF-8 bytes (UTF8String), NOT Java's
+    // UTF-16 compareTo (they disagree for supplementary characters vs
+    // [U+E000, U+FFFF]); other id types are restricted to the numeric
+    // primitives whose orderings agree everywhere.
+    def utf8Compare(x: String, y: String): Int = {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      a.length - b.length
+    }
     val ord: Ordering[Any] = new Ordering[Any] {
       def compare(a: Any, b: Any): Int = (a, b) match {
         case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
         case (x: Int, y: Int)       => Integer.compare(x, y)
-        case (x: String, y: String) => x.compareTo(y)
-        case (x: Number, y: Number) =>
-          java.lang.Double.compare(x.doubleValue(), y.doubleValue())
-        case _ => String.valueOf(a).compareTo(String.valueOf(b))
+        case (x: Short, y: Short)   => java.lang.Short.compare(x, y)
+        case (x: Byte, y: Byte)     => java.lang.Byte.compare(x, y)
+        case (x: String, y: String) => utf8Compare(x, y)
+        case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+        case (x: Float, y: Float)   => java.lang.Float.compare(x, y)
+        case _ => throw new IllegalArgumentException(
+          s"componentsLocal: unsupported id type ${a.getClass.getName}; " +
+            "use long/int/string ids (or raise smallGraphThreshold to 0 " +
+            "to force the distributed path)")
       }
     }
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]

@@ -47,30 +47,45 @@ object QualityClassifier {
     * (0/1 at 0.5). */
   def score(model: LogisticRegressionModel, corpus: DataFrame,
             textCol: Column, cfg: Config = Config()): DataFrame = {
-    val probOf1 = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
     model.setFeaturesCol("__features")
       .setProbabilityCol("__prob").setPredictionCol("__pred")
       .setRawPredictionCol("__raw")
       .transform(featurize(corpus, textCol, cfg))
-      .withColumn("quality_prob", probOf1(col("__prob")))
+      // codegen'd builtins, not a per-row UDF — this runs on every corpus
+      // row, the one place a scalar UDF would tax a 100 TB scan
+      .withColumn("quality_prob",
+        element_at(org.apache.spark.ml.functions.vector_to_array(col("__prob")), 2))
       .withColumn("quality_pred", col("__pred").cast("long"))
       .drop("__toks", "__features", "__prob", "__pred", "__raw")
   }
 
+  /** The xxhash64(id) mod 1000 cutoff below which a seed row lands in the
+    * holdout — exposed so callers reconstructing the split (e.g. to score
+    * exactly the holdout) derive it from the same constant.
+    */
+  def holdoutBucketCutoff(holdoutFrac: Double = 0.2): Int =
+    (holdoutFrac * 1000).toInt
+
+  def holdoutBucket(idCol: Column): Column =
+    pmod(xxhash64(idCol.cast("string")), lit(1000))
+
   /** Train/holdout evaluation in one call: deterministic hash split,
-    * returns (model, holdout accuracy). */
+    * returns (model, holdout accuracy — 0.0 when the hash split leaves the
+    * holdout empty, rather than a null-unboxing NPE on degenerate seeds).
+    */
   def trainEval(seed: DataFrame, textCol: Column, labelCol: Column,
                 idCol: Column, holdoutFrac: Double = 0.2,
                 cfg: Config = Config()): (LogisticRegressionModel, Double) = {
-    val bucket = pmod(xxhash64(idCol.cast("string")), lit(1000))
-    val train = seed.filter(bucket >= (holdoutFrac * 1000).toInt)
-    val test = seed.filter(bucket < (holdoutFrac * 1000).toInt)
+    val cutoff = holdoutBucketCutoff(holdoutFrac)
+    val bucket = holdoutBucket(idCol)
+    val train = seed.filter(bucket >= cutoff)
+    val test = seed.filter(bucket < cutoff)
     val model = this.train(train, textCol, labelCol, cfg)
     val scored = score(model, test.withColumn("__label", labelCol.cast("double")),
       textCol, cfg)
     val agg = scored.agg(
-      avg(when(col("quality_pred") === col("__label").cast("long"), 1.0)
-        .otherwise(0.0)).as("acc")).collect()(0)
+      coalesce(avg(when(col("quality_pred") === col("__label").cast("long"), 1.0)
+        .otherwise(0.0)), lit(0.0)).as("acc")).collect()(0)
     (model, agg.getAs[Double]("acc"))
   }
 }

@@ -88,7 +88,7 @@ object TextAnalysis {
   private lazy val langBestUdf = udf((s: String) => {
     if (s == null) "und"
     else {
-      val toks = s.trim.toLowerCase.split("[^\\p{L}\\p{N}]+")
+      val toks = s.trim.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}\\p{N}]+")
       var bestLang = "und"
       var bestScore = 0
       langSets.foreach { case (lang, set) =>
@@ -136,7 +136,7 @@ object TextAnalysis {
       sumLen += w.length
       if (w.exists(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))) nAlpha += 1
     }
-    val lowerToks = t.trim.toLowerCase.split("\\s+").toSet
+    val lowerToks = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSet
     val nStops = gopherRequiredStops.count(lowerToks.contains).toLong
     var nHash = 0L; var i = 0
     while (i < t.length) { if (t.charAt(i) == '#') nHash += 1; i += 1 }
@@ -190,12 +190,12 @@ object TextAnalysis {
       val lt = l.trim
       c4TerminalRe.matcher(lt).find() &&
         lt.split("\\s+").count(_.nonEmpty) >= minLineWords &&
-        !lt.toLowerCase.split("[^a-z0-9]+").contains("javascript")
+        !lt.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").contains("javascript")
     }
     val retained = kept.mkString("\n")
     val nSentences = retained.count(c => c == '.' || c == '!' || c == '?').toLong
     (retained, lines.length.toLong, kept.length.toLong, nSentences,
-      if (t.toLowerCase.contains("lorem ipsum")) 1L else 0L,
+      if (t.toLowerCase(java.util.Locale.ROOT).contains("lorem ipsum")) 1L else 0L,
       if (t.contains('{')) 1L else 0L)
   })
 

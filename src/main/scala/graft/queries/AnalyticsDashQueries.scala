@@ -60,7 +60,7 @@ object AnalyticsDashQueries {
         |  FROM w WHERE operation IN ('search', 'query')
         |),
         |lat AS (
-        |  SELECT round(avg(latency_ms), 6) AS avg_latency_ms,
+        |  SELECT round(sum(CAST(round(latency_ms * 1000) AS BIGINT)) / (count(latency_ms) * 1000.0), 6) AS avg_latency_ms,
         |         round(max(CASE WHEN r = n * 50 // 100 THEN latency_ms END), 6) AS p50_latency_ms,
         |         round(max(CASE WHEN r = n * 95 // 100 THEN latency_ms END), 6) AS p95_latency_ms,
         |         round(max(latency_ms), 6) AS p99_latency_ms
@@ -106,7 +106,7 @@ object AnalyticsDashQueries {
         |         CAST(has_filter AS BIGINT) AS uses_filter,
         |         CAST(coalesce(k, 10) AS BIGINT) AS typical_k,
         |         count(*) AS n_events,
-        |         round(avg(latency_ms), 6) AS avg_latency_ms,
+        |         round(sum(CAST(round(latency_ms * 1000) AS BIGINT)) / (count(latency_ms) * 1000.0), 6) AS avg_latency_ms,
         |         round(max(CASE WHEN r = n * 50 // 100 THEN latency_ms END), 6) AS p50_latency_ms,
         |         round(max(CASE WHEN r = n * 95 // 100 THEN latency_ms END), 6) AS p95_latency_ms,
         |         round(max(latency_ms), 6) AS p99_latency_ms,
@@ -141,8 +141,10 @@ object AnalyticsDashQueries {
         |       sum(CASE WHEN operation IN ('search', 'query') THEN 1 ELSE 0 END) AS total_queries,
         |       sum(CASE WHEN operation IN ('insert', 'upsert') THEN 1 ELSE 0 END) AS total_inserts,
         |       sum(CASE WHEN operation = 'delete' THEN 1 ELSE 0 END) AS total_deletes,
-        |       round(coalesce(avg(CASE WHEN operation IN ('search', 'query') THEN latency_ms END), 0), 6) AS avg_search_latency_ms,
-        |       round(coalesce(avg(CASE WHEN operation IN ('insert', 'upsert') THEN latency_ms END), 0), 6) AS avg_insert_latency_ms
+        |       round(coalesce(sum(CASE WHEN operation IN ('search', 'query') THEN CAST(round(latency_ms * 1000) AS BIGINT) END) /
+        |                      (count(CASE WHEN operation IN ('search', 'query') THEN latency_ms END) * 1000.0), 0), 6) AS avg_search_latency_ms,
+        |       round(coalesce(sum(CASE WHEN operation IN ('insert', 'upsert') THEN CAST(round(latency_ms * 1000) AS BIGINT) END) /
+        |                      (count(CASE WHEN operation IN ('insert', 'upsert') THEN latency_ms END) * 1000.0), 0), 6) AS avg_insert_latency_ms
         |FROM qlog GROUP BY collection ORDER BY collection""".stripMargin
     ) { (s, dir) =>
       QueryAnalytics.collectionAnalytics(qlog(s, dir))

@@ -360,7 +360,8 @@ object PipelineQueries {
           labeled, col("text"), col("label"), col("doc_id"))
       }
       val holdout = labeled.filter(
-        pmod(xxhash64(col("doc_id").cast("string")), lit(1000)) < 200)
+        QualityClassifier.holdoutBucket(col("doc_id")) <
+          QualityClassifier.holdoutBucketCutoff())
       QualityClassifier.score(model, holdout, col("text"))
         .select(col("doc_id"), col("label").cast("long").as("label"),
           col("quality_pred"))

@@ -51,14 +51,14 @@ object PorterStemmer {
 
     w = step0(w)
     w = step1a(w)
-    if (exceptions2(w)) return w.toLowerCase
+    if (exceptions2(w)) return w.toLowerCase(java.util.Locale.ROOT)
     w = step1b(w, r1)
     w = step1c(w)
     w = step2(w, r1)
     w = step3(w, r1, r2)
     w = step4(w, r2)
     w = step5(w, r1, r2)
-    w.toLowerCase
+    w.toLowerCase(java.util.Locale.ROOT)
   }
 
   /** R1/R2 start offsets (Snowball definition, with the gener-/commun-/

@@ -51,7 +51,7 @@ object Tokenizer {
   def tokenize(text: String,
                stopWords: Set[String] = defaultStopWords,
                stemming: Boolean = true): Seq[String] = {
-    val kept = text.toLowerCase
+    val kept = text.toLowerCase(java.util.Locale.ROOT)
       .split(splitPattern)
       .filter(t => t.length > 1 && !stopWords.contains(t))
       .toSeq

@@ -76,4 +76,26 @@ class DedupGroupsSpec extends SparkSpec {
     // the bridge (50,99) merges chain and star into one 0-rooted component
     assert(fast.count(_._2 == 0L) == 93)
   }
+
+  test("string ids: fast path matches Spark's UTF-8 byte ordering") {
+    // U+E000 (EE 80 80 in UTF-8, 0xE000 in UTF-16) vs U+1F600 (F0 9F 98 80
+    // in UTF-8, surrogate pair starting 0xD83D in UTF-16): Java compareTo
+    // says the emoji sorts FIRST, Spark's unsigned UTF-8 bytes say U+E000
+    // does — the canonical must not depend on smallGraphThreshold
+    val edges = Seq(("x", "😀x")).toDF("id_a", "id_b")
+    val fast = DedupGroups.components(edges)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val dist = DedupGroups.components(edges, smallGraphThreshold = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fast == dist)
+    assert(fast.forall(_._2 == "x"), s"canonical must be U+E000x: $fast")
+  }
+
+  test("unsupported id types are rejected on the fast path") {
+    val edges = Seq(((1.23f, 0), (4.56f, 0))).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      DedupGroups.components(edges).collect()
+    }
+    assert(e.getMessage.contains("unsupported id type"))
+  }
 }

@@ -120,6 +120,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(preds(1000L) == 1L && preds(1001L) == 0L)
   }
 
+  test("quality classifier: probability read is builtin, not a scala UDF") {
+    import graft.pipeline.QualityClassifier
+    val seed = Seq((1L, "good curated text", 1), (2L, "bad spam text", 0),
+      (3L, "more curated writing", 1), (4L, "more spam junk", 0)).toDF("id", "text", "label")
+    val model = QualityClassifier.train(seed, col("text"), col("label"))
+    val plan = QualityClassifier.score(model, seed, col("text"))
+      .queryExecution.analyzed.toString
+    assert(plan.contains("vector_to_array"), plan.take(500))
+    assert(!plan.contains("UDF(__prob"), "probability must not go through a scala UDF")
+  }
+
+  test("quality classifier: empty holdout returns 0.0, not an NPE") {
+    import graft.pipeline.QualityClassifier
+    val seed = Seq((1L, "good curated text", 1), (2L, "bad spam text", 0),
+      (3L, "more curated writing", 1), (4L, "more spam junk", 0)).toDF("id", "text", "label")
+    // holdoutFrac = 0 → cutoff 0 → no row buckets below it
+    val (_, acc) = QualityClassifier.trainEval(
+      seed, col("text"), col("label"), col("id"), holdoutFrac = 0.0)
+    assert(acc == 0.0)
+    assert(QualityClassifier.holdoutBucketCutoff() == 200)
+  }
+
+  test("span dedup and boilerplate lines keep NULL-text docs as empty") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, null: String))
+      .toDF("id", "t")
+    val sd = Dedup.spanDedup(docs, col("id"), col("t"), spanWords = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sd.keySet == Set(1L, 2L), "null-text doc must not vanish")
+    assert(sd(2L) == "")
+    val bl = Dedup.boilerplateLines(docs, col("id"), col("t"), minDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bl.keySet == Set(1L, 2L), "null-text doc must not vanish")
+    assert(bl(2L) == "")
+  }
+
+  test("embedding near-dup guard fires past maxExactRows") {
+    val vecs = (0L until 30L).map(i => (i, Array(i.toFloat, 1f))).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDup(vecs, col("id"), col("v"), maxDistance = 0.1,
+        maxExactRows = 10)
+    }
+    assert(e.getMessage.contains("nearDupBlocked"))
+  }
+
   test("c4 rules: line filter, page drops, sentence minimum") {
     val page1 = Seq( // clean page: 3 kept lines, 3 sentences
       "this line has enough words to survive.",

@@ -31,8 +31,8 @@ class PlanAuditSpec extends SparkSpec {
     "split_assign", "sample_hash", "stratified_sample", "training_shuffle",
     "pack_sequential", "repetition_signals", "contamination_ngram",
     "pipeline_train_prep", "dedup_groups",
-    // round-6 surfaces: span dedup is one window keyed by the span value;
-    // gopher/pii are pure narrow per-row passes
+    // round-6 surfaces: span dedup is a min-struct aggregate keyed by the
+    // span value plus an equi-join back; gopher/pii are narrow per-row passes
     "span_dedup", "gopher_rules", "pii_scrub")
 
   // allowed a bounded broadcast nested loop — a 1-ROW broadcast frame

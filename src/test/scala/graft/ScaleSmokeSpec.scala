@@ -223,24 +223,31 @@ class ScaleSmokeSpec extends SparkSpec {
     } finally ix.unpersist()
   }
 
-  test("span dedup at 50k docs with heavy boilerplate stays window-bounded") {
-    // 50k docs, each 40 words; every 5th doc shares one boilerplate span
-    // (a 10k-hot key) and 500 docs are exact copies of doc 0
+  test("span dedup with a span planted in 120k docs has no skewed partition") {
+    // 120k docs, each 40 words; EVERY doc shares one boilerplate span (a
+    // 120k-hot key) and 500 docs are exact copies of doc 0. The hot span
+    // is reduced by a map-side-combined min-struct aggregate — one
+    // candidate per map partition crosses the shuffle, so no partition
+    // ever holds the 120k occurrences (the old window shape did).
     val boiler = "subscribe to our newsletter for updates every single day folks " +
       "thanks for reading this page all the way to the end"
-    val docs = ((0 until 50000).map { i =>
+    val docs = ((0 until 120000).map { i =>
       val body = (0 until 20).map(j => s"w${(i * 37 + j * 11) % 9973}").mkString(" ")
-      (i.toLong, if (i % 5 == 0) s"$boiler $body" else s"$body extra pad words here")
-    } ++ (0 until 500).map(i => (100000L + i,
-      (0 until 20).map(j => s"w${j * 11 % 9973}").mkString(" ") + " extra pad words here"))
+      (i.toLong, s"$boiler $body")
+    } ++ (0 until 500).map(i => (1000000L + i,
+      boiler + " " + (0 until 20).map(j => s"w${j * 11 % 9973}").mkString(" ")))
     ).toDF("id", "text").repartition(16)
     val out = graft.pipeline.Dedup.spanDedup(docs, col("id"), col("text"),
       spanWords = 20).localCheckpoint(true)
-    assert(out.count() == 50500L)
-    // the boilerplate span survives exactly once across its 10k carriers
-    val boilerDrops = out.filter(col("doc_id") % 5 === 0 && col("doc_id") < 100000)
+    assert(out.count() == 120500L)
+    // the boilerplate span survives exactly once across its 120k carriers
+    val boilerDrops = out.filter(col("doc_id") < 1000000)
       .agg(sum(col("n_dropped"))).collect()(0).getLong(0)
-    assert(boilerDrops >= 9999L, s"boilerplate drops: $boilerDrops")
+    assert(boilerDrops >= 119999L, s"boilerplate drops: $boilerDrops")
+    // the 500 exact copies of doc 0's body lose both spans
+    val fullCopies = out.filter(col("doc_id") >= 1000000 &&
+      col("retained_text") === "").count()
+    assert(fullCopies == 500L, s"full copies emptied: $fullCopies")
   }
 
   test("semdedup at 10k vectors with 1k planted copies resolves groups") {

@@ -66,6 +66,16 @@ class SemanticGraphSpec extends SparkSpec {
     assert(SemanticGraph.findPath(line, "a", "c", maxHops = 1).isEmpty)
   }
 
+  test("exact build guard fires past maxExactRows") {
+    val data = (0 until 30).map(i => (s"v$i", Array(i.toFloat, 1f)))
+      .toDF("id", "vector")
+    val e = intercept[IllegalArgumentException] {
+      SemanticGraph.build(data, col("id"), col("vector"), k = 2,
+        maxExactRows = 10)
+    }
+    assert(e.getMessage.contains("buildBlocked"))
+  }
+
   test("blocked build: no cartesian in the plan, high recall vs exact") {
     // 300 vectors in 3 gaussian clusters (deterministic)
     val rnd = new scala.util.Random(7)
