@@ -47,19 +47,26 @@ object DataProfiler {
   /** Profile a vector corpus: distributed moments + sampled pair stats. */
   def profile(df: DataFrame, vecCol: Column,
               pairSampleVectors: Int = 64): DataProfile = {
+    // mean/variance from fixed-point (µ-precision) sums so the moments are
+    // independent of partial-aggregate merge order — a plain avg()/var_pop()
+    // over millions of f64 magnitudes shifts in the last decimals with
+    // partitioning, which would make profiles non-reproducible across runs
+    val magE6 = round(col("mag") * 1e6, 0).cast("long")
+    val magSqE6 = round(col("mag") * col("mag") * 1e6, 0).cast("long")
     val stats = df.select(rowStatsUdf(vecCol.cast("array<float>")).as("s"))
       .select(col("s._1").as("dim"), col("s._2").as("mag"), col("s._3").as("nz"))
       .agg(count(lit(1)).as("n"), first(col("dim")).as("dim"),
-        avg(col("mag")).as("mean_mag"),
-        // population variance, as the reference computes (tuning.rs:1172)
-        coalesce(var_pop(col("mag")), lit(0.0)).as("var_mag"),
+        sum(magE6).as("s1"), sum(magSqE6).as("s2"),
         sum(col("nz")).as("nz"), sum(col("dim")).as("total_vals"))
       .head()
     val n = stats.getLong(0)
     if (n == 0) return emptyProfile
     val dim = stats.getInt(1)
-    val meanMag = stats.getDouble(2)
-    val stdMag = math.sqrt(stats.getDouble(3))
+    val meanMag = stats.getLong(2).toDouble / (n * 1e6)
+    // population variance (as the reference computes, tuning.rs:1172) via
+    // E[x²] − E[x]² over the fixed-point sums
+    val varMag = math.max(stats.getLong(3).toDouble / (n * 1e6) - meanMag * meanMag, 0.0)
+    val stdMag = math.sqrt(varMag)
     val sparsity = stats.getLong(4).toDouble / math.max(1L, stats.getLong(5))
 
     // bounded deterministic sample for the pairwise estimators

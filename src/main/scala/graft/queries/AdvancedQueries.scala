@@ -374,9 +374,44 @@ object AdvancedQueries {
     },
 
     // MMR diversification (reference: src/integrations/langchain.rs:802-856)
-    // — greedy loop over the collected top-50 pool; not SQL-expressible, so
-    // rows-only.
-    "mmr_diversify" -> Q.noOracle { (s, dir) =>
+    // — the greedy argmax loop replicates in DuckDB as a recursive CTE
+    // carrying the selected (ids, embeddings) lists, so the whole
+    // selection is a full hash oracle. Scores are compared UNROUNDED on
+    // both sides (the discrete argmax absorbs last-ulp noise); the
+    // seed/tie rule (pool order = rounded distance asc, vec_id asc;
+    // ties → earliest pool rank) matches Mmr.select exactly.
+    "mmr_diversify" -> Q(
+      """WITH RECURSIVE
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |pool AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |         row_number() OVER (
+        |           ORDER BY round(1 - list_cosine_similarity(embedding::DOUBLE[], qv), 6),
+        |                    vec_id) - 1 AS rnk
+        |  FROM embeddings, q
+        |  QUALIFY rnk < 50
+        |),
+        |sel AS (
+        |  SELECT 0 AS step, [p.vec_id] AS ids, [p.emb] AS embs
+        |  FROM pool p WHERE p.rnk = 0
+        |  UNION ALL
+        |  SELECT s.step + 1, list_append(s.ids, c.vec_id), list_append(s.embs, c.emb)
+        |  FROM sel s, LATERAL (
+        |    SELECT p.vec_id, p.emb
+        |    FROM pool p, q
+        |    WHERE NOT list_contains(s.ids, p.vec_id)
+        |    ORDER BY 0.7 * list_cosine_similarity(p.emb, q.qv)
+        |           - 0.3 * list_max(list_transform(s.embs,
+        |               e -> list_cosine_similarity(p.emb, e))) DESC,
+        |           p.rnk ASC
+        |    LIMIT 1
+        |  ) c
+        |  WHERE s.step < 9
+        |)
+        |SELECT CAST(ids[step + 1] AS VARCHAR) AS vec_id,
+        |       CAST(step AS BIGINT) AS selection_order
+        |FROM sel ORDER BY selection_order""".stripMargin
+    ) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       val query = emb.filter(col("vec_id") === 0)
@@ -387,18 +422,10 @@ object AdvancedQueries {
         .orderBy(col("distance").asc, col("vec_id").asc)
         .limit(50)
         .select(col("vec_id"), col("embedding"))
-      val sel = Mmr.diversify(pool, "vec_id", "embedding", query, k = 10,
-        lambda = 0.7)
-      // self-check: MMR seeds with the most-relevant item (the query's own
-      // vector, vec_id 0) and selects k distinct items in order 0..k-1
-      val chk = sel.agg(
-        count(lit(1)).as("n_sel"),
-        countDistinct(col("selection_order")).as("n_ord"),
-        max(when(col("selection_order") === 0, col("vec_id"))).as("seed"))
-      sel.crossJoin(broadcast(chk))
-        .withColumn("check_passed",
-          col("n_sel") === 10 && col("n_ord") === 10 && col("seed") === "0")
-        .drop("n_sel", "n_ord", "seed")
+      Mmr.diversify(pool, "vec_id", "embedding", query, k = 10, lambda = 0.7)
+        .select(col("vec_id"), col("selection_order").cast("long")
+          .as("selection_order"))
+        .orderBy(col("selection_order"))
     },
   )
 }

@@ -169,35 +169,56 @@ object AnnQueries {
     },
 
     // Data profiling + smart index selection (tuning.rs:1122-1445): the
-    // moment statistics run as one distributed aggregation over the whole
-    // corpus; the pairwise estimators run the reference's step-capped loop
-    // on a bounded sample. check_passed pins the structural contract:
-    // dimension/count read from the data, ratios in range, and the
-    // selection consistent with the corpus size.
-    "data_profile" -> Q.noOracle { (s, dir) =>
+    // moment statistics run as one distributed fixed-point aggregation
+    // over the whole corpus, and the index selection is a deterministic
+    // rule over (n, dim) — both DuckDB-replicated, so this is a full hash
+    // oracle. The sampled pairwise estimators (intrinsic dimensionality,
+    // cluster count, mean pairwise distance) are driver-side loops over a
+    // bounded sample and stay covered by DataProfilerSpec instead.
+    "data_profile" -> Q(
+      """WITH per AS (
+        |  SELECT len(embedding) AS dim,
+        |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS mag,
+        |         list_sum(list_transform(embedding::DOUBLE[],
+        |           x -> CASE WHEN abs(x) < 0.001 THEN 1 ELSE 0 END)) AS nz
+        |  FROM embeddings),
+        |agg AS (
+        |  SELECT count(*) AS n, max(dim) AS dim,
+        |         sum(CAST(round(mag * 1000000) AS BIGINT)) AS s1,
+        |         sum(CAST(round(mag * mag * 1000000) AS BIGINT)) AS s2,
+        |         sum(nz) AS nz, sum(dim) AS total_vals
+        |  FROM per),
+        |m AS (
+        |  SELECT n, dim,
+        |         s1 / (n * 1000000.0) AS mean_mag,
+        |         sqrt(greatest(s2 / (n * 1000000.0)
+        |           - (s1 / (n * 1000000.0)) * (s1 / (n * 1000000.0)), 0)) AS std_mag,
+        |         nz * 1.0 / greatest(total_vals, 1) AS sparsity
+        |  FROM agg)
+        |SELECT CAST(dim AS BIGINT) AS dimensions, n AS n_vectors,
+        |  round(mean_mag, 6) AS mean_magnitude,
+        |  round(std_mag, 6) AS std_magnitude,
+        |  round(sparsity, 6) AS sparsity_ratio,
+        |  CAST(CASE WHEN abs(mean_mag - 1.0) < 0.1 AND std_mag < 0.1
+        |       THEN 1 ELSE 0 END AS BIGINT) AS appears_normalized,
+        |  CASE WHEN n * 10 < 100000 THEN 'exact'
+        |       WHEN n * 10 * dim * 4 <= 17179869184 THEN 'ivf'
+        |       ELSE 'ivf+sq8' END AS recommended_index
+        |FROM m""".stripMargin
+    ) { (s, dir) =>
       import s.implicits._
       val emb = Tables.load(s, dir, "embeddings")
-      val n = emb.count()
       val sel = graft.ann.SmartIndexSelector.select(emb, col("embedding"))
       val p = sel.profile
-      val ok = p.dimensions == 64 && p.sampleSize == n &&
-        p.sparsityRatio >= 0.0 && p.sparsityRatio <= 1.0 &&
-        p.estimatedClusters >= 1 && p.meanPairwiseDistance > 0.0 &&
-        p.intrinsicDimensionality > 0.0 &&
-        p.intrinsicDimensionality <= p.dimensions &&
-        sel.confidence > 0.0 && sel.confidence <= 1.0 &&
-        (n * 10 < 100000) == (sel.recommended == "exact")
-      Seq((p.dimensions, p.sampleSize,
-        math.rint(p.meanMagnitude * 1e6) / 1e6,
-        math.rint(p.meanPairwiseDistance * 1e6) / 1e6,
-        math.rint(p.intrinsicDimensionality * 1e6) / 1e6,
-        p.appearsNormalized, p.estimatedClusters,
-        math.rint(p.sparsityRatio * 1e6) / 1e6,
-        sel.recommended, ok))
-        .toDF("dimensions", "n_vectors", "mean_magnitude",
-          "mean_pairwise_distance", "intrinsic_dim", "appears_normalized",
-          "estimated_clusters", "sparsity_ratio", "recommended_index",
-          "check_passed")
+      Seq((p.dimensions.toLong, p.sampleSize, p.meanMagnitude, p.stdMagnitude,
+        p.sparsityRatio, if (p.appearsNormalized) 1L else 0L, sel.recommended))
+        .toDF("dimensions", "n_vectors", "mean_magnitude", "std_magnitude",
+          "sparsity_ratio", "appears_normalized", "recommended_index")
+        .select(col("dimensions"), col("n_vectors"),
+          round(col("mean_magnitude"), 6).as("mean_magnitude"),
+          round(col("std_magnitude"), 6).as("std_magnitude"),
+          round(col("sparsity_ratio"), 6).as("sparsity_ratio"),
+          col("appears_normalized"), col("recommended_index"))
     },
   )
 }

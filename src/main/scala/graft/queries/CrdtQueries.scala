@@ -87,30 +87,58 @@ object CrdtQueries {
     },
 
     // Merkle anti-entropy diff (crdt.rs:858-955): replica B perturbs the
-    // value hash of every vec_id ≡ 7 (mod 250) — a couple of ids, so most
-    // buckets hash EQUAL and the differing set must be EXACTLY the buckets
-    // holding perturbed ids (computed via the same bucket assignment) —
-    // asserted in-plan as check_passed.
-    "crdt_merkle_diff" -> Q.noOracle { (s, dir) =>
+    // value hash of every vec_id ≡ 7 (mod 250); the differing buckets and
+    // their exact fold hashes are a full DuckDB oracle — the wrapping-u64
+    // folds (id bytes ×31 + byte; bucket entries ×17 + id_hash +
+    // value_hash, both in sorted-id order) replicate via HUGEINT
+    // arithmetic mod 2^64 in list_reduce.
+    "crdt_merkle_diff" -> Q(
+      """WITH ent AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |         vec_id * 2654435761 % 2147483647 AS vh,
+        |         CASE WHEN vec_id % 250 = 7
+        |              THEN vec_id * 2654435761 % 2147483647 + 1
+        |              ELSE vec_id * 2654435761 % 2147483647 END AS vhb
+        |  FROM embeddings),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY id) - 1 AS rn,
+        |         count(*) OVER () AS n
+        |  FROM ent),
+        |bkt AS (
+        |  SELECT id, vh, vhb,
+        |         CASE WHEN n // 8 = 0 THEN 7
+        |              ELSE CAST(least(rn // (n // 8), 7) AS INT) END AS bucket,
+        |         list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |           list_transform(range(1, length(id) + 1),
+        |             i -> CAST(ord(substr(id, i, 1)) AS HUGEINT))),
+        |           (acc, b) -> (acc * 31 + b) % 18446744073709551616) AS ih
+        |  FROM r),
+        |agg AS (
+        |  SELECT bucket,
+        |         list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |             list(ih + CAST(vh AS HUGEINT) ORDER BY id)),
+        |           (acc, x) -> (acc * 17 + x) % 18446744073709551616) AS ha,
+        |         list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |             list(ih + CAST(vhb AS HUGEINT) ORDER BY id)),
+        |           (acc, x) -> (acc * 17 + x) % 18446744073709551616) AS hb,
+        |         count(*) AS cnt
+        |  FROM bkt GROUP BY bucket)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(CASE WHEN ha >= 9223372036854775808
+        |       THEN ha - 18446744073709551616 ELSE ha END AS BIGINT) AS hash_a,
+        |  CAST(CASE WHEN hb >= 9223372036854775808
+        |       THEN hb - 18446744073709551616 ELSE hb END AS BIGINT) AS hash_b,
+        |  cnt AS count_a, cnt AS count_b
+        |FROM agg WHERE ha <> hb ORDER BY bucket""".stripMargin
+    ) { (s, dir) =>
       val base = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), (col("vec_id") * 2654435761L % 2147483647L)
           .as("h"))
       val b = base.withColumn("h",
         when(col("vec_id") % 250 === 7, col("h") + 1).otherwise(col("h")))
-      val diff = Crdt.merkleDiff(base, b, col("vec_id"), col("h"),
-        bucketCount = 8)
-      val expected = Crdt.bucketed(base, col("vec_id"), col("h"), 8)
-        .filter(col("id").cast("long") % 250 === 7)
-        .select(col("bucket")).distinct()
-        .withColumn("__planted", lit(true))
-      diff.join(expected, Seq("bucket"), "full_outer")
-        .withColumn("check_passed",
-          min(when(col("__planted").isNotNull && col("hash_a").isNotNull, 1)
-            .otherwise(0))
-            .over(org.apache.spark.sql.expressions.Window.partitionBy(lit(1)))
-            === 1)
-        .select(col("bucket"), col("hash_a"), col("hash_b"),
-          col("count_a"), col("count_b"), col("check_passed"))
+      Crdt.merkleDiff(base, b, col("vec_id"), col("h"), bucketCount = 8)
+        .select(col("bucket").cast("long").as("bucket"),
+          col("hash_a"), col("hash_b"), col("count_a"), col("count_b"))
         .orderBy(col("bucket"))
     },
   )
