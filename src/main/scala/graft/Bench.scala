@@ -85,6 +85,23 @@ object Bench {
       println(f"""#detail {"q":"$k","median":$med%.4f,"min":$mn%.4f,"spread":$sp%.3f}""")
     }
     val total = results.map(_._2).sum
+    // Full-precision details also land in a file (the driver's stdout
+    // window only keeps the last ~2000 chars, so the #detail stream is
+    // lost there): bench_history/ archives one file per round for
+    // tools/bench_diff.py to audit regressions mechanically.
+    val detailOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "target/bench_detail.json")
+    try {
+      val f = new java.io.File(detailOut)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try {
+        val qs = results.map { case (k, med, mn, sp) =>
+          f""""$k":{"median":$med%.4f,"min":$mn%.4f,"spread":$sp%.3f}"""
+        }.mkString(",")
+        w.println(f"""{"total":$total%.2f,"sf":"${new java.io.File(sfDir).getName}","cpus":$cpus,"runs":$runs,"queries":{$qs}}""")
+      } finally w.close()
+    } catch { case _: Throwable => () } // bench output must never fail the run
     val sfName = new java.io.File(sfDir).getName
     // The final line must fit the driver's ~2000-char stdout tail window.
     // The full 99-query map no longer does at any precision, so the line

@@ -1,0 +1,493 @@
+package graft.server
+
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.filter.{Filter, FilterCompiler}
+import graft.functions.Distances
+import graft.ops.Search
+
+/** REST contract layer (SURVEY §3.2 scoped it out of core; built as the
+  * drop-in surface a reference server user would call — reference:
+  * src/server/mod.rs:462-537 route table, src/server/types.rs request/
+  * response bodies, src/server/handlers/{collections,vectors,search}.rs).
+  *
+  * Shape parity kept exactly where the reference defines it:
+  *   - error body `{"error": msg, "code": CODE}` (types.rs:12-19)
+  *   - `score = 1 / (1 + distance)` (handlers/search.rs:187)
+  *   - create → 201 `{"created": name}`; collection info with
+  *     `needs_compaction` at the 0.2 ratio (handlers/collections.rs:111,127)
+  *   - list pagination `{count, offset, total, has_more}`
+  *   - metadata-only `/query` and filtered `/count` (handlers/search.rs:
+  *     964-1057), `/recommend` positive/negative ids (:1060-1140)
+  *   - search_after cursor `{distance, id}` paging (types.rs:180-243)
+  *
+  * Execution is the engine's own declarative ops (Search.topK/radius/
+  * searchAfter, FilterCompiler, VectorAgg centroids) over a per-collection
+  * DataFrame — handlers never loop over rows on the driver, so a
+  * collection can be a registered parquet table of any size; only the
+  * k-bounded result page is collected. [[handle]] is a pure
+  * (method, path, body) → (status, json) function so the whole contract is
+  * testable in-process; [[serve]] hosts it on the JDK's HttpServer (no new
+  * dependencies), one Spark job per request like any multi-tenant driver.
+  */
+class RestApi(spark: SparkSession) {
+
+  import RestApi._
+
+  /** Mutable collection state, reference Collection ≙ one DataFrame:
+    * (id STRING, vector ARRAY<FLOAT>, metadata STRING json, ttl LONG).
+    */
+  final case class Coll(name: String, dims: Int, metric: String,
+                        var df: DataFrame, var deleted: Long = 0L)
+
+  private val collections = mutable.LinkedHashMap.empty[String, Coll]
+  private val mapper = new ObjectMapper()
+
+  private val schema = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("vector", ArrayType(FloatType), nullable = false),
+    StructField("metadata", StringType, nullable = true),
+    StructField("ttl_expires_at", LongType, nullable = true)))
+
+  /** Register an EXISTING DataFrame (e.g. a parquet table) as a
+    * collection — the Spark-native superpower the reference's in-process
+    * store lacks; the REST surface then serves it unchanged.
+    */
+  def register(name: String, df: DataFrame, dims: Int,
+               metric: String = "cosine"): Unit = synchronized {
+    collections(name) = Coll(name, dims, metric, df.select(
+      col("id").cast("string").as("id"),
+      col("vector").cast("array<float>").as("vector"),
+      (if (df.columns.contains("metadata")) col("metadata").cast("string")
+       else lit(null).cast("string")).as("metadata"),
+      (if (df.columns.contains("ttl_expires_at")) col("ttl_expires_at").cast("long")
+       else lit(null).cast("long")).as("ttl_expires_at")))
+  }
+
+  // ------------------------------------------------------------- dispatch
+
+  /** The whole API as a pure function: (method, path, body) → (status,
+    * response json). Query params ride on the path (`?offset=..`).
+    */
+  def handle(method: String, rawPath: String, body: String): (Int, String) = {
+    val (path, params) = splitQuery(rawPath)
+    val parts = path.stripPrefix("/").stripSuffix("/").split("/").toList
+    try {
+      (method.toUpperCase(java.util.Locale.ROOT), parts) match {
+        case ("GET", List("health")) => ok(obj(_.put("status", "ok")))
+        case ("GET", List("collections")) => listCollections(params)
+        case ("POST", List("collections")) => createCollection(body)
+        case ("GET", List("collections", name)) => getCollection(name)
+        case ("DELETE", List("collections", name)) => deleteCollection(name)
+        case ("GET", List("collections", c, "vectors", id)) => getVector(c, id)
+        case ("DELETE", List("collections", c, "vectors", id)) =>
+          deleteVectors(c, Seq(id))
+        case ("POST", List("collections", c, "vectors")) =>
+          insert(c, Seq(mapper.readTree(body)), upsertMode = false)
+        case ("POST", List("collections", c, "vectors", "batch")) =>
+          insert(c, arr(mapper.readTree(body).get("vectors")), upsertMode = false)
+        case ("POST", List("collections", c, "vectors", "upsert")) =>
+          insert(c, Seq(mapper.readTree(body)), upsertMode = true)
+        case ("POST", List("collections", c, "vectors", "delete-batch")) =>
+          deleteVectors(c, arr(mapper.readTree(body).get("ids")).map(_.asText()))
+        case ("POST", List("collections", c, "search")) => search(c, body)
+        case ("POST", List("collections", c, "search", "batch")) =>
+          batchSearch(c, body)
+        case ("POST", List("collections", c, "search", "radius")) =>
+          radiusSearch(c, body)
+        case ("POST", List("collections", c, "count")) => countFiltered(c, body)
+        case ("POST", List("collections", c, "query")) => metadataQuery(c, body)
+        case ("POST", List("collections", c, "recommend")) => recommend(c, body)
+        case _ => err(404, s"no route for $method $path", "NOT_FOUND")
+      }
+    } catch {
+      case e: ApiException => err(e.status, e.message, e.code)
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        err(400, s"Invalid JSON: ${e.getMessage}", "INVALID_JSON")
+      case e: IllegalArgumentException =>
+        err(400, String.valueOf(e.getMessage), "BAD_REQUEST")
+    }
+  }
+
+  // ---------------------------------------------------------- collections
+
+  private def listCollections(params: Map[String, String]): (Int, String) =
+    synchronized {
+      val offset = params.get("offset").map(_.toInt).getOrElse(0)
+      val limit = params.get("limit").map(_.toInt).getOrElse(100)
+      val all = collections.values.toSeq
+      val page = all.slice(offset, offset + limit)
+      ok(obj { o =>
+        val a = o.putArray("collections")
+        page.foreach { c =>
+          val e = a.addObject()
+          e.put("name", c.name).put("dimensions", c.dims)
+          e.put("count", c.df.count()).put("deleted_count", c.deleted)
+        }
+        val p = o.putObject("pagination")
+        p.put("count", page.size).put("offset", offset).put("total", all.size)
+        p.put("has_more", offset + page.size < all.size)
+      })
+    }
+
+  private def createCollection(body: String): (Int, String) = synchronized {
+    val req = mapper.readTree(body)
+    val name = require(req, "name").asText()
+    val dims = require(req, "dimensions").asInt()
+    if (name.isEmpty || !name.matches("[A-Za-z0-9_.-]{1,128}"))
+      throw ApiException(400, s"Invalid collection name: $name", "INVALID_NAME")
+    if (dims < 1 || dims > 16384) // reference MAX_DIMENSIONS guard
+      throw ApiException(400, "Dimensions must be between 1 and 16384",
+        "INVALID_DIMENSIONS")
+    if (collections.contains(name))
+      throw ApiException(409, s"Collection already exists: $name",
+        "ALREADY_EXISTS")
+    val metric = Option(req.get("distance")).map(_.asText()).getOrElse("cosine")
+    collections(name) = Coll(name, dims, metric,
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), schema))
+    (201, mapper.writeValueAsString(obj2(_.put("created", name))))
+  }
+
+  private def coll(name: String): Coll = synchronized {
+    collections.getOrElse(name,
+      throw ApiException(404, s"Collection not found: $name", "NOT_FOUND"))
+  }
+
+  private def getCollection(name: String): (Int, String) = {
+    val c = coll(name)
+    val n = c.df.count()
+    ok(obj { o =>
+      o.put("name", name).put("dimensions", c.dims).put("count", n)
+      o.put("deleted_count", c.deleted)
+      // reference needs_compaction(0.2) (handlers/collections.rs:127)
+      o.put("needs_compaction", c.deleted.toDouble > 0.2 * math.max(1L, n + c.deleted))
+    })
+  }
+
+  private def deleteCollection(name: String): (Int, String) = synchronized {
+    coll(name) // 404 when absent
+    collections.remove(name)
+    ok(obj(_.put("deleted", name)))
+  }
+
+  // -------------------------------------------------------------- vectors
+
+  private def insert(name: String, reqs: Seq[JsonNode],
+                     upsertMode: Boolean): (Int, String) = {
+    val c = coll(name)
+    val rows = reqs.map { r =>
+      val id = require(r, "id").asText()
+      val vec = arr(require(r, "vector")).map(_.floatValue()).toArray
+      if (vec.length != c.dims)
+        throw ApiException(400,
+          s"Vector dimension ${vec.length} != collection dimension ${c.dims}",
+          "DIMENSION_MISMATCH")
+      val meta = Option(r.get("metadata")).filterNot(_.isNull)
+        .map(mapper.writeValueAsString)
+      val ttl = Option(r.get("ttl_seconds")).filterNot(_.isNull)
+        .map(t => nowEpochS() + t.asLong())
+      Row(id, vec.toSeq, meta.orNull, ttl.map(Long.box).orNull)
+    }
+    val ids = rows.map(_.getString(0))
+    val incoming = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+    synchronized {
+      if (!upsertMode) {
+        val clash = c.df.filter(col("id").isin(ids: _*)).limit(1).count()
+        if (clash > 0)
+          throw ApiException(409, "Vector id already exists", "DUPLICATE_ID")
+      }
+      c.df = c.df.filter(!col("id").isin(ids: _*)).unionByName(incoming)
+        .localCheckpoint(false) // keep the lineage O(1) across mutations
+    }
+    ok(obj(_.put(if (upsertMode) "upserted" else "inserted", rows.size)))
+  }
+
+  private def deleteVectors(name: String, ids: Seq[String]): (Int, String) = {
+    val c = coll(name)
+    synchronized {
+      val n = c.df.filter(col("id").isin(ids: _*)).count()
+      if (n == 0 && ids.size == 1)
+        throw ApiException(404, s"Vector not found: ${ids.head}", "NOT_FOUND")
+      c.df = c.df.filter(!col("id").isin(ids: _*)).localCheckpoint(false)
+      c.deleted += n
+      ok(obj(_.put("deleted", n)))
+    }
+  }
+
+  private def getVector(name: String, id: String): (Int, String) = {
+    val c = coll(name)
+    val rows = c.df.filter(col("id") === id).limit(1).collect()
+    if (rows.isEmpty)
+      throw ApiException(404, s"Vector not found: $id", "NOT_FOUND")
+    val r = rows.head
+    ok(obj { o =>
+      o.put("id", id)
+      val v = o.putArray("vector")
+      r.getSeq[Float](1).foreach(v.add(_))
+      o.set[ObjectNode]("metadata", metaNode(r.getAs[String]("metadata")))
+    })
+  }
+
+  // --------------------------------------------------------------- search
+
+  /** Pre-filter compiled against metadata JSON paths, exactly the
+    * reference's filter-during-search contract (types.rs:198-200).
+    */
+  private def compiledFilter(c: Coll, node: JsonNode): Option[Column] =
+    Option(node).filterNot(_.isNull).map { f =>
+      val filter = Filter.parse(mapper.writeValueAsString(f))
+      FilterCompiler.compile(filter,
+        (path: String) => FilterCompiler.schemaResolver(c.df.schema)(
+          s"metadata.$path"))
+    }
+
+  private def liveRows(c: Coll): DataFrame =
+    c.df.filter(col("ttl_expires_at").isNull ||
+      col("ttl_expires_at") > nowEpochS())
+
+  private def search(name: String, body: String): (Int, String) = {
+    val c = coll(name)
+    val req = mapper.readTree(body)
+    val qv = arr(require(req, "vector")).map(_.floatValue()).toArray
+    val k = math.min(Option(req.get("k")).map(_.asInt()).getOrElse(10), 1000)
+    val metric = Option(req.get("distance")).filterNot(_.isNull)
+      .map(_.asText()).getOrElse(c.metric)
+    val includeVectors = Option(req.get("include_vectors"))
+      .exists(_.asBoolean(false))
+    val base0 = liveRows(c)
+    val base = compiledFilter(c, req.get("filter"))
+      .map(base0.filter).getOrElse(base0)
+    val cursor = Option(req.get("search_after")).filterNot(_.isNull)
+    val hits = cursor match {
+      case Some(cur) => Search.searchAfter(base, col("vector"),
+        lit(qv), k, require(cur, "distance").asDouble(),
+        require(cur, "id").asText(), metric)
+      case None =>
+        Option(req.get("post_filter")).filterNot(_.isNull) match {
+          case Some(pf) => // over-fetch k·factor, post-filter, cut to k
+            val factor = Option(req.get("post_filter_factor"))
+              .map(_.asInt()).getOrElse(3)
+            Search.topK(base, col("vector"), lit(qv), k * factor, metric)
+              .filter(compiledFilter(c, pf).get).limit(k)
+          case None => Search.topK(base, col("vector"), lit(qv), k, metric)
+        }
+    }
+    val page = hits.collect()
+    ok(obj { o =>
+      val rs = o.putArray("results")
+      page.foreach(r => resultNode(rs.addObject(), r, includeVectors))
+      o.put("has_more", page.length == k)
+      if (page.length == k) {
+        val cur = o.putObject("next_cursor")
+        cur.put("distance", page.last.getAs[Double]("distance"))
+        cur.put("id", page.last.getString(0))
+      }
+    })
+  }
+
+  private def batchSearch(name: String, body: String): (Int, String) = {
+    val c = coll(name)
+    val req = mapper.readTree(body)
+    val k = math.min(Option(req.get("k")).map(_.asInt()).getOrElse(10), 1000)
+    val base0 = liveRows(c)
+    val base = compiledFilter(c, req.get("filter")).map(base0.filter)
+      .getOrElse(base0)
+    val queries = arr(require(req, "vectors")).zipWithIndex.map {
+      case (v, i) => (i, arr(v).map(_.floatValue()).toArray.toSeq)
+    }
+    val qdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(queries.map(q => Row(q._1, q._2)), 1),
+      StructType(Seq(StructField("query_id", IntegerType),
+        StructField("query_vector", ArrayType(FloatType)))))
+    // one scored pass for ALL queries (batchTopKPairs' bounded aggregate
+    // needs long ids; REST ids are strings, so use the windowed form)
+    val winners = Search.batchTopK(base, qdf, k, metric = c.metric)
+      .select(col("query_id"), col("id"), col("distance"))
+      .collect().groupBy(_.getAs[Int]("query_id"))
+    ok(obj { o =>
+      val out = o.putArray("results")
+      queries.foreach { case (qid, _) =>
+        val batch = out.addArray()
+        winners.getOrElse(qid, Array.empty).sortBy(r =>
+          (r.getAs[Double]("distance"), r.getAs[String]("id"))).foreach { r =>
+          val e = batch.addObject()
+          val d = r.getAs[Double]("distance")
+          e.put("id", String.valueOf(r.getAs[Any]("id")))
+          e.put("distance", d).put("score", 1.0 / (1.0 + d))
+        }
+      }
+    })
+  }
+
+  private def radiusSearch(name: String, body: String): (Int, String) = {
+    val c = coll(name)
+    val req = mapper.readTree(body)
+    val qv = arr(require(req, "vector")).map(_.floatValue()).toArray
+    val maxDist = require(req, "max_distance").asDouble()
+    val limit = math.min(Option(req.get("limit")).map(_.asInt())
+      .getOrElse(1000), 10000)
+    val includeVectors = Option(req.get("include_vectors"))
+      .exists(_.asBoolean(false))
+    val base0 = liveRows(c)
+    val base = compiledFilter(c, req.get("filter")).map(base0.filter)
+      .getOrElse(base0)
+    val page = Search.radius(base, col("vector"), lit(qv), maxDist, limit,
+      c.metric).collect()
+    ok(obj { o =>
+      val rs = o.putArray("results")
+      page.foreach(r => resultNode(rs.addObject(), r, includeVectors))
+      o.put("count", page.length)
+    })
+  }
+
+  private def countFiltered(name: String, body: String): (Int, String) = {
+    val c = coll(name)
+    val req = mapper.readTree(if (body.isEmpty) "{}" else body)
+    val base = compiledFilter(c, req.get("filter"))
+      .map(liveRows(c).filter).getOrElse(liveRows(c))
+    ok(obj(_.put("count", base.count())))
+  }
+
+  private def metadataQuery(name: String, body: String): (Int, String) = {
+    val c = coll(name)
+    val req = mapper.readTree(body)
+    val limit = math.min(Option(req.get("limit")).map(_.asInt())
+      .getOrElse(100), 1000)
+    val offset = Option(req.get("offset")).map(_.asInt()).getOrElse(0)
+    val filter = compiledFilter(c, req.get("filter")).getOrElse(
+      throw ApiException(400, "filter is required", "MISSING_FILTER"))
+    val matched = liveRows(c).filter(filter)
+    val total = matched.count()
+    val page = matched.orderBy(col("id"))
+      .limit(offset + limit).collect().drop(offset)
+    ok(obj { o =>
+      val rs = o.putArray("data")
+      page.foreach { r =>
+        val e = rs.addObject()
+        e.put("id", r.getString(0))
+        e.set[ObjectNode]("metadata", metaNode(r.getAs[String]("metadata")))
+      }
+      val p = o.putObject("pagination")
+      p.put("count", page.length).put("offset", offset).put("total", total)
+      p.put("has_more", total > offset + limit)
+    })
+  }
+
+  private def recommend(name: String, body: String): (Int, String) = {
+    val c = coll(name)
+    val req = mapper.readTree(body)
+    val pos = arr(require(req, "positive_ids")).map(_.asText())
+    if (pos.isEmpty)
+      throw ApiException(400, "positive_ids must not be empty",
+        "EMPTY_POSITIVE_IDS")
+    if (pos.size > 100)
+      throw ApiException(400, "positive_ids exceeds maximum of 100",
+        "TOO_MANY_POSITIVE_IDS")
+    val neg = Option(req.get("negative_ids")).map(arr(_).map(_.asText()))
+      .getOrElse(Nil)
+    val limit = math.min(Option(req.get("limit")).map(_.asInt())
+      .getOrElse(10), 1000)
+    val page = Search.recommend(liveRows(c), col("vector"), col("id"),
+      pos, neg, limit, c.metric).collect()
+    ok(obj { o =>
+      val rs = o.putArray("results")
+      page.foreach { r =>
+        val e = rs.addObject()
+        val d = r.getAs[Double]("distance")
+        e.put("id", String.valueOf(r.getAs[Any]("id")))
+        e.put("distance", d).put("score", 1.0 / (1.0 + d))
+      }
+    })
+  }
+
+  // ---------------------------------------------------------------- host
+
+  /** Host [[handle]] on the JDK HttpServer; returns the bound port. */
+  def serve(port: Int = 0): com.sun.net.httpserver.HttpServer = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(),
+        StandardCharsets.UTF_8)
+      val (status, resp) = handle(ex.getRequestMethod,
+        ex.getRequestURI.toString, body)
+      val bytes = resp.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.add("Content-Type", "application/json")
+      ex.sendResponseHeaders(status, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    server
+  }
+
+  // ------------------------------------------------------------- plumbing
+
+  /** Injectable clock for TTL tests. */
+  var nowEpochS: () => Long = () => System.currentTimeMillis() / 1000L
+
+  private def resultNode(e: ObjectNode, r: Row,
+                         includeVectors: Boolean): Unit = {
+    val d = r.getAs[Double]("distance")
+    e.put("id", r.getString(0))
+    e.put("distance", d)
+    e.put("score", 1.0 / (1.0 + d)) // handlers/search.rs:187
+    e.set[ObjectNode]("metadata", metaNode(r.getAs[String]("metadata")))
+    if (includeVectors) {
+      val v = e.putArray("vector")
+      r.getSeq[Float](r.fieldIndex("vector")).foreach(v.add(_))
+    }
+  }
+
+  private def metaNode(metaJson: String): JsonNode =
+    if (metaJson == null) mapper.nullNode() else mapper.readTree(metaJson)
+
+  private def obj(f: ObjectNode => Unit): String = {
+    val o = mapper.createObjectNode(); f(o); mapper.writeValueAsString(o)
+  }
+  private def obj2(f: ObjectNode => Unit): ObjectNode = {
+    val o = mapper.createObjectNode(); f(o); o
+  }
+  private def ok(json: String): (Int, String) = (200, json)
+  private def err(status: Int, msg: String, code: String): (Int, String) =
+    (status, obj { o => o.put("error", msg); o.put("code", code) })
+
+  private def require(n: JsonNode, field: String): JsonNode = {
+    val v = n.get(field)
+    if (v == null || v.isNull)
+      throw ApiException(400, s"$field is required",
+        "MISSING_" + field.toUpperCase(java.util.Locale.ROOT))
+    v
+  }
+
+  private def arr(n: JsonNode): Seq[JsonNode] = {
+    if (n == null || !n.isArray)
+      throw ApiException(400, "expected a JSON array", "INVALID_BODY")
+    val it = n.asInstanceOf[ArrayNode].elements()
+    val out = Seq.newBuilder[JsonNode]
+    while (it.hasNext) out += it.next()
+    out.result()
+  }
+
+  private def splitQuery(raw: String): (String, Map[String, String]) =
+    raw.split("\\?", 2) match {
+      case Array(p) => (p, Map.empty)
+      case Array(p, q) => (p, q.split("&").filter(_.contains("="))
+        .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap)
+    }
+}
+
+object RestApi {
+  final case class ApiException(status: Int, message: String, code: String)
+    extends RuntimeException(message)
+}

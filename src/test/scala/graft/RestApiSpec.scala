@@ -1,0 +1,195 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.server.RestApi
+
+/** Contract tests for the REST layer (reference: src/server/mod.rs route
+  * table + types.rs bodies): exercised through the pure
+  * (method, path, body) → (status, json) dispatch — no sockets — plus one
+  * live round-trip through the JDK HttpServer host.
+  */
+class RestApiSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+  private def api = {
+    val a = new RestApi(spark)
+    a.nowEpochS = () => 1700000000L
+    val (s, _) = a.handle("POST", "/collections",
+      """{"name":"docs","dimensions":3,"distance":"cosine"}""")
+    assert(s == 201)
+    a
+  }
+
+  private def insert(a: RestApi, id: String, v: Seq[Double],
+                     meta: String = null, ttl: Long = -1): Unit = {
+    val m = if (meta == null) "" else s""","metadata":$meta"""
+    val t = if (ttl < 0) "" else s""","ttl_seconds":$ttl"""
+    val (s, body) = a.handle("POST", "/collections/docs/vectors",
+      s"""{"id":"$id","vector":[${v.mkString(",")}]$m$t}""")
+    assert(s == 200, body)
+  }
+
+  test("collection lifecycle: create/list/info/delete, error shapes") {
+    val a = api
+    // duplicate create → 409 with the reference error body {error, code}
+    val (dup, dupBody) = a.handle("POST", "/collections",
+      """{"name":"docs","dimensions":3}""")
+    assert(dup == 409)
+    val err = mapper.readTree(dupBody)
+    assert(err.get("code").asText() == "ALREADY_EXISTS")
+    assert(err.get("error").asText().nonEmpty)
+    // bad dims → INVALID_DIMENSIONS (handlers/collections.rs guard)
+    val (bad, badBody) = a.handle("POST", "/collections",
+      """{"name":"x","dimensions":0}""")
+    assert(bad == 400 &&
+      mapper.readTree(badBody).get("code").asText() == "INVALID_DIMENSIONS")
+    insert(a, "v1", Seq(1, 0, 0))
+    val (_, list) = a.handle("GET", "/collections?offset=0&limit=10", "")
+    val l = mapper.readTree(list)
+    assert(l.get("collections").get(0).get("name").asText() == "docs")
+    assert(l.get("collections").get(0).get("count").asLong() == 1L)
+    assert(l.get("pagination").get("total").asInt() == 1)
+    val (_, info) = a.handle("GET", "/collections/docs", "")
+    val i = mapper.readTree(info)
+    assert(i.get("dimensions").asInt() == 3 && i.get("count").asLong() == 1L)
+    assert(a.handle("DELETE", "/collections/docs", "")._1 == 200)
+    assert(a.handle("GET", "/collections/docs", "")._1 == 404)
+  }
+
+  test("vector CRUD: insert/dup/upsert/get/delete, dimension guard") {
+    val a = api
+    insert(a, "v1", Seq(1, 0, 0), meta = """{"cat":"a","n":5}""")
+    // duplicate id → 409; upsert replaces
+    val (dup, _) = a.handle("POST", "/collections/docs/vectors",
+      """{"id":"v1","vector":[0,1,0]}""")
+    assert(dup == 409)
+    val (up, _) = a.handle("POST", "/collections/docs/vectors/upsert",
+      """{"id":"v1","vector":[0,1,0],"metadata":{"cat":"b"}}""")
+    assert(up == 200)
+    val (gs, got) = a.handle("GET", "/collections/docs/vectors/v1", "")
+    assert(gs == 200)
+    val g = mapper.readTree(got)
+    assert(g.get("vector").get(1).asDouble() == 1.0)
+    assert(g.get("metadata").get("cat").asText() == "b")
+    // wrong dims → DIMENSION_MISMATCH
+    val (dm, dmBody) = a.handle("POST", "/collections/docs/vectors",
+      """{"id":"v2","vector":[1,2]}""")
+    assert(dm == 400 &&
+      mapper.readTree(dmBody).get("code").asText() == "DIMENSION_MISMATCH")
+    assert(a.handle("DELETE", "/collections/docs/vectors/v1", "")._1 == 200)
+    assert(a.handle("GET", "/collections/docs/vectors/v1", "")._1 == 404)
+    // deleted_count feeds needs_compaction
+    val (_, info) = a.handle("GET", "/collections/docs", "")
+    assert(mapper.readTree(info).get("deleted_count").asLong() == 1L)
+  }
+
+  test("search: top-k order, score=1/(1+d), filter, cursor paging") {
+    val a = api
+    insert(a, "v1", Seq(1, 0, 0), meta = """{"cat":"a"}""")
+    insert(a, "v2", Seq(0.9, 0.1, 0), meta = """{"cat":"b"}""")
+    insert(a, "v3", Seq(0, 1, 0), meta = """{"cat":"a"}""")
+    insert(a, "v4", Seq(0, 0.9, 0.1), meta = """{"cat":"a"}""")
+    val (s, body) = a.handle("POST", "/collections/docs/search",
+      """{"vector":[1,0,0],"k":2,"include_vectors":true}""")
+    assert(s == 200)
+    val r = mapper.readTree(body)
+    val rs = r.get("results")
+    assert(rs.size() == 2)
+    assert(rs.get(0).get("id").asText() == "v1")
+    assert(rs.get(1).get("id").asText() == "v2")
+    val d0 = rs.get(0).get("distance").asDouble()
+    assert(math.abs(rs.get(0).get("score").asDouble() - 1.0 / (1.0 + d0)) < 1e-12)
+    assert(rs.get(0).get("vector").size() == 3)
+    assert(r.get("has_more").asBoolean())
+    // cursor continues strictly after the last (distance, id)
+    val cur = r.get("next_cursor")
+    val (_, page2) = a.handle("POST", "/collections/docs/search",
+      s"""{"vector":[1,0,0],"k":2,"search_after":${cur.toString}}""")
+    val ids2 = mapper.readTree(page2).get("results")
+    assert(ids2.get(0).get("id").asText() != "v1")
+    // metadata pre-filter
+    val (_, filtered) = a.handle("POST", "/collections/docs/search",
+      """{"vector":[1,0,0],"k":10,"filter":{"cat":{"$eq":"a"}}}""")
+    val fIds = mapper.readTree(filtered).get("results")
+    assert((0 until fIds.size()).map(i => fIds.get(i).get("id").asText())
+      .toSet == Set("v1", "v3", "v4"))
+  }
+
+  test("batch + radius + count + metadata query + recommend") {
+    val a = api
+    insert(a, "v1", Seq(1, 0, 0), meta = """{"cat":"a"}""")
+    insert(a, "v2", Seq(0, 1, 0), meta = """{"cat":"b"}""")
+    insert(a, "v3", Seq(0, 0, 1), meta = """{"cat":"a"}""")
+    val (_, batch) = a.handle("POST", "/collections/docs/search/batch",
+      """{"vectors":[[1,0,0],[0,1,0]],"k":1}""")
+    val b = mapper.readTree(batch).get("results")
+    assert(b.size() == 2)
+    assert(b.get(0).get(0).get("id").asText() == "v1")
+    assert(b.get(1).get(0).get("id").asText() == "v2")
+    val (_, rad) = a.handle("POST", "/collections/docs/search/radius",
+      """{"vector":[1,0,0],"max_distance":0.5,"limit":10}""")
+    assert(mapper.readTree(rad).get("count").asInt() == 1)
+    val (_, cnt) = a.handle("POST", "/collections/docs/count",
+      """{"filter":{"cat":{"$eq":"a"}}}""")
+    assert(mapper.readTree(cnt).get("count").asLong() == 2L)
+    val (mqs, mq) = a.handle("POST", "/collections/docs/query",
+      """{"filter":{"cat":{"$eq":"a"}},"limit":1}""")
+    assert(mqs == 200)
+    val m = mapper.readTree(mq)
+    assert(m.get("data").size() == 1)
+    assert(m.get("pagination").get("total").asLong() == 2L)
+    assert(m.get("pagination").get("has_more").asBoolean())
+    // missing filter on /query → the reference's MISSING_FILTER error
+    assert(mapper.readTree(a.handle("POST", "/collections/docs/query",
+      "{}")._2).get("code").asText() == "MISSING_FILTER")
+    val (_, rec) = a.handle("POST", "/collections/docs/recommend",
+      """{"positive_ids":["v1"],"limit":2}""")
+    val rr = mapper.readTree(rec).get("results")
+    assert(rr.size() > 0 && rr.get(0).get("id").asText() != "v1",
+      "seeds excluded from recommendations")
+  }
+
+  test("ttl_seconds expires rows from every read path") {
+    val a = api
+    insert(a, "v1", Seq(1, 0, 0), ttl = 100)   // expires at 1700000100
+    insert(a, "v2", Seq(0, 1, 0))
+    val (_, c1) = a.handle("POST", "/collections/docs/count", "{}")
+    assert(mapper.readTree(c1).get("count").asLong() == 2L)
+    a.nowEpochS = () => 1700000200L // past v1's expiry
+    val (_, c2) = a.handle("POST", "/collections/docs/count", "{}")
+    assert(mapper.readTree(c2).get("count").asLong() == 1L)
+    val (_, sr) = a.handle("POST", "/collections/docs/search",
+      """{"vector":[1,0,0],"k":10}""")
+    val ids = mapper.readTree(sr).get("results")
+    assert((0 until ids.size()).map(i => ids.get(i).get("id").asText())
+      .toSet == Set("v2"))
+  }
+
+  test("live HTTP round-trip through the JDK host") {
+    val a = api
+    insert(a, "v1", Seq(1, 0, 0))
+    val server = a.serve(0)
+    try {
+      val port = server.getAddress.getPort
+      val client = java.net.http.HttpClient.newHttpClient()
+      def call(method: String, path: String, body: String) = {
+        val b = java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(s"http://127.0.0.1:$port$path"))
+        val req = (if (method == "GET") b.GET()
+                   else b.method(method, java.net.http.HttpRequest
+                     .BodyPublishers.ofString(body))).build()
+        client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      }
+      val health = call("GET", "/health", "")
+      assert(health.statusCode() == 200 &&
+        mapper.readTree(health.body()).get("status").asText() == "ok")
+      val sr = call("POST", "/collections/docs/search",
+        """{"vector":[1,0,0],"k":1}""")
+      assert(sr.statusCode() == 200)
+      assert(mapper.readTree(sr.body()).get("results").get(0)
+        .get("id").asText() == "v1")
+      assert(call("GET", "/collections/missing", "").statusCode() == 404)
+    } finally server.stop(0)
+  }
+}

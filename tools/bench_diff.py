@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Round-over-round bench comparison (VERDICT r4 item 7).
+
+Usage: python3 tools/bench_diff.py OLD NEW [--threshold 2.0]
+
+OLD / NEW are either
+  - full-precision detail files written by graft.Bench
+    (bench_history/rNN.json or target/bench_detail.json), or
+  - driver BENCH_rNN.json artifacts (their truncated stdout "tail" is
+    scavenged for #detail lines and the final headline map).
+
+Per the methodology in Bench.scala: per-query comparisons diff the MIN
+(noise only ever adds time), and deltas only count as signal when they
+exceed the suite-level ratio (host variance is multiplicative and hits
+every query in a run), so each query's ratio is normalized by the
+old/new total ratio before the threshold is applied.
+"""
+import json
+import re
+import sys
+
+
+def load(path):
+    """Return (queries: {name: min_or_median_sec}, total: float|None, precise: bool)."""
+    with open(path) as fh:
+        raw = fh.read()
+    try:
+        doc = json.loads(raw)
+    except ValueError:
+        doc = None
+    if isinstance(doc, dict) and "queries" in doc and isinstance(
+            next(iter(doc["queries"].values()), None), dict):
+        # graft.Bench detail file: {"total":..,"queries":{q:{median,min,spread}}}
+        return ({q: v["min"] for q, v in doc["queries"].items()},
+                doc.get("total"), True)
+    # driver artifact: scavenge the stdout tail
+    tail = doc.get("tail", raw) if isinstance(doc, dict) else raw
+    qs, total = {}, None
+    for m in re.finditer(r'#detail ({.*?})', tail):
+        try:
+            d = json.loads(m.group(1))
+            qs[d["q"]] = d["min"]
+        except ValueError:
+            pass
+    final = re.search(r'{"metric":"total".*}', tail)
+    if final:
+        try:
+            d = json.loads(final.group(0))
+            total = d.get("value")
+            for q, v in d.get("queries", {}).items():
+                qs.setdefault(q, v)  # 2-decimal medians: better than nothing
+        except ValueError:
+            pass
+    return qs, total, False
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if len(args) != 2:
+        sys.exit(__doc__)
+    threshold = 2.0
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold"):
+            threshold = float(a.split("=", 1)[1] if "=" in a
+                              else sys.argv[sys.argv.index(a) + 1])
+    old_q, old_t, old_p = load(args[0])
+    new_q, new_t, new_p = load(args[1])
+    if not old_q or not new_q:
+        sys.exit(f"no per-query data ({len(old_q)} old / {len(new_q)} new)")
+    # normalize by the suite-level ratio when both totals are known
+    level = (new_t / old_t) if (old_t and new_t) else 1.0
+    common = sorted(set(old_q) & set(new_q))
+    flagged = []
+    for q in common:
+        o, n = old_q[q], new_q[q]
+        if o <= 0 or n <= 0:
+            continue
+        ratio = (n / o) / level
+        if ratio >= threshold or ratio <= 1.0 / threshold:
+            flagged.append((ratio, q, o, n))
+    print(f"# bench_diff: {len(common)} common queries "
+          f"({'full-precision' if old_p and new_p else 'TAIL-SCAVENGED (2-dec medians)'}), "
+          f"suite-level ratio {level:.2f} "
+          f"(totals {old_t} -> {new_t}), threshold {threshold}x")
+    only_new = sorted(set(new_q) - set(old_q))
+    if only_new:
+        print(f"# new queries (no prior data): {', '.join(only_new)}")
+    gone = sorted(set(old_q) - set(new_q))
+    if gone:
+        print(f"# disappeared: {', '.join(gone)}")
+    if not flagged:
+        print("OK: no per-query move beyond threshold after normalization")
+        return
+    for ratio, q, o, n in sorted(flagged, reverse=True):
+        direction = "SLOWER" if ratio > 1 else "faster"
+        print(f"{direction} {ratio:5.2f}x  {q}: {o:.4f}s -> {n:.4f}s")
+    if any(r > 1 for r, *_ in flagged):
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
