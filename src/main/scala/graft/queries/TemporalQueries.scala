@@ -189,27 +189,50 @@ object TemporalQueries {
         .select(col("seq"), round(col("distance"), 6).as("distance"))
     },
 
-    // DTW trajectory search (temporal_sequences.rs:206-226) — the DP is not
-    // SQL-expressible, so the gate self-validates: the query IS sequence
-    // 2's trajectory and self-exclusion is off, so rank 1 must be seq 2 at
-    // distance ~0; and DTW (sum over the warping path) must dominate
-    // discrete Fréchet (max over it) on every row.
-    "trajectory_dtw" -> Q.noOracle { (s, dir) =>
+    // DTW + discrete-Fréchet trajectory search (temporal_sequences.rs:
+    // 206-266) — both DPs replicate in DuckDB as nested list_reduce folds:
+    // the outer fold carries the rolling DP row over the query's points,
+    // the inner fold rebuilds the row over the stored trajectory's points
+    // (the column index recovered as len(acc), the border sentinel the
+    // same padded +inf row the Scala kernels use), so the whole ranking is
+    // a full hash oracle.
+    "trajectory_dtw" -> Q(
+      """WITH traj AS (
+        |  SELECT CAST(vec_id % 8 AS BIGINT) AS seq,
+        |         list(embedding::DOUBLE[] ORDER BY vec_id) AS t
+        |  FROM embeddings GROUP BY 1
+        |),
+        |q AS (SELECT t AS qt FROM traj WHERE seq = 2),
+        |scored AS (
+        |  SELECT seq,
+        |    list_reduce(
+        |      list_prepend(list_concat([0.0], list_transform(range(len(t)), x -> 1e308)), qt),
+        |      (prev, p) -> list_reduce(
+        |        list_prepend([1e308], t),
+        |        (acc, bj) -> list_append(acc,
+        |          sqrt(list_sum(list_transform(range(1, len(p)+1), d -> (p[d]-bj[d])^2)))
+        |          + least(prev[len(acc)+1], acc[len(acc)], prev[len(acc)])))
+        |    )[len(t)+1] AS dtw,
+        |    list_reduce(
+        |      list_prepend(list_concat([0.0], list_transform(range(len(t)), x -> 1e308)), qt),
+        |      (prev, p) -> list_reduce(
+        |        list_prepend([1e308], t),
+        |        (acc, bj) -> list_append(acc,
+        |          greatest(sqrt(list_sum(list_transform(range(1, len(p)+1), d -> (p[d]-bj[d])^2))),
+        |                   least(prev[len(acc)+1], acc[len(acc)], prev[len(acc)])))))[len(t)+1] AS fr
+        |  FROM traj, q
+        |),
+        |sel AS (SELECT seq, dtw, fr FROM scored ORDER BY dtw, seq LIMIT 5)
+        |SELECT seq, round(dtw, 6) AS distance, round(fr, 6) AS frechet
+        |FROM sel ORDER BY distance, seq""".stripMargin
+    ) { (s, dir) =>
       val q = querySeq(s, dir)
       val seqs = sequences(s, dir)
       // one trajectories pass computes both kernels (no second shuffle)
-      val both = Temporal.searchTrajectoryBoth(seqs, col("seq"), col("ts"),
-        col("embedding"), q, limit = 5)
-      val w = Window.partitionBy(lit(1)) // ≤ 8 sequences — bounded frame
-      both
-        .withColumn("__self_zero",
-          min(when(col("seq") === 2, col("distance"))).over(w) < 1e-9)
-        .withColumn("__global_min", min(col("distance")).over(w))
-        .withColumn("check_passed",
-          col("__self_zero") && col("__global_min") >= -1e-9 &&
-            col("distance") + 1e-9 >= col("frechet"))
+      Temporal.searchTrajectoryBoth(seqs, col("seq"), col("ts"),
+          col("embedding"), q, limit = 5)
         .select(col("seq"), round(col("distance"), 6).as("distance"),
-          round(col("frechet"), 6).as("frechet"), col("check_passed"))
+          round(col("frechet"), 6).as("frechet"))
         .orderBy(col("distance").asc, col("seq").asc)
     },
 
