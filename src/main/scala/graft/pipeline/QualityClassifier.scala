@@ -51,10 +51,13 @@ object QualityClassifier {
       .setProbabilityCol("__prob").setPredictionCol("__pred")
       .setRawPredictionCol("__raw")
       .transform(featurize(corpus, textCol, cfg))
-      // codegen'd builtins, not a per-row UDF — this runs on every corpus
-      // row, the one place a scalar UDF would tax a 100 TB scan
+      // native expressions, not a per-row scala UDF — this runs on every
+      // corpus row, the one place serde-per-row would tax a 100 TB scan
+      // (ml.functions.vector_to_array is itself a scala UDF, so unwrap_udt
+      // → VectorUDT's dense `values` array is the native route; LR
+      // probability vectors are always dense)
       .withColumn("quality_prob",
-        element_at(org.apache.spark.ml.functions.vector_to_array(col("__prob")), 2))
+        element_at(unwrap_udt(col("__prob")).getField("values"), 2))
       .withColumn("quality_pred", col("__pred").cast("long"))
       .drop("__toks", "__features", "__prob", "__pred", "__raw")
   }

@@ -127,7 +127,8 @@ class TextAnalysisSpec extends SparkSpec {
     val model = QualityClassifier.train(seed, col("text"), col("label"))
     val plan = QualityClassifier.score(model, seed, col("text"))
       .queryExecution.analyzed.toString
-    assert(plan.contains("vector_to_array"), plan.take(500))
+    assert(plan.toLowerCase(java.util.Locale.ROOT).contains("unwrap_udt"),
+      plan.take(500))
     assert(!plan.contains("UDF(__prob"), "probability must not go through a scala UDF")
   }
 
