@@ -283,32 +283,100 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // MinHash+LSH near-dup (rows-only: hash family not SQL-reproducible).
-    // Planted exact dups guarantee est_jaccard=1 hits; the self-check
-    // asserts ALL 20 planted pairs are recovered at full similarity.
-    "minhash_lsh_dedup" -> Q.noOracle { (s, dir) =>
-      // localCheckpoint: the result feeds both the planted-pair check and
-      // the output — without it the signature+banding pipeline runs twice
-      val pairs = Dedup.minhashLsh(withPlantedDups(s, dir), col("doc_id"),
-        col("text"), n = 3, k = 64, bands = 16, threshold = 0.5)
-        .localCheckpoint(true)
-      val planted = pairs.agg(sum(when(col("id_b") === col("id_a") + 10000 &&
-        col("est_jaccard") === 1.0, 1).otherwise(0)).as("n_planted"))
-      pairs.crossJoin(broadcast(planted))
-        .withColumn("check_passed", col("n_planted") === 20).drop("n_planted")
+    // MinHash+LSH near-dup — full hash oracle since r5: XxHash64Sql
+    // replicates Spark's xxhash64 in DuckDB (HUGEINT mod-2^64 XXH64), the
+    // permutation family comes from the SAME Dedup.hashParams constants,
+    // and banding candidates join on the raw r-value signature slices
+    // (identical pairs to the engine's bucket-hash join, which only
+    // re-keys those slices through one more xxhash64).
+    "minhash_lsh_dedup" -> Q(
+      s"""WITH corpus AS $dupUnionSql,
+        |toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |                     x -> length(x) > 0) AS tk
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_transform(range(0, len(tk) - 2),
+        |                i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) END)) AS s
+        |  FROM toks),
+        |hx AS ${XxHash64Sql.wrap("SELECT doc_id, s FROM sh", "s")},
+        |hs AS (SELECT doc_id, list(__xxh) AS hl FROM hx GROUP BY doc_id),
+        |sigs AS (
+        |  SELECT doc_id,
+        |         list_transform(${XxHash64Sql.minhashParamsSql(64, 42L)},
+        |           pr -> list_min(list_transform(hl,
+        |             x -> ((x % 2147483647 + 2147483647) % 2147483647 * pr[1] + pr[2]) % 2147483647))) AS sig
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, bb, sig[4*bb+1] AS s1, sig[4*bb+2] AS s2,
+        |         sig[4*bb+3] AS s3, sig[4*bb+4] AS s4
+        |  FROM sigs, range(16) r(bb)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.bb = b.bb AND a.s1 = b.s1 AND a.s2 = b.s2
+        |   AND a.s3 = b.s3 AND a.s4 = b.s4 AND a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT id_a, id_b,
+        |         len(list_filter(range(0, 64), i -> sa.sig[i+1] = sb.sig[i+1])) / 64.0 AS ej
+        |  FROM cand JOIN sigs sa ON sa.doc_id = id_a
+        |            JOIN sigs sb ON sb.doc_id = id_b)
+        |SELECT id_a, id_b, round(ej, 6) AS est_jaccard
+        |FROM est WHERE ej >= 0.5 ORDER BY id_a, id_b""".stripMargin
+    ) { (s, dir) =>
+      Dedup.minhashLsh(withPlantedDups(s, dir), col("doc_id"),
+          col("text"), n = 3, k = 64, bands = 16, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // SimHash near-dup within Hamming distance 3 (rows-only). Self-check:
-    // every planted exact copy must appear at Hamming distance 0.
-    "simhash_near_dup" -> Q.noOracle { (s, dir) =>
-      val pairs = Dedup.simhashNearDup(withPlantedDups(s, dir), col("doc_id"),
-        col("text"), n = 3, maxHamming = 3)
-        .localCheckpoint(true) // feeds both the planted check and the output
-      val planted = pairs.agg(sum(when(col("id_b") === col("id_a") + 10000 &&
-        col("hamming") === 0, 1).otherwise(0)).as("n_planted"))
-      pairs.crossJoin(broadcast(planted))
-        .withColumn("check_passed", col("n_planted") === 20).drop("n_planted")
+    // SimHash near-dup within Hamming distance 3 — full hash oracle since
+    // r5 (same XxHash64Sql base). The oracle ranks ALL pairs by fingerprint
+    // Hamming distance, which equals the engine's pigeonhole-chunk join
+    // output exactly: any pair within distance 3 shares one of the 4
+    // 16-bit chunks by pigeonhole, so the candidate restriction loses
+    // nothing.
+    "simhash_near_dup" -> Q(
+      s"""WITH corpus AS $dupUnionSql,
+        |toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |                     x -> length(x) > 0) AS tk
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_transform(range(0, len(tk) - 2),
+        |                i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) END)) AS s
+        |  FROM toks),
+        |hx AS ${XxHash64Sql.wrap("SELECT doc_id, s FROM sh", "s")},
+        |hs AS (SELECT doc_id, list(__xxh) AS hl FROM hx GROUP BY doc_id),
+        |fps AS (
+        |  SELECT doc_id,
+        |    CAST((fpu + 9223372036854775808) % 18446744073709551616
+        |         - 9223372036854775808 AS BIGINT) AS fp
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_sum(list_transform(range(0, 64), bb ->
+        |        CASE WHEN 2 * len(list_filter(hl, x ->
+        |               (((CAST(x AS HUGEINT) + 18446744073709551616) % 18446744073709551616)
+        |                // (${XxHash64Sql.pow2Sql})[bb+1]) % 2 = 1))
+        |               - len(hl) > 0
+        |             THEN (${XxHash64Sql.pow2Sql})[bb+1]
+        |             ELSE CAST(0 AS HUGEINT) END)) AS fpu
+        |    FROM hs))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
+    ) { (s, dir) =>
+      Dedup.simhashNearDup(withPlantedDups(s, dir), col("doc_id"),
+          col("text"), n = 3, maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long")
+          .as("hamming"))
         .orderBy(col("id_a"), col("id_b"))
     },
 

@@ -33,14 +33,17 @@ class PlanAuditSpec extends SparkSpec {
     "pipeline_train_prep", "dedup_groups",
     // round-6 surfaces: span dedup is a min-struct aggregate keyed by the
     // span value plus an equi-join back; gopher/pii are narrow per-row passes
-    "span_dedup", "gopher_rules", "pii_scrub")
+    "span_dedup", "gopher_rules", "pii_scrub",
+    // round-5: the oracle conversions dropped their 1-row broadcast
+    // planted-check frames, so banding/chunk joins audit strictly
+    "minhash_lsh_dedup", "simhash_near_dup")
 
   // allowed a bounded broadcast nested loop — a 1-ROW broadcast frame
   // (BM25's (n, avgdl) corpus stats, the dedup gates' planted-pair count,
   // query-vector frames) or a k-bounded candidate broadcast — but never a
   // cartesian of two scans
   private val noCartesianQueries = Seq(
-    "bm25_search", "minhash_lsh_dedup", "simhash_near_dup",
+    "bm25_search",
     "hybrid_rrf", "ivf_knn_full_probe", "ivf_knn_pruned", "vec_cluster",
     "crossmodal_rrf", "ensemble_rerank", "batch_knn_cosine",
     "cf_recommend", "field_stats", "needleql_rerank_field",
