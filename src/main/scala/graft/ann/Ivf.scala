@@ -242,7 +242,7 @@ object Ivf {
   */
 object Lsh {
 
-  private def planes(dims: Int, numPlanes: Int, seed: Long): Array[Array[Float]] = {
+  private[graft] def planes(dims: Int, numPlanes: Int, seed: Long): Array[Array[Float]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(numPlanes)(Array.fill(dims)((rnd.nextGaussian()).toFloat))
   }

@@ -152,20 +152,41 @@ object AnnQueries {
         .orderBy(col("component"))
     },
 
-    "lsh_ann" -> Q.noOracle { (s, dir) =>
+    // Sign-LSH ANN — full hash oracle since r5: the hyperplanes are
+    // seeded constants from the SAME Lsh.planes family, embedded in the
+    // SQL as exact double literals (f32→f64 is exact, BigDecimal
+    // round-trips the text), so the oracle reproduces every table's
+    // bucket bits, the query's buckets, the candidate union, and the
+    // rounded cosine top-k. Both engines accumulate dots in f64; a sign
+    // flip would need |dot| ~ 1e-13 against unit-ish gaussian planes.
+    "lsh_ann" -> Q({
+      val tablesSql = (0 until 12).map { t =>
+        val ps = Lsh.planes(64, 4, 42L + t)
+        val cases = ps.zipWithIndex.map { case (p, i) =>
+          val lit = p.map(f => new java.math.BigDecimal(f.toDouble).toPlainString)
+            .mkString("[", ", ", "]")
+          s"CASE WHEN list_dot_product(ve, $lit) > 0 THEN ${1L << i} ELSE 0 END"
+        }.mkString(" + ")
+        s"($cases)"
+      }.mkString("[", ",\n         ", "]")
+      s"""WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+        |b AS (
+        |  SELECT vec_id, ve,
+        |         $tablesSql AS bks
+        |  FROM v),
+        |q AS (SELECT bks AS qbks, ve AS qv FROM b WHERE vec_id = 0)
+        |SELECT vec_id,
+        |       round(1 - list_cosine_similarity(ve, qv), 6) AS distance
+        |FROM b, q
+        |WHERE len(list_filter(range(1, 13), t -> bks[t] = qbks[t])) > 0
+        |ORDER BY distance, vec_id LIMIT 10""".stripMargin
+    }) { (s, dir) =>
       val q = queryVec(s, dir)
-      val approx = Lsh.search(Tables.load(s, dir, "embeddings"), "vec_id",
-        "embedding", q, k = 10, dims = 64, numTables = 12, numPlanes = 4,
-        roundTo = Some(6))
+      Lsh.search(Tables.load(s, dir, "embeddings"), "vec_id",
+          "embedding", q, k = 10, dims = 64, numTables = 12, numPlanes = 4,
+          roundTo = Some(6))
         .select(col("vec_id"), col("distance"))
-      // self-check: multi-table LSH recalls >= 0.5 of the exact top-10
-      val exact = Tables.load(s, dir, "embeddings")
-        .withColumn("d", graft.functions.Distances.cosine(col("embedding"), lit(q)))
-        .orderBy(col("d").asc, col("vec_id").asc).limit(10)
-        .select(col("vec_id"))
-      val hits = approx.join(exact, "vec_id").agg(count(lit(1)).as("n_hit"))
-      approx.crossJoin(broadcast(hits))
-        .withColumn("check_passed", col("n_hit") >= 5).drop("n_hit")
     },
 
     // Data profiling + smart index selection (tuning.rs:1122-1445): the

@@ -103,20 +103,69 @@ object MultimodalQueries {
     },
 
     // Deterministic mock auto-embedding (reference insert_auto_text with
-    // the Mock backend, src/ml/auto_embed.rs:542) — rows-only (the hash
-    // scheme is not SQL-reproducible).
-    "auto_embed" -> Q.noOracle { (s, dir) =>
+    // the Mock backend, src/ml/auto_embed.rs:542) — FULL hash oracle
+    // since r5. The whole scheme replicates in DuckDB: FNV-1a over UTF-8
+    // bytes and the LCG both run as wrapping-u64 HUGEINT arithmetic (the
+    // LCG in closed form, state_j = A_j·h + B_j with precomputed A/B
+    // constants); the f32 steps ((state>>>33).toFloat / u32::MAX * 2 - 1,
+    // the final /norm) are emulated by casting every intermediate to
+    // REAL — single-rounding equivalence makes a double op rounded to f32
+    // equal the direct f32 op — and the norm replays the engine's
+    // SEQUENTIAL double accumulation via list_reduce.
+    "auto_embed" -> Q({
+      val m = "18446744073709551616"
+      val lcgA = BigInt(6364136223846793005L)
+      val mod = BigInt(1) << 64
+      // state_j = A_j * h + B_j (mod 2^64), j = 1..32
+      val ab = Iterator.iterate((BigInt(1), BigInt(0))) {
+        case (a, b) => ((a * lcgA) mod mod, (b * lcgA + 1) mod mod)
+      }.drop(1).take(32).map { case (a, b) => s"[$a, $b]" }
+        .mkString("[", ", ", "]")
+      def mulmod(a: String, b: String) =
+        s"((($a) % 4294967296 * ($b)) % $m + " +
+          s"((($a) // 4294967296 * ($b)) % 4294967296) * 4294967296) % $m"
+      def sgn(x: String) =
+        s"CAST((($x) + 9223372036854775808) % $m - 9223372036854775808 AS BIGINT)"
+      def xor64(a: String, b: String) =
+        s"(CAST(xor(${sgn(a)}, ${sgn(b)}) AS HUGEINT) + $m) % $m"
+      val fnvStep = mulmod(xor64("acc", "b"), "1099511628211")
+      s"""WITH d AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx
+        |  FROM documents WHERE doc_id < 100),
+        |fnv AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      list_transform(range(0, length(hx) // 2), j ->
+        |        CAST((strpos('0123456789ABCDEF', substr(hx, 2*j + 1, 1)) - 1) * 16 +
+        |             strpos('0123456789ABCDEF', substr(hx, 2*j + 2, 1)) - 1 AS HUGEINT))),
+        |      (acc, b) -> $fnvStep) AS h
+        |  FROM d),
+        |emb AS (
+        |  SELECT doc_id,
+        |    list_transform($ab, ab ->
+        |      CAST(CAST(CAST(CAST((${mulmod("ab[1]", "h")} + ab[2]) % $m
+        |            // 8589934592 AS BIGINT) AS REAL)
+        |          / CAST(4294967295 AS REAL) AS REAL) * 2 - 1 AS REAL)) AS vs
+        |  FROM fnv),
+        |nrm AS (
+        |  SELECT doc_id, vs,
+        |    CAST(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(vs, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |      (a, b) -> a + b)) AS REAL) AS n
+        |  FROM emb)
+        |SELECT doc_id,
+        |  round(CAST(CAST(vs[1] / n AS REAL) AS DOUBLE), 6) AS e0,
+        |  round(CAST(CAST(vs[16] / n AS REAL) AS DOUBLE), 6) AS e15,
+        |  round(CAST(CAST(vs[32] / n AS REAL) AS DOUBLE), 6) AS e31
+        |FROM nrm ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
       Multimodal.autoEmbed(
         Tables.load(s, dir, "documents").filter(col("doc_id") < 100),
         "text", dims = 32)
         .select(col("doc_id"),
           round(element_at(col("embedding"), 1).cast("double"), 6).as("e0"),
-          // self-check: the mock embedder contract — exactly `dims`
-          // components, L2-normalized (auto_embed.rs:542 Mock backend)
-          (size(col("embedding")) === 32 &&
-            abs(sqrt(aggregate(col("embedding"), lit(0.0),
-              (acc, x) => acc + x.cast("double") * x.cast("double"))) - 1.0)
-              < 1e-3).as("check_passed"))
+          round(element_at(col("embedding"), 16).cast("double"), 6).as("e15"),
+          round(element_at(col("embedding"), 32).cast("double"), 6).as("e31"))
         .orderBy(col("doc_id"))
     },
   )
