@@ -22,7 +22,8 @@ object SparkEntry {
       ExtrasQueries.defs ++ FederatedQueries.defs ++ TemporalQueries.defs ++
       MemoryGraphQueries.defs ++ CrdtQueries.defs ++ HookQueries.defs ++
       AnalyticsDashQueries.defs ++ AnomalyQueries.defs ++ DriftQueries.defs ++
-      PrewarmQueries.defs ++ SamplingQueries.defs
+      PrewarmQueries.defs ++ SamplingQueries.defs ++
+      LanguageSurfaceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -72,6 +72,32 @@ object TextQueries {
         .limit(10)
     },
 
+    // Incremental index maintenance under the driver gate (reference:
+    // src/hybrid.rs:270-330 / :433-477 batch variant): the index is built
+    // on doc_id < 400 and the rest arrives through addDocuments — the
+    // merged postings must score EXACTLY like the full-corpus oracle, so
+    // the maintenance path itself is what's hash-gated (previously
+    // ScalaTest-only).
+    "bm25_incremental" -> Q(
+      s"""WITH ${duckBm25(queryTermsSql)}
+         |SELECT doc_id, round(score, 6) AS score FROM bm25
+         |WHERE round(score, 6) > 0
+         |ORDER BY round(score, 6) DESC, doc_id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val ix = graft.core.IndexCache.getOrBuild(s"bm25inc:$dir:nostem") {
+        val base = Bm25.index(d.filter(col("doc_id") < 400),
+          col("doc_id"), col("text"), Bm25.Config(stemming = false))
+        Bm25.addDocuments(base, d.filter(col("doc_id") >= 400),
+          col("doc_id"), col("text")).persisted()
+      }
+      Bm25.scoreTerms(ix, Tokenizer.tokenize(query, stemming = false))
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)
+    },
+
     // RRF hybrid fusion of a vector top-50 and a BM25 top-50
     // (reference: src/hybrid.rs:540-600; k=60, weights 0.5/0.5). documents
     // and embeddings share the 0..N-1 id space at correctness scale.
