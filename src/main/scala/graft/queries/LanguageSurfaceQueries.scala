@@ -115,6 +115,40 @@ object LanguageSurfaceQueries {
         .orderBy(col("window_start"), col("event_type"))
     },
 
+    // Pipeline DSL under the driver gate (reference search_pipeline.rs:
+    // 106-448): a JSON pipeline string → fromJson → optimize() (filters
+    // re-ordered after search) → execute; the oracle replays the
+    // optimized stage order relationally. Gates the JSON parse, the
+    // rewrite, and the stage compilation — not just the operators.
+    "pipeline_dsl" -> Q(
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |top AS (
+        |  SELECT vec_id, label,
+        |         round(1 - list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6) AS distance
+        |  FROM embeddings, q
+        |  ORDER BY distance, vec_id LIMIT 30)
+        |SELECT vec_id, CAST(label AS BIGINT) AS label, distance
+        |FROM top WHERE label < 5 AND distance <= 0.8
+        |ORDER BY distance, vec_id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.PipelineDsl.SearchPipeline
+      val json =
+        """{"name":"gate","version":"1","stages":[
+          |  {"type":"filter","filter":"{\"label\": {\"$lt\": 5}}"},
+          |  {"type":"search","k":30},
+          |  {"type":"threshold","max_distance":0.8},
+          |  {"type":"limit","k":10}]}""".stripMargin
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      // optimize() re-orders to search -> filter -> threshold -> limit
+      SearchPipeline.fromJson(json).optimize()
+        .execute(emb, col("embedding"), "vec_id", q, roundTo = Some(6))
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("distance"))
+        .orderBy(col("distance"), col("vec_id"))
+    },
+
     // Bundle export/import round-trip (reference bundle format:
     // config.json + data parquet): write a collection bundle, read it
     // back, and surface both the rows and the parsed config fields.
