@@ -250,6 +250,37 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(fullCopies == 500L, s"full copies emptied: $fullCopies")
   }
 
+  test("REST layer serves a 100k-row registered table with bounded reads") {
+    import org.apache.spark.sql.functions._
+    val big = spark.range(100000).select(
+      col("id").cast("string").as("id"),
+      array(
+        (col("id") % 97).cast("float"), (col("id") % 89).cast("float"),
+        (col("id") % 83).cast("float")).as("vector"),
+      concat(lit("""{"bucket":"""), col("id") % 10, lit("}")).as("metadata"))
+    val api = new graft.server.RestApi(spark)
+    api.register("big", big, dims = 3)
+    // search: one job, k-bounded collect — never a full materialization
+    val (ss, sb) = api.handle("POST", "/collections/big/search",
+      """{"vector":[1,1,1],"k":5,"filter":{"bucket":{"$eq":3}}}""")
+    assert(ss == 200)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rs = mapper.readTree(sb).get("results")
+    assert(rs.size() == 5)
+    (0 until 5).foreach(i =>
+      assert(rs.get(i).get("metadata").get("bucket").asInt() == 3))
+    // filtered count touches only the aggregate
+    val (_, cb) = api.handle("POST", "/collections/big/count",
+      """{"filter":{"bucket":{"$eq":3}}}""")
+    assert(mapper.readTree(cb).get("count").asLong() == 10000L)
+    // metadata page: offset+limit bounded collect
+    val (_, qb) = api.handle("POST", "/collections/big/query",
+      """{"filter":{"bucket":{"$eq":7}},"limit":3,"offset":2}""")
+    val mq = mapper.readTree(qb)
+    assert(mq.get("data").size() == 3)
+    assert(mq.get("pagination").get("total").asLong() == 10000L)
+  }
+
   test("semdedup at 10k vectors with 1k planted copies resolves groups") {
     val rnd = new scala.util.Random(29)
     val centers = Array.tabulate(16)(i =>
