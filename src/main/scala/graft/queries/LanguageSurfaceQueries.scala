@@ -41,6 +41,10 @@ object LanguageSurfaceQueries {
     ) { (s, dir) =>
       val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 0)
         .select("embedding").collect()(0).getSeq[Float](0)
+        // plain decimal, not Float.toString: tiny components render in
+        // scientific notation ("1.2E-5") which is not grammar; the exact
+        // decimal expansion parses back to the identical float
+        .map(f => new java.math.BigDecimal(f.toDouble).toPlainString)
       session(s, dir).sql(
         s"SELECT vec_id, distance FROM embeddings " +
           s"NEAREST_TO([${q.mkString(", ")}], 'euclidean') LIMIT 10")

@@ -36,7 +36,11 @@ class PlanAuditSpec extends SparkSpec {
     "span_dedup", "gopher_rules", "pii_scrub",
     // round-5: the oracle conversions dropped their 1-row broadcast
     // planted-check frames, so banding/chunk joins audit strictly
-    "minhash_lsh_dedup", "simhash_near_dup")
+    "minhash_lsh_dedup", "simhash_near_dup",
+    // round-5 language-surface gates: parser/session/DSL compile down to
+    // scans + windows + equi-joins
+    "needleql_nearest", "needleql_asof", "alias_query", "needleql_view",
+    "windowed_agg", "bundle_roundtrip", "bm25_incremental", "pipeline_dsl")
 
   // allowed a bounded broadcast nested loop — a 1-ROW broadcast frame
   // (BM25's (n, avgdl) corpus stats, the dedup gates' planted-pair count,
