@@ -197,9 +197,20 @@ class RestApi(spark: SparkSession) {
       Row(id, vec.toSeq, meta.orNull, ttl.map(Long.box).orNull)
     }
     val ids = rows.map(_.getString(0))
+    // within-batch duplicates: an insert batch must be id-unique (the
+    // second insert of an id is a conflict); an upsert batch keeps the
+    // LAST occurrence, matching sequential upsert semantics
+    val dedupedRows =
+      if (upsertMode) rows.groupBy(_.getString(0)).map(_._2.last).toSeq
+      else {
+        if (ids.distinct.size != ids.size)
+          throw ApiException(409, "Duplicate vector id within batch",
+            "DUPLICATE_ID")
+        rows
+      }
     val incoming = spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
-        .SeqHasAsJava(rows).asJava), schema)
+        .SeqHasAsJava(dedupedRows).asJava), schema)
     synchronized {
       if (!upsertMode) {
         val clash = c.df.filter(col("id").isin(ids: _*)).limit(1).count()
@@ -209,7 +220,8 @@ class RestApi(spark: SparkSession) {
       c.df = c.df.filter(!col("id").isin(ids: _*)).unionByName(incoming)
         .localCheckpoint(false) // keep the lineage O(1) across mutations
     }
-    ok(obj(_.put(if (upsertMode) "upserted" else "inserted", rows.size)))
+    ok(obj(_.put(if (upsertMode) "upserted" else "inserted",
+      dedupedRows.size)))
   }
 
   private def deleteVectors(name: String, ids: Seq[String]): (Int, String) = {

@@ -84,6 +84,20 @@ class RestApiSpec extends SparkSpec {
     assert(mapper.readTree(info).get("deleted_count").asLong() == 1L)
   }
 
+  test("within-batch duplicate ids: insert conflicts, upsert keeps last") {
+    val a = api
+    val (dup, dupBody) = a.handle("POST", "/collections/docs/vectors/batch",
+      """{"vectors":[{"id":"v1","vector":[1,0,0]},{"id":"v1","vector":[0,1,0]}]}""")
+    assert(dup == 409 &&
+      mapper.readTree(dupBody).get("code").asText() == "DUPLICATE_ID")
+    assert(mapper.readTree(a.handle("POST", "/collections/docs/count",
+      "{}")._2).get("count").asLong() == 0L, "conflicted batch inserts nothing")
+    // upsert path: last occurrence wins (sequential upsert semantics)
+    val (us, ub) = a.handle("POST", "/collections/docs/vectors/upsert",
+      """{"id":"v1","vector":[1,0,0]}""")
+    assert(us == 200 && mapper.readTree(ub).get("upserted").asInt() == 1)
+  }
+
   test("search: top-k order, score=1/(1+d), filter, cursor paging") {
     val a = api
     insert(a, "v1", Seq(1, 0, 0), meta = """{"cat":"a"}""")
