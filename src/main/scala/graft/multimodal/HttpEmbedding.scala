@@ -64,6 +64,10 @@ final case class HttpEmbeddingBackend(
       val emb = el.get("embedding")
       require(emb != null && emb.isArray,
         s"embedding response entry missing embedding: ${el.toString.take(200)}")
+      require(idx >= 0 && idx < n,
+        s"embedding response index $idx out of range for batch of $n")
+      require(out(idx) == null,
+        s"embedding response contains duplicate index $idx")
       val v = new Array[Float](emb.size())
       var j = 0
       while (j < emb.size()) { v(j) = emb.get(j).floatValue(); j += 1 }
@@ -72,6 +76,10 @@ final case class HttpEmbeddingBackend(
       out(idx) = v
       pos += 1
     }
+    // a short response would otherwise surface as null vectors for
+    // non-null inputs — indistinguishable from the null-content contract
+    require(pos == n,
+      s"embedding response returned $pos entries for a batch of $n")
     out
   }
 

@@ -37,6 +37,17 @@ import graft.ops.Search
   * (method, path, body) → (status, json) function so the whole contract is
   * testable in-process; [[serve]] hosts it on the JDK's HttpServer (no new
   * dependencies), one Spark job per request like any multi-tenant driver.
+  *
+  * Cluster caveats (the honest scope of this contract layer):
+  *   - mutations keep lineage O(1) via `localCheckpoint(false)`, whose
+  *     blocks live on executors — correct for a single long-lived driver
+  *     app, but LOSSY under dynamic allocation / executor loss. On a real
+  *     cluster, route mutations to a transactional table format and keep
+  *     this layer read-mostly over [[register]]ed tables.
+  *   - the collection registry is driver-local (single-process); writers
+  *     mutate under `synchronized` and readers see fresh state via the
+  *     `@volatile` fields, so concurrent in-process callers are safe, but
+  *     two driver processes would each have their own registry.
   */
 class RestApi(spark: SparkSession) {
 
@@ -46,7 +57,8 @@ class RestApi(spark: SparkSession) {
     * (id STRING, vector ARRAY<FLOAT>, metadata STRING json, ttl LONG).
     */
   final case class Coll(name: String, dims: Int, metric: String,
-                        var df: DataFrame, var deleted: Long = 0L)
+                        @volatile var df: DataFrame,
+                        @volatile var deleted: Long = 0L)
 
   private val collections = mutable.LinkedHashMap.empty[String, Coll]
   private val mapper = new ObjectMapper()
@@ -271,7 +283,7 @@ class RestApi(spark: SparkSession) {
     val c = coll(name)
     val req = mapper.readTree(body)
     val qv = arr(require(req, "vector")).map(_.floatValue()).toArray
-    val k = math.min(Option(req.get("k")).map(_.asInt()).getOrElse(10), 1000)
+    val k = boundedInt(req, "k", default = 10, max = 1000)
     val metric = Option(req.get("distance")).filterNot(_.isNull)
       .map(_.asText()).getOrElse(c.metric)
     val includeVectors = Option(req.get("include_vectors"))
@@ -279,18 +291,25 @@ class RestApi(spark: SparkSession) {
     val base0 = liveRows(c)
     val base = compiledFilter(c, req.get("filter"))
       .map(base0.filter).getOrElse(base0)
+    val postFilter = Option(req.get("post_filter")).filterNot(_.isNull)
+      .map(pf => compiledFilter(c, pf).get)
+    val factor = Option(req.get("post_filter_factor"))
+      .map(_.asInt()).getOrElse(3)
     val cursor = Option(req.get("search_after")).filterNot(_.isNull)
     val hits = cursor match {
-      case Some(cur) => Search.searchAfter(base, col("vector"),
-        lit(qv), k, require(cur, "distance").asDouble(),
-        require(cur, "id").asText(), metric)
+      case Some(cur) =>
+        val after = Search.searchAfter(base, col("vector"),
+          lit(qv), if (postFilter.isDefined) k * factor else k,
+          require(cur, "distance").asDouble(),
+          require(cur, "id").asText(), metric)
+        // post_filter applies to EVERY page of a cursor walk, same
+        // over-fetch-then-filter shape as page 1
+        postFilter.map(after.filter(_).limit(k)).getOrElse(after)
       case None =>
-        Option(req.get("post_filter")).filterNot(_.isNull) match {
+        postFilter match {
           case Some(pf) => // over-fetch k·factor, post-filter, cut to k
-            val factor = Option(req.get("post_filter_factor"))
-              .map(_.asInt()).getOrElse(3)
             Search.topK(base, col("vector"), lit(qv), k * factor, metric)
-              .filter(compiledFilter(c, pf).get).limit(k)
+              .filter(pf).limit(k)
           case None => Search.topK(base, col("vector"), lit(qv), k, metric)
         }
     }
@@ -310,7 +329,7 @@ class RestApi(spark: SparkSession) {
   private def batchSearch(name: String, body: String): (Int, String) = {
     val c = coll(name)
     val req = mapper.readTree(body)
-    val k = math.min(Option(req.get("k")).map(_.asInt()).getOrElse(10), 1000)
+    val k = boundedInt(req, "k", default = 10, max = 1000)
     val base0 = liveRows(c)
     val base = compiledFilter(c, req.get("filter")).map(base0.filter)
       .getOrElse(base0)
@@ -346,8 +365,7 @@ class RestApi(spark: SparkSession) {
     val req = mapper.readTree(body)
     val qv = arr(require(req, "vector")).map(_.floatValue()).toArray
     val maxDist = require(req, "max_distance").asDouble()
-    val limit = math.min(Option(req.get("limit")).map(_.asInt())
-      .getOrElse(1000), 10000)
+    val limit = boundedInt(req, "limit", default = 1000, max = 10000)
     val includeVectors = Option(req.get("include_vectors"))
       .exists(_.asBoolean(false))
     val base0 = liveRows(c)
@@ -373,9 +391,14 @@ class RestApi(spark: SparkSession) {
   private def metadataQuery(name: String, body: String): (Int, String) = {
     val c = coll(name)
     val req = mapper.readTree(body)
-    val limit = math.min(Option(req.get("limit")).map(_.asInt())
-      .getOrElse(100), 1000)
+    val limit = boundedInt(req, "limit", default = 100, max = 1000)
+    // offset is capped like the radius limit: `limit(offset+limit)` is
+    // collected on the driver, so an unbounded offset would materialize
+    // the whole collection (keyset-cursor paging is the scale path)
     val offset = Option(req.get("offset")).map(_.asInt()).getOrElse(0)
+    if (offset < 0 || offset > 10000)
+      throw ApiException(400, "offset must be between 0 and 10000",
+        "INVALID_OFFSET")
     val filter = compiledFilter(c, req.get("filter")).getOrElse(
       throw ApiException(400, "filter is required", "MISSING_FILTER"))
     val matched = liveRows(c).filter(filter)
@@ -407,8 +430,7 @@ class RestApi(spark: SparkSession) {
         "TOO_MANY_POSITIVE_IDS")
     val neg = Option(req.get("negative_ids")).map(arr(_).map(_.asText()))
       .getOrElse(Nil)
-    val limit = math.min(Option(req.get("limit")).map(_.asInt())
-      .getOrElse(10), 1000)
+    val limit = boundedInt(req, "limit", default = 10, max = 1000)
     val page = Search.recommend(liveRows(c), col("vector"), col("id"),
       pos, neg, limit, c.metric).collect()
     ok(obj { o =>
@@ -473,6 +495,19 @@ class RestApi(spark: SparkSession) {
   private def ok(json: String): (Int, String) = (200, json)
   private def err(status: Int, msg: String, code: String): (Int, String) =
     (status, obj { o => o.put("error", msg); o.put("code", code) })
+
+  /** Read an optional positive int, rejecting non-positive values with a
+    * 400 (reference guard: k/limit must be >= 1) and capping the top end.
+    */
+  private def boundedInt(n: JsonNode, field: String, default: Int,
+                         max: Int): Int = {
+    val v = Option(n.get(field)).filterNot(_.isNull).map(_.asInt())
+      .getOrElse(default)
+    if (v < 1)
+      throw ApiException(400, s"$field must be a positive integer",
+        "INVALID_" + field.toUpperCase(java.util.Locale.ROOT))
+    math.min(v, max)
+  }
 
   private def require(n: JsonNode, field: String): JsonNode = {
     val v = n.get(field)

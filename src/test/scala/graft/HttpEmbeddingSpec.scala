@@ -22,6 +22,8 @@ class HttpEmbeddingSpec extends SparkSpec
   private val mapper = new ObjectMapper()
   private val requests = new AtomicInteger(0)
   private val failFirst = new AtomicInteger(0) // >0 → next N requests 503
+  // 0 normal; 1 drop last entry; 2 duplicate index 0; 3 out-of-range index
+  private val malformedMode = new AtomicInteger(0)
 
   /** vector = [len, len+1, len+2, len+3] / 100 for input of length len. */
   private def stubVector(text: String): Seq[Float] =
@@ -48,9 +50,15 @@ class HttpEmbeddingSpec extends SparkSpec
         val data = resp.putArray("data")
         // deliberately answer in REVERSE order with explicit index fields —
         // the client must honor index, not arrival order
-        ((in.size() - 1) to 0 by -1).foreach { i =>
+        val mode = malformedMode.get()
+        val lo = if (mode == 1) 1 else 0 // mode 1: silently drop one entry
+        ((in.size() - 1) to lo by -1).foreach { i =>
           val entry = data.addObject()
-          entry.put("index", i)
+          entry.put("index", mode match {
+            case 2 => 0            // every entry claims index 0
+            case 3 => i + in.size() // indices past the batch
+            case _ => i
+          })
           val arr = entry.putArray("embedding")
           stubVector(in.get(i).asText()).foreach(arr.add)
         }
@@ -103,6 +111,26 @@ class HttpEmbeddingSpec extends SparkSpec
     failFirst.set(2)
     val got = backend.embedBatch(Seq("hello".getBytes))
     assert(got.head.toSeq == stubVector("hello"))
+  }
+
+  test("short, duplicate-index, and out-of-range responses are rejected") {
+    try {
+      malformedMode.set(1) // fewer entries than inputs
+      val short = intercept[IllegalArgumentException] {
+        backend.embedBatch(Seq("ab".getBytes, "cde".getBytes))
+      }
+      assert(short.getMessage.contains("2"), short.getMessage)
+      malformedMode.set(2) // duplicate index
+      val dup = intercept[IllegalArgumentException] {
+        backend.embedBatch(Seq("ab".getBytes, "cde".getBytes))
+      }
+      assert(dup.getMessage.contains("duplicate"), dup.getMessage)
+      malformedMode.set(3) // out-of-range index → descriptive error, not AIOOBE
+      val oob = intercept[IllegalArgumentException] {
+        backend.embedBatch(Seq("ab".getBytes))
+      }
+      assert(oob.getMessage.contains("out of range"), oob.getMessage)
+    } finally malformedMode.set(0)
   }
 
   test("non-retryable status fails fast") {

@@ -180,6 +180,110 @@ class RestApiSpec extends SparkSpec {
       .toSet == Set("v2"))
   }
 
+  test("request validation: non-positive k/limit and oversized offset") {
+    val a = api
+    insert(a, "v1", Seq(1, 0, 0), meta = """{"cat":"a"}""")
+    val (ks, kb) = a.handle("POST", "/collections/docs/search",
+      """{"vector":[1,0,0],"k":0}""")
+    assert(ks == 400 &&
+      mapper.readTree(kb).get("code").asText() == "INVALID_K")
+    assert(a.handle("POST", "/collections/docs/search",
+      """{"vector":[1,0,0],"k":-5}""")._1 == 400)
+    assert(a.handle("POST", "/collections/docs/search/batch",
+      """{"vectors":[[1,0,0]],"k":0}""")._1 == 400)
+    assert(a.handle("POST", "/collections/docs/search/radius",
+      """{"vector":[1,0,0],"max_distance":1,"limit":0}""")._1 == 400)
+    assert(a.handle("POST", "/collections/docs/recommend",
+      """{"positive_ids":["v1"],"limit":0}""")._1 == 400)
+    // /query offset is capped: limit(offset+limit) is driver-collected,
+    // so an unbounded offset would materialize the whole collection
+    val (os, ob) = a.handle("POST", "/collections/docs/query",
+      """{"filter":{"cat":{"$eq":"a"}},"offset":1000000}""")
+    assert(os == 400 &&
+      mapper.readTree(ob).get("code").asText() == "INVALID_OFFSET")
+    assert(a.handle("POST", "/collections/docs/query",
+      """{"filter":{"cat":{"$eq":"a"}},"offset":-1}""")._1 == 400)
+  }
+
+  test("search_after cursor honors post_filter on every page") {
+    val a = api
+    // 6 rows at increasing distance from [1,0,0], alternating categories
+    val vecs = Seq(
+      ("v1", Seq(1.0, 0.0, 0.0), "a"), ("v2", Seq(0.9, 0.1, 0.0), "b"),
+      ("v3", Seq(0.8, 0.2, 0.0), "a"), ("v4", Seq(0.6, 0.4, 0.0), "b"),
+      ("v5", Seq(0.4, 0.6, 0.0), "a"), ("v6", Seq(0.2, 0.8, 0.0), "b"))
+    vecs.foreach { case (id, v, cat) =>
+      insert(a, id, v, meta = s"""{"cat":"$cat"}""") }
+    val pf = """"post_filter":{"cat":{"$eq":"a"}}"""
+    val (s1, p1) = a.handle("POST", "/collections/docs/search",
+      s"""{"vector":[1,0,0],"k":2,$pf}""")
+    assert(s1 == 200)
+    val r1 = mapper.readTree(p1)
+    val ids1 = (0 until r1.get("results").size())
+      .map(i => r1.get("results").get(i).get("id").asText())
+    assert(ids1 == Seq("v1", "v3"), s"page 1 filtered: $ids1")
+    val cur = r1.get("next_cursor")
+    val (s2, p2) = a.handle("POST", "/collections/docs/search",
+      s"""{"vector":[1,0,0],"k":2,$pf,"search_after":${cur.toString}}""")
+    assert(s2 == 200)
+    val r2 = mapper.readTree(p2)
+    val ids2 = (0 until r2.get("results").size())
+      .map(i => r2.get("results").get(i).get("id").asText())
+    assert(ids2 == Seq("v5"), s"page 2 must stay filtered: $ids2")
+  }
+
+  test("concurrent inserts and searches against the shared registry") {
+    val a = api
+    insert(a, "seed", Seq(1, 0, 0))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val done = new java.util.concurrent.CountDownLatch(8)
+    (0 until 8).foreach { t =>
+      pool.submit(new Runnable {
+        def run(): Unit = try {
+          (0 until 5).foreach { i =>
+            val (is, ib) = a.handle("POST", "/collections/docs/vectors",
+              s"""{"id":"t$t-$i","vector":[0.1,${0.01 * t},${0.01 * i}]}""")
+            assert(is == 200, ib)
+            val (ss, sb) = a.handle("POST", "/collections/docs/search",
+              """{"vector":[1,0,0],"k":3}""")
+            assert(ss == 200, sb)
+            assert(mapper.readTree(sb).get("results").size() > 0)
+          }
+        } catch { case e: Throwable => errors.add(e) }
+        finally done.countDown()
+      })
+    }
+    assert(done.await(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(errors.isEmpty, s"concurrent failures: ${errors.peek()}")
+    val (_, cnt) = a.handle("POST", "/collections/docs/count", "{}")
+    assert(mapper.readTree(cnt).get("count").asLong() == 41L,
+      "all 40 concurrent inserts + seed visible")
+  }
+
+  test("ttl honored on a registered parquet-backed table") {
+    import org.apache.spark.sql.functions._
+    val a = new RestApi(spark)
+    a.nowEpochS = () => 1700000000L
+    val dir = java.nio.file.Files.createTempDirectory("graft-rest-ttl")
+    val path = dir.resolve("t.parquet").toString
+    spark.range(10).select(
+      concat(lit("r"), col("id")).as("id"),
+      array(col("id").cast("float"), lit(0f)).as("vector"),
+      // rows 0-4 already expired, 5-9 live forever
+      when(col("id") < 5, lit(1699999999L)).as("ttl_expires_at"))
+      .write.mode("overwrite").parquet(path)
+    a.register("t", spark.read.parquet(path), dims = 2)
+    val (_, cnt) = a.handle("POST", "/collections/t/count", "{}")
+    assert(mapper.readTree(cnt).get("count").asLong() == 5L)
+    val (_, sr) = a.handle("POST", "/collections/t/search",
+      """{"vector":[0,0],"k":10,"distance":"euclidean"}""")
+    val ids = mapper.readTree(sr).get("results")
+    assert((0 until ids.size()).map(i => ids.get(i).get("id").asText())
+      .forall(id => id.stripPrefix("r").toInt >= 5), "expired rows excluded")
+  }
+
   test("live HTTP round-trip through the JDK host") {
     val a = api
     insert(a, "v1", Seq(1, 0, 0))

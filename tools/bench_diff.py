@@ -55,14 +55,21 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    args, threshold, i = [], 2.0, 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--threshold"):
+            if "=" in a:
+                threshold = float(a.split("=", 1)[1])
+            else:  # space-separated form consumes the next token
+                i += 1
+                threshold = float(argv[i])
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
     if len(args) != 2:
         sys.exit(__doc__)
-    threshold = 2.0
-    for a in sys.argv[1:]:
-        if a.startswith("--threshold"):
-            threshold = float(a.split("=", 1)[1] if "=" in a
-                              else sys.argv[sys.argv.index(a) + 1])
     old_q, old_t, old_p = load(args[0])
     new_q, new_t, new_p = load(args[1])
     if not old_q or not new_q:
