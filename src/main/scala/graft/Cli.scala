@@ -1,0 +1,289 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ann.{Ivf, Tuner}
+import graft.needleql.{CollectionDef, NeedleSession}
+import graft.ops.CollectionDiff
+
+/** Command-line entry point (reference README.md:582-608 CLI surface;
+  * crates/needle-cli, src/cli/handlers/{collection,search,admin}.rs).
+  * The reference ships a `needle` binary; this is the spark-submit-able
+  * equivalent over parquet-backed collections:
+  *
+  * {{{
+  * graft.Cli sql --collection docs=path.parquet -e "SELECT ... FROM docs"
+  * graft.Cli sql --collection docs=path.parquet -f queries.nql [--json]
+  * graft.Cli diff SOURCE.parquet TARGET.parquet [--threshold 0.001] [--summary]
+  * graft.Cli merge SOURCE TARGET --out OUT [--base BASE] [--strategy source-wins]
+  * graft.Cli evaluate COLLECTION.parquet [--k 10] [--cells 16] [--nprobe 4] [--queries 20]
+  * graft.Cli tune COLLECTION.parquet [--k 10] [--min-recall 0.95]
+  * }}}
+  *
+  * Every subcommand compiles to the engine's declarative ops (NeedleSession,
+  * CollectionDiff, Ivf, Tuner) — the CLI only parses args and formats
+  * output, so anything it does scales exactly as the underlying plan does.
+  * Exit codes: 0 ok, 1 usage error, 2 execution error (reference CLI
+  * convention). Output is human tables by default, one-JSON-object-per-row
+  * with `--json` (for scripting, mirroring `needle sql --format json`).
+  */
+object Cli {
+
+  final case class ParsedArgs(positional: Seq[String],
+                              options: Map[String, Seq[String]])
+
+  /** `--key value` (repeatable), `--key=value`, bare `--flag`, and short
+    * `-e value` forms (both spellings land under the bare key name).
+    */
+  def parseArgs(args: Seq[String]): ParsedArgs = {
+    val pos = Seq.newBuilder[String]
+    val opts = scala.collection.mutable.LinkedHashMap
+      .empty[String, Vector[String]]
+    var i = 0
+    def add(k: String, v: String): Unit =
+      opts(k) = opts.getOrElse(k, Vector.empty) :+ v
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("-") && a.length > 1 && !a.drop(1).forall(_.isDigit)) {
+        val body = a.dropWhile(_ == '-')
+        if (body.contains("=")) {
+          val Array(k, v) = body.split("=", 2); add(k, v)
+        } else if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+          add(body, args(i + 1)); i += 1
+        } else add(body, "")
+      } else pos += a
+      i += 1
+    }
+    ParsedArgs(pos.result(), opts.toMap)
+  }
+
+  private def usage: String =
+    """usage: graft.Cli <sql|diff|merge|evaluate|tune> [args]
+      |  sql      --collection name=path ... (-e QUERY | -f FILE | stdin) [--json]
+      |  diff     SOURCE TARGET [--threshold T] [--summary] [--json]
+      |  merge    SOURCE TARGET --out OUT [--base BASE]
+      |           [--strategy source-wins|target-wins] [--diff-report]
+      |  evaluate COLLECTION [--k K] [--cells N] [--nprobe P] [--queries Q] [--json]
+      |  tune     COLLECTION [--k K] [--min-recall R] [--queries Q] [--json]
+      |every subcommand: [--id-col id] [--vector-col vector]
+      |""".stripMargin
+
+  private def idCol(a: ParsedArgs): String =
+    a.options.get("id-col").map(_.last).getOrElse("id")
+  private def vecCol(a: ParsedArgs): String =
+    a.options.get("vector-col").map(_.last).getOrElse("vector")
+
+  /** Exposed for CliSpec: run one subcommand against an existing session,
+    * returning the process exit code; all output goes through `out`.
+    */
+  def run(spark: SparkSession, args: Seq[String],
+          out: String => Unit = Console.out.println(_),
+          in: () => Iterator[String] = () =>
+            scala.io.Source.stdin.getLines()): Int = {
+    if (args.isEmpty) { out(usage); return 1 }
+    val parsed = parseArgs(args.tail)
+    try args.head match {
+      case "sql"      => sqlCmd(spark, parsed, out, in)
+      case "diff"     => diffCmd(spark, parsed, out)
+      case "merge"    => mergeCmd(spark, parsed, out)
+      case "evaluate" => evaluateCmd(spark, parsed, out)
+      case "tune"     => tuneCmd(spark, parsed, out)
+      case other      => out(s"unknown command: $other"); out(usage); 1
+    } catch {
+      case e: IllegalArgumentException => out(s"error: ${e.getMessage}"); 1
+      case e: graft.needleql.Parser.ParseError =>
+        out(s"parse error: ${e.getMessage}"); 2
+      case scala.util.control.NonFatal(e) =>
+        out(s"error: ${e.getClass.getSimpleName}: ${e.getMessage}"); 2
+    }
+  }
+
+  // ------------------------------------------------------------------ sql
+
+  private def sqlCmd(spark: SparkSession, a: ParsedArgs,
+                     out: String => Unit, in: () => Iterator[String]): Int = {
+    val session = new NeedleSession(spark)
+    a.options.getOrElse("collection", Nil).foreach { spec =>
+      val Array(name, path) = spec.split("=", 2) match {
+        case ok @ Array(_, _) => ok
+        case _ => throw new IllegalArgumentException(
+          s"--collection expects name=path, got: $spec")
+      }
+      session.register(name, CollectionDef(spark.read.parquet(path)))
+    }
+    val queries: Iterator[String] =
+      a.options.get("e").map(_.iterator)
+        .orElse(a.options.get("f").map(fs =>
+          fs.iterator.flatMap(f =>
+            Files.readString(Paths.get(f)).split(";").iterator)))
+        .getOrElse(in())
+    val json = a.options.contains("json")
+    var ran = 0
+    queries.map(_.trim).filter(q => q.nonEmpty && !q.startsWith("--"))
+      .foreach { q =>
+        render(session.sql(q), json, out)
+        ran += 1
+      }
+    if (ran == 0) { out("no queries given (-e, -f, or stdin)"); 1 } else 0
+  }
+
+  // ----------------------------------------------------------- diff/merge
+
+  private def diffCmd(spark: SparkSession, a: ParsedArgs,
+                      out: String => Unit): Int = {
+    val Seq(src, tgt) = positional(a, 2, "diff SOURCE TARGET")
+    val threshold = a.options.get("threshold")
+      .map(_.last.toDouble).getOrElse(1e-3)
+    val source = spark.read.parquet(src)
+    val target = spark.read.parquet(tgt)
+    val json = a.options.contains("json")
+    if (a.options.contains("summary"))
+      render(CollectionDiff.diffSummary(source, target, threshold,
+        idCol(a), vecCol(a)).orderBy("status"), json, out)
+    else
+      render(CollectionDiff.diff(source, target, threshold,
+        idCol(a), vecCol(a))
+        .filter(col("status") =!= "unchanged").orderBy("id"), json, out)
+    0
+  }
+
+  private def mergeCmd(spark: SparkSession, a: ParsedArgs,
+                       out: String => Unit): Int = {
+    val Seq(src, tgt) = positional(a, 2, "merge SOURCE TARGET --out OUT")
+    val outPath = a.options.getOrElse("out",
+      throw new IllegalArgumentException("merge requires --out PATH")).last
+    val base = a.options.get("base").map(b => spark.read.parquet(b.last))
+    val strategy = a.options.get("strategy").map(_.last).getOrElse("source-wins") match {
+      case "source-wins" => CollectionDiff.MergeStrategy.SourceWins
+      case "target-wins" | "skip" => CollectionDiff.MergeStrategy.TargetWins
+      case other => throw new IllegalArgumentException(
+        s"unknown --strategy: $other (source-wins | target-wins)")
+    }
+    val source = spark.read.parquet(src)
+    val target = spark.read.parquet(tgt)
+    val merged = CollectionDiff.merge(source, target, base, strategy,
+      idCol(a), vecCol(a))
+    merged.write.mode("overwrite").parquet(outPath)
+    val n = spark.read.parquet(outPath).count()
+    out(s"""{"merged": $n, "out": "$outPath"}""")
+    if (a.options.contains("diff-report"))
+      render(CollectionDiff.diffSummary(target, spark.read.parquet(outPath),
+        1e-9, idCol(a), vecCol(a)).orderBy("status"),
+        a.options.contains("json"), out)
+    0
+  }
+
+  // ------------------------------------------------------- evaluate/tune
+
+  /** Search-quality evaluation (reference CLI `evaluate`): recall@k of the
+    * IVF-pruned search against the exact scan, per query and mean, plus
+    * the scan fraction the pruning bought. Ground truth is the exact
+    * engine itself — the only oracle that needs no labels.
+    */
+  private def evaluateCmd(spark: SparkSession, a: ParsedArgs,
+                          out: String => Unit): Int = {
+    val Seq(path) = positional(a, 1, "evaluate COLLECTION")
+    val k = intOpt(a, "k", 10)
+    val cells = intOpt(a, "cells", 16)
+    val nprobe = intOpt(a, "nprobe", 4)
+    val numQueries = intOpt(a, "queries", 20)
+    val metric = a.options.get("metric").map(_.last).getOrElse("cosine")
+    val (id, vec) = (idCol(a), vecCol(a))
+    val df = spark.read.parquet(path)
+    val queries = df.select(col(vec).cast("array<float>"))
+      .limit(numQueries).collect().map(_.getSeq[Float](0).toArray)
+    require(queries.nonEmpty, s"no vectors in $path")
+    val ix = Ivf.build(df, col(vec), cells, metric)
+    val assigned = ix.assigned.persist()
+    val total = assigned.count().toDouble
+    val cellSizes = assigned.groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val results = queries.zipWithIndex.map { case (q, i) =>
+      val exact = df
+        .withColumn("__d", graft.functions.Distances.distance(
+          metric, col(vec), lit(q)))
+        .orderBy(col("__d").asc, col(id).asc).limit(k).select(id)
+      val approx = Ivf.search(ix, q, k, nprobe, id, vec)
+      val recall = Ivf.recallAtK(exact, approx, id)
+      val scanned = Ivf.probeCells(ix, q, nprobe)
+        .map(c => cellSizes.getOrElse(c, 0L)).sum / total
+      (i, recall, scanned)
+    }
+    assigned.unpersist()
+    val meanRecall = results.map(_._2).sum / results.length
+    val meanScan = results.map(_._3).sum / results.length
+    if (a.options.contains("json"))
+      results.foreach { case (i, r, s) =>
+        out(f"""{"query": $i, "recall_at_$k": $r%.4f, "scan_fraction": $s%.4f}""")
+      }
+    out(f"""{"queries": ${results.length}, "k": $k, "cells": $cells, "nprobe": $nprobe, "mean_recall": $meanRecall%.4f, "mean_scan_fraction": $meanScan%.4f}""")
+    0
+  }
+
+  private def tuneCmd(spark: SparkSession, a: ParsedArgs,
+                      out: String => Unit): Int = {
+    val Seq(path) = positional(a, 1, "tune COLLECTION")
+    val k = intOpt(a, "k", 10)
+    val minRecall = a.options.get("min-recall").map(_.last.toDouble)
+      .getOrElse(0.95)
+    val numQueries = intOpt(a, "queries", 5)
+    val df = spark.read.parquet(path)
+    val result = Tuner.tuneIvf(df, idCol(a), vecCol(a), k = k,
+      numQueries = numQueries, minRecall = minRecall)
+    result.frontier.foreach { m =>
+      out(f"""{"cells": ${m.numCells}, "nprobe": ${m.nprobe}, "mean_recall": ${m.meanRecallAtK}%.4f, "scan_fraction": ${m.scanFraction}%.4f}""")
+    }
+    result.best match {
+      case Some(c) =>
+        out(s"""{"best": {"cells": ${c.numCells}, "nprobe": ${c.nprobe}}, "min_recall": $minRecall}""")
+        0
+      case None =>
+        out(s"""{"best": null, "min_recall": $minRecall, "note": "no config reached min_recall; see frontier"}""")
+        2
+    }
+  }
+
+  // ------------------------------------------------------------ plumbing
+
+  private def positional(a: ParsedArgs, n: Int, what: String): Seq[String] = {
+    require(a.positional.length == n,
+      s"expected $n positional arg(s): $what")
+    a.positional
+  }
+
+  private def intOpt(a: ParsedArgs, key: String, default: Int): Int =
+    a.options.get(key).map(_.last.toInt).getOrElse(default)
+
+  private def render(df: DataFrame, json: Boolean,
+                     out: String => Unit): Unit =
+    if (json) df.toJSON.collect().foreach(out)
+    else {
+      val rows = df.collect()
+      out(df.columns.mkString("\t"))
+      rows.foreach(r => out((0 until r.length).map(i =>
+        String.valueOf(r.get(i))).mkString("\t")))
+      out(s"(${rows.length} rows)")
+    }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val builder = SparkSession.builder()
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.artifact.isolation.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
+    // spark-submit sets spark.master; standalone runs default to local
+    val spark = (if (sys.props.contains("spark.master")) builder
+                 else builder.master(s"local[$cpus]")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val code = run(spark, args.toSeq)
+    spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke for the spark-submit CLI (reference README.md:582-608 `needle`
+  * binary): each subcommand driven through [[Cli.run]] against the shared
+  * test session, output captured via the injected sink.
+  */
+class CliSpec extends SparkSpec {
+
+  private def cli(args: String*): (Int, Seq[String]) = {
+    val lines = Seq.newBuilder[String]
+    val code = Cli.run(spark, args, out = lines += _)
+    (code, lines.result())
+  }
+
+  private lazy val dataDir = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli").toString
+    // 40 unit-ish vectors in 4 dims with ids v00..v39
+    spark.range(40).select(
+      format_string("v%02d", col("id")).as("id"),
+      array(
+        cos(col("id") * 0.37).cast("float"),
+        sin(col("id") * 0.37).cast("float"),
+        cos(col("id") * 0.11 + 1).cast("float"),
+        sin(col("id") * 0.11 + 1).cast("float")).as("vector"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/a.parquet")
+    // target: drop v00, modify v01, keep the rest
+    val a = spark.read.parquet(s"$dir/a.parquet")
+    a.filter(col("id") =!= "v00")
+      .withColumn("vector", when(col("id") === "v01",
+        array(lit(9f), lit(9f), lit(9f), lit(9f))).otherwise(col("vector")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b.parquet")
+    dir
+  }
+
+  test("arg parser: repeatable options, =-form, flags, positionals") {
+    val p = Cli.parseArgs(Seq("--collection", "a=x", "--collection=b=y",
+      "pos1", "--json", "--k", "5", "pos2"))
+    assert(p.positional == Seq("pos1", "pos2"))
+    assert(p.options("collection") == Vector("a=x", "b=y"))
+    assert(p.options("k") == Vector("5"))
+    assert(p.options.contains("json"))
+  }
+
+  test("no command / unknown command → usage, exit 1") {
+    assert(cli()._1 == 1)
+    val (code, out) = cli("frobnicate")
+    assert(code == 1 && out.exists(_.contains("usage")))
+  }
+
+  test("sql: batch query over a registered parquet collection") {
+    val (code, out) = cli("sql",
+      "--collection", s"docs=$dataDir/a.parquet",
+      "-e", "SELECT id, distance FROM docs NEAREST_TO([1.0, 0.0, 0.5403023, 0.841471], 'cosine', 5) LIMIT 5",
+      "--json")
+    assert(code == 0, out.mkString("\n"))
+    assert(out.length == 5)
+    // v00 is the query vector itself → nearest
+    assert(out.head.contains("\"v00\""), out.head)
+  }
+
+  test("sql: parse errors exit 2; missing query exits 1") {
+    val (code, out) = cli("sql",
+      "--collection", s"docs=$dataDir/a.parquet", "-e", "SELEC nope")
+    assert(code == 2 && out.exists(_.contains("parse error")))
+    assert(cli("sql", "--collection", s"docs=$dataDir/a.parquet",
+      "-e", "")._1 == 1)
+  }
+
+  test("diff: reports removed/modified rows and --summary counts") {
+    val (code, out) = cli("diff", s"$dataDir/a.parquet",
+      s"$dataDir/b.parquet", "--json")
+    assert(code == 0)
+    assert(out.exists(l => l.contains("v00") && l.contains("removed")))
+    assert(out.exists(l => l.contains("v01") && l.contains("modified")))
+    assert(!out.exists(_.contains("unchanged")))
+    val (c2, sum) = cli("diff", s"$dataDir/a.parquet", s"$dataDir/b.parquet",
+      "--summary")
+    assert(c2 == 0)
+    val counts = sum.filter(_.contains("\t")).map(_.split("\t"))
+      .collect { case Array(s, n) if s != "status" => s -> n }.toMap
+    assert(counts("removed") == "1" && counts("modified") == "1" &&
+      counts("unchanged") == "38", counts)
+  }
+
+  test("merge: source-wins restores removed + modified rows") {
+    val outPath = java.nio.file.Files
+      .createTempDirectory("graft-cli-merge").toString + "/m.parquet"
+    val (code, out) = cli("merge", s"$dataDir/a.parquet",
+      s"$dataDir/b.parquet", "--out", outPath, "--strategy", "source-wins")
+    assert(code == 0)
+    assert(out.exists(_.contains("\"merged\": 40")), out.mkString("\n"))
+    val merged = spark.read.parquet(outPath)
+    assert(merged.count() == 40)
+    val v01 = merged.filter(col("id") === "v01")
+      .select(element_at(col("vector"), 1)).head().getFloat(0)
+    assert(math.abs(v01 - math.cos(0.37).toFloat) < 1e-6,
+      "source vector won for the modified id")
+  }
+
+  test("evaluate: full probe reaches recall 1.0") {
+    val (code, out) = cli("evaluate", s"$dataDir/a.parquet",
+      "--k", "5", "--cells", "4", "--nprobe", "4", "--queries", "3")
+    assert(code == 0, out.mkString("\n"))
+    val summary = out.last
+    assert(summary.contains("\"mean_recall\": 1.0000"), summary)
+    assert(summary.contains("\"mean_scan_fraction\": 1.0000"), summary)
+  }
+
+  test("tune: emits a frontier and a best config meeting the floor") {
+    val (code, out) = cli("tune", s"$dataDir/a.parquet",
+      "--k", "5", "--queries", "3", "--min-recall", "0.9")
+    assert(code == 0, out.mkString("\n"))
+    assert(out.count(_.contains("\"scan_fraction\"")) > 1, "frontier printed")
+    assert(out.last.contains("\"best\": {"), out.last)
+  }
+}
