@@ -85,7 +85,15 @@ object Ivf {
       .collect()
       .map(_.getSeq[Float](0).toArray)
     val centroids = localKMeans(train, numCells, maxIter, seed)
-    val assigned = df.withColumn("cell", cellOf(vecCol, centroids, metric))
+    val assigned0 = df.withColumn("cell", cellOf(vecCol, centroids, metric))
+    // cosine index state: the per-row vector norm (what HNSW keeps beside
+    // its graph) — lets [[batchSearch]] score each candidate pair with a
+    // dot product alone (1 fused multiply-add per element instead of 3),
+    // bit-identical to the fused cosine kernel
+    val assigned = if (metric == "cosine")
+      assigned0.withColumn("__vnorm",
+        sqrt(-Distances.distance("dot", vecCol, vecCol)))
+    else assigned0
     Index(centroids, assigned, metric)
   }
 
@@ -93,7 +101,17 @@ object Ivf {
     * objective MLlib's KMeans optimizes), f64 accumulation.
     */
   private[graft] def localKMeans(vecs: Array[Array[Float]], k: Int,
-                                 maxIter: Int, seed: Long): Array[Array[Float]] = {
+                                 maxIter: Int, seed: Long): Array[Array[Float]] =
+    localKMeansTrace(vecs, k, maxIter, seed)._1
+
+  /** [[localKMeans]] plus the per-iteration WCSS trace (sum of squared
+    * distances to assigned centers, recorded after each assignment step).
+    * Lloyd's algorithm guarantees this sequence is non-increasing — the
+    * quantitative invariant the `vec_cluster` gate asserts.
+    */
+  private[graft] def localKMeansTrace(vecs: Array[Array[Float]], k: Int,
+                                      maxIter: Int, seed: Long)
+      : (Array[Array[Float]], Array[Double]) = {
     require(vecs.nonEmpty, "IVF build needs at least one training vector")
     val dims = vecs(0).length
     val n = vecs.length
@@ -128,11 +146,13 @@ object Ivf {
     }
     // Lloyd
     val assign = Array.fill(n)(-1)
+    val wcss = Array.newBuilder[Double]
     var iter = 0
     var changed = true
     while (iter < maxIter && changed) {
       changed = false
       var j = 0
+      var iterWcss = 0.0
       while (j < n) {
         var best = 0; var bestD = Double.MaxValue
         var ci = 0
@@ -142,8 +162,10 @@ object Ivf {
           ci += 1
         }
         if (assign(j) != best) { assign(j) = best; changed = true }
+        iterWcss += bestD
         j += 1
       }
+      wcss += iterWcss
       if (changed) {
         val sums = Array.ofDim[Double](kk, dims)
         val counts = Array.fill(kk)(0L)
@@ -164,7 +186,7 @@ object Ivf {
       }
       iter += 1
     }
-    centers.map(_.map(_.toFloat))
+    (centers.map(_.map(_.toFloat)), wcss.result())
   }
 
   /** The nprobe cells nearest to the query (driver-side over the tiny
@@ -204,7 +226,61 @@ object Ivf {
       .withColumn("distance", dist)
       .orderBy(col("distance").asc, col(idCol).asc)
       .limit(k)
-      .drop("cell")
+      .drop("cell", "__vnorm")
+  }
+
+  /** Batched ANN top-k: ALL queries answered by ONE job. Each query's
+    * nprobe cells are computed driver-side over the tiny centroid set
+    * (queries are by definition the small, collectable side — they are
+    * broadcast either way); the exploded (query, cell) pairs broadcast-
+    * equi-join the assigned table on `cell`, so the scan touches each
+    * cell once per query probing it — |rows scored| = Σ probed-cell
+    * sizes, the IVF scan fraction — and the bounded top-k aggregate
+    * ([[graft.functions.TopKAgg]]) keeps the exchange at
+    * |partitions|×|queries|×k pre-reduced rows.
+    *
+    * This is the throughput shape: [[search]] pays one scheduler round
+    * trip PER query (~0.2 s on an idle local session), which dominates
+    * the pruned scan at any realistic nprobe; here the round trip
+    * amortizes across the whole batch. `idCol` must be numeric (the
+    * bounded aggregate buffers longs).
+    */
+  def batchSearch(ix: Index, queries: Seq[(Int, Array[Float])], k: Int,
+                  nprobe: Int, idCol: String = "id",
+                  vecCol: String = "vector",
+                  roundTo: Option[Int] = None): DataFrame = {
+    import graft.functions.TopKAgg
+    val spark = ix.assigned.sparkSession
+    import spark.implicits._
+    def qnorm(qv: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < qv.length) { s += qv(i).toDouble * qv(i); i += 1 }
+      math.sqrt(s)
+    }
+    val pairs = queries.flatMap { case (qid, qv) =>
+      probeCells(ix, qv, nprobe).map(c => (qid, c, qv.toSeq, qnorm(qv)))
+    }
+    val qdf = pairs.toDF("query_id", "cell", "query_vector", "__qnorm")
+    // cosine fast path over the index's stored row norms: dist =
+    // 1 + dot_dist/(|v||q|) — negation and division are exact, so this is
+    // bit-identical to the fused kernel at a third of the arithmetic
+    val raw =
+      if (ix.metric == "cosine" && ix.assigned.columns.contains("__vnorm"))
+        when(col("__vnorm") === 0.0 || col("__qnorm") === 0.0, lit(1.0))
+          .otherwise(lit(1.0) +
+            Distances.distance("dot", col(vecCol), col("query_vector")) /
+              (col("__vnorm") * col("__qnorm")))
+      else Distances.distance(ix.metric, col(vecCol), col("query_vector"))
+    val dist = roundTo.fold(raw)(n => round(raw, n))
+    ix.assigned
+      .join(broadcast(qdf), "cell")
+      .select(col("query_id"), dist.as("__d"),
+        col(idCol).cast("long").as("__id"))
+      .groupBy(col("query_id"))
+      .agg(TopKAgg.topKF(k)(col("__d"), col("__id")).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__t"))
+      .select(col("query_id"), col("__t._2").as(idCol),
+        col("__t._1").as("distance"))
   }
 
   /** Blocked near-duplicate join: pairs within maxDistance *inside each

@@ -27,6 +27,20 @@ final case class CollectionDef(
     insertedAtCol: Option[String] = None,
     textCol: Option[String] = None)
 
+object CollectionDef {
+  /** Py4J/Java-friendly constructors (no default args or Option over the
+    * gateway) — the PySpark bindings recipe (examples/pyspark_recipe.py)
+    * calls these.
+    */
+  def of(df: DataFrame): CollectionDef = CollectionDef(df)
+  def of(df: DataFrame, idCol: String, vectorCol: String,
+         metric: String): CollectionDef =
+    CollectionDef(df, idCol, vectorCol, metric)
+  def of(df: DataFrame, idCol: String, vectorCol: String, metric: String,
+         textCol: String): CollectionDef =
+    CollectionDef(df, idCol, vectorCol, metric, None, Option(textCol))
+}
+
 class NeedleSession(val spark: SparkSession) {
 
   val collections: mutable.LinkedHashMap[String, CollectionDef] = mutable.LinkedHashMap()

@@ -174,12 +174,22 @@ object VectorAnalytics {
     */
   def cluster(df: DataFrame, idCol: Column, vecCol: Column, k: Int,
               maxIter: Int = 50, seed: Long = 42L,
-              maxTrainRows: Int = 100000): DataFrame = {
+              maxTrainRows: Int = 100000): DataFrame =
+    clusterTrace(df, idCol, vecCol, k, maxIter, seed, maxTrainRows)._1
+
+  /** [[cluster]] plus the Lloyd WCSS-per-iteration trace, which must be
+    * non-increasing (the `vec_cluster` gate's quantitative invariant).
+    */
+  def clusterTrace(df: DataFrame, idCol: Column, vecCol: Column, k: Int,
+                   maxIter: Int = 50, seed: Long = 42L,
+                   maxTrainRows: Int = 100000): (DataFrame, Array[Double]) = {
     val train = graft.ann.Ivf.boundedSample(
       df.select(vecCol.cast("array<float>").as("v")), maxTrainRows, seed)
       .collect().map(_.getSeq[Float](0).toArray)
-    val centroids = graft.ann.Ivf.localKMeans(train, k, maxIter, seed)
-    df.select(idCol.as("id"),
-      graft.ann.Ivf.cellOf(vecCol, centroids, "euclidean").as("cluster"))
+    val (centroids, wcss) =
+      graft.ann.Ivf.localKMeansTrace(train, k, maxIter, seed)
+    (df.select(idCol.as("id"),
+      graft.ann.Ivf.cellOf(vecCol, centroids, "euclidean").as("cluster")),
+      wcss)
   }
 }

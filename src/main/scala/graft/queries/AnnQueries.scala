@@ -145,9 +145,16 @@ object AnnQueries {
       val ratios = pca.explainedVarianceRatio
       val descending = ratios.sliding(2).forall(p => p.length < 2 || p(0) >= p(1) - 1e-6)
       val bounded = ratios.forall(r => r >= 0 && r <= 1.0001) && ratios.sum <= 1.0001
+      // quantitative floor: the top-8 of 64 sorted ratios are >= 8/64 by
+      // construction, so demand 10% ABOVE that uniform-spectrum baseline —
+      // power iteration must actually find high-variance directions
+      // (exact eigen sums: 0.205 at sf0.01, 0.160 at sf0.1)
+      val dims = pca.components(0).length
+      val informative =
+        ratios.sum >= 1.1 * pca.nComponents.toDouble / dims
       ratios.zipWithIndex.map { case (r, i) =>
         (i, BigDecimal(r.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-          orthonormal && descending && bounded)
+          orthonormal && descending && bounded && informative)
       }.toSeq.toDF("component", "variance_ratio", "check_passed")
         .orderBy(col("component"))
     },

@@ -94,10 +94,22 @@ object ExtrasQueries {
         CollaborativeFiltering.fit(inter, "user", "item", "w",
           rank = 4, maxIter = 8)
       }
+      // leave-one-out hit: refit with u0's i2 interactions removed; among
+      // u0's unseen items the held-out i2 must rank first (its taste
+      // group still co-prefers it) — hit-rate 1.0 on the planted block
+      val holdoutHit = graft.core.IndexCache.getOrBuild(s"cf_holdout:$dir") {
+        val m2 = CollaborativeFiltering.fit(
+          inter.filter(!(col("user") === "u0" && col("item") === "i2")),
+          "user", "item", "w", rank = 4, maxIter = 8)
+        CollaborativeFiltering.recommend(m2, "u0", k = 1,
+            seen = Seq("i0", "i1", "i3", "i4"))
+          .select("item").collect().headOption.exists(_.getString(0) == "i2")
+      }
       CollaborativeFiltering.recommend(m, "u0", k = 3)
         .select(col("item"),
           round(col("cf_score"), 6).as("cf_score"),
-          col("item").isin("i0", "i1", "i2", "i3", "i4").as("check_passed"))
+          (col("item").isin("i0", "i1", "i2", "i3", "i4") &&
+            lit(holdoutHit)).as("check_passed"))
     },
 
     // Provenance tagging (reference insert.rs:446-460): struct flattened

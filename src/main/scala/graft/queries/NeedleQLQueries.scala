@@ -94,11 +94,18 @@ object NeedleQLQueries {
       val profile = QB.profileOf(
         graft.core.Tables.load(s, dir, "embeddings"), "embeddings",
         "embedding", Seq("label" -> QB.FieldType.Num))
+      // planted-intent accuracy floor: ALL eight classifications must
+      // match (two per intent class), not just parse — a quantitative
+      // 8/8 gate over the classifier, not a shape check
       val cases = Seq(
         ("find vectors about spark streaming", QB.Semantic),
+        ("machine learning embedding tutorials", QB.Semantic),
         ("find items with score greater than 50", QB.Hybrid),
+        ("show documents category technology with label greater than 3", QB.Hybrid),
         ("how many vectors are there", QB.Aggregation),
-        ("category news", QB.MetadataOnly))
+        ("count documents in the database", QB.Aggregation),
+        ("category news", QB.MetadataOnly),
+        ("rating above 4", QB.MetadataOnly))
       cases.map { case (nl, expected) =>
         val r = QB.build(profile, nl)
         (nl, r.analysis.queryClass, r.analysis.complexity, r.needleql,

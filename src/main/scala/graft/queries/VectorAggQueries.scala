@@ -120,9 +120,17 @@ object VectorAggQueries {
     // KMeans cluster sizes (reference Cluster{k}: vector_aggregation.rs:
     // 186-295) — rows-only: k-means++ init is not SQL-reproducible.
     "vec_cluster" -> Q.noOracle { (s, dir) =>
-      val sizes = VectorAnalytics.cluster(Tables.load(s, dir, "embeddings"),
+      val (assigned, wcss) = VectorAnalytics.clusterTrace(
+        Tables.load(s, dir, "embeddings"),
         col("vec_id"), col("embedding"), k = 10)
+      val sizes = assigned
         .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      // Lloyd's invariant: per-iteration WCSS never increases, and the
+      // clustering actually converged (final < first — 10 planted label
+      // clusters must beat the k-means++ start)
+      val wcssMonotone = wcss.sliding(2)
+        .forall(p => p.length < 2 || p(1) <= p(0) + 1e-6)
+      val wcssImproved = wcss.length < 2 || wcss.last < wcss.head
       // self-check: a partition of the input — cluster ids within [0, k),
       // sizes positive, and the sizes sum back to the row count
       val total = Tables.load(s, dir, "embeddings")
@@ -131,7 +139,8 @@ object VectorAggQueries {
       sizes.crossJoin(broadcast(total)).crossJoin(broadcast(sums))
         .withColumn("check_passed",
           col("cluster").between(0, 9) && col("n") > 0 &&
-            col("n_assigned") === col("n_rows"))
+            col("n_assigned") === col("n_rows") &&
+            lit(wcssMonotone) && lit(wcssImproved))
         .drop("n_rows", "n_assigned")
         .orderBy(col("cluster"))
     },

@@ -44,6 +44,27 @@ class AnnSpec extends SparkSpec {
     assert(scanned < emb.count())
   }
 
+  test("ivf batchSearch matches per-query search at every nprobe") {
+    val ix = Ivf.build(emb, col("embedding"), numCells = 8)
+    val queries = emb.filter(col("vec_id") < 5).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray).zipWithIndex.map(_.swap).toSeq
+    Seq(2, 8).foreach { nprobe =>
+      val batch = Ivf.batchSearch(ix, queries, 5, nprobe,
+        "vec_id", "embedding", roundTo = Some(6)).collect()
+        .groupBy(_.getInt(0))
+      queries.foreach { case (qid, qv) =>
+        val single = Ivf.search(ix, qv, 5, nprobe, "vec_id", "embedding",
+          roundTo = Some(6))
+          .select(col("vec_id").cast("long"), col("distance"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+        val got = batch(qid)
+          .map(r => (r.getLong(1), r.getDouble(2))).toSet
+        assert(got == single, s"nprobe=$nprobe query=$qid")
+      }
+    }
+  }
+
   test("ivf blocked near-dup is a subset of the exact near-dup pairs") {
     val small = emb.filter(col("vec_id") < 120)
     val exact = graft.pipeline.Dedup.embeddingNearDup(
