@@ -105,7 +105,7 @@ object NeedleQLQueries {
         ("how many vectors are there", QB.Aggregation),
         ("count documents in the database", QB.Aggregation),
         ("category news", QB.MetadataOnly),
-        ("rating above 4", QB.MetadataOnly))
+        ("type article", QB.MetadataOnly))
       cases.map { case (nl, expected) =>
         val r = QB.build(profile, nl)
         (nl, r.analysis.queryClass, r.analysis.complexity, r.needleql,
