@@ -228,14 +228,63 @@ object BaselineBench {
       out(s"ivf${cells}_batch2000_nprobe${nprobe}_qps") = 1000.0 / ms2000
     }
 
+    ix256.assigned.unpersist() // keep the BQ section's memory clean
+
+    // ---- batched IVF + residual-binary two-phase (scan-bandwidth path) -
+    // coarse Hamming over residual sign bits (v − cell centroid: the
+    // within-cell geometry IVF has not resolved; global sign bits only
+    // re-encode the cluster center — measured 0.31 recall here), exact
+    // re-rank of k·oversample
+    {
+      import graft.ann.Quantization
+      val ixBq0 = Ivf.build(df, col("vector"), cells, "cosine",
+        maxTrainRows = 20000) // same seed/params → same centroids as ix
+      val withCodes = ixBq0.assigned.withColumn("codes",
+        Quantization.residualBqEncodeLongs(ixBq0.centroids)(
+          col("vector"), col("cell")))
+      val ixBq = ixBq0.copy(assigned = withCodes.persist())
+      ixBq.assigned.count()
+      ix.assigned.unpersist()
+      Seq(2, 4).foreach { nprobe =>
+        val recalls = qr.zip(exactTops).map { case (q, exact) =>
+          val approx = Quantization.batchResidualBqSearchRerank(ixBq,
+            Seq((0, q)), 10, nprobe, oversample = 8,
+            idCol = "id", vecCol = "vector")
+            .select("id").collect().map(_.getLong(0)).toSet
+          exact.intersect(approx).size / 10.0
+        }
+        out(s"rbq_batch_nprobe${nprobe}_recall_at_10") =
+          recalls.sum / recalls.length
+        def bqBatch(qs: Seq[(Int, Array[Float])]): Unit =
+          Quantization.batchResidualBqSearchRerank(ixBq, qs, 10, nprobe,
+            oversample = 8, idCol = "id", vecCol = "vector").collect()
+        bqBatch(q100.take(10)) // warm
+        val ms100 = best(runs)(bqBatch(q100)) / 100.0
+        out(s"rbq_batch100_nprobe${nprobe}_qps") = 1000.0 / ms100
+        val ms2000 = best(math.max(1, runs - 1))(bqBatch(q2000)) / 2000.0
+        out(s"rbq_batch2000_nprobe${nprobe}_ms_per_query") = ms2000
+        out(s"rbq_batch2000_nprobe${nprobe}_qps") = 1000.0 / ms2000
+      }
+      ixBq.assigned.unpersist()
+    }
+
     // ---- artifact ------------------------------------------------------
     // reference README.md:75-85 at this exact shape
     val refRows = Seq(
       ("single_search_qps", 300.0, out("single_search_qps")),
       ("batch_search_exact_qps", 3000.0, out("batch100_qps")),
-      ("batch_search_ann_qps", 3000.0,
-        out.filter(_._1.matches("ivf\\d+_batch2000_nprobe\\d+_qps"))
-          .values.max),
+      ("batch_search_ann_qps", 3000.0, {
+        // best bulk ANN throughput among configs whose measured recall@10
+        // clears the reference's published band (≥ 0.95) — a fast
+        // low-recall config is not a comparable number
+        val eligible = out.keys.filter(_.matches(
+          "(ivf\\d+|rbq)_batch_nprobe\\d+_recall_at_10"))
+          .filter(out(_) >= 0.95)
+          .map(_.replace("_batch_nprobe", "_batch2000_nprobe")
+            .replace("_recall_at_10", "_qps"))
+          .filter(out.contains)
+        eligible.map(out).max
+      }),
       ("insert_ops_per_s", 1200.0, out("insert_append_ops_per_s")),
       ("filtered_search_qps", 220.0, out("filtered_batch100_qps")))
     def f(d: Double): String =

@@ -394,17 +394,28 @@ class RestApi(spark: SparkSession) {
     val limit = boundedInt(req, "limit", default = 100, max = 1000)
     // offset is capped like the radius limit: `limit(offset+limit)` is
     // collected on the driver, so an unbounded offset would materialize
-    // the whole collection (keyset-cursor paging is the scale path)
+    // the whole collection; `after_id` keyset paging is the scale path —
+    // every page is `WHERE id > cursor ORDER BY id LIMIT n`, constant
+    // cost at any depth
     val offset = Option(req.get("offset")).map(_.asInt()).getOrElse(0)
     if (offset < 0 || offset > 10000)
       throw ApiException(400, "offset must be between 0 and 10000",
         "INVALID_OFFSET")
+    val afterId = Option(req.get("after_id")).filterNot(_.isNull)
+      .map(_.asText())
+    if (afterId.isDefined && offset != 0)
+      throw ApiException(400, "after_id and offset are mutually exclusive",
+        "INVALID_CURSOR")
     val filter = compiledFilter(c, req.get("filter")).getOrElse(
       throw ApiException(400, "filter is required", "MISSING_FILTER"))
     val matched = liveRows(c).filter(filter)
     val total = matched.count()
-    val page = matched.orderBy(col("id"))
-      .limit(offset + limit).collect().drop(offset)
+    val page = afterId match {
+      case Some(cur) => matched.filter(col("id") > cur)
+        .orderBy(col("id")).limit(limit).collect()
+      case None => matched.orderBy(col("id"))
+        .limit(offset + limit).collect().drop(offset)
+    }
     ok(obj { o =>
       val rs = o.putArray("data")
       page.foreach { r =>
@@ -414,7 +425,10 @@ class RestApi(spark: SparkSession) {
       }
       val p = o.putObject("pagination")
       p.put("count", page.length).put("offset", offset).put("total", total)
-      p.put("has_more", total > offset + limit)
+      val more = afterId.isDefined && page.length == limit ||
+        afterId.isEmpty && total > offset + limit
+      p.put("has_more", more)
+      if (page.nonEmpty && more) p.put("next_after_id", page.last.getString(0))
     })
   }
 

@@ -262,6 +262,36 @@ class RestApiSpec extends SparkSpec {
       "all 40 concurrent inserts + seed visible")
   }
 
+  test("metadata query pages by keyset cursor at constant cost") {
+    val a = api
+    (1 to 7).foreach(i =>
+      insert(a, f"v$i%02d", Seq(i * 0.1, 0, 0), meta = """{"cat":"a"}"""))
+    def page(cursor: Option[String]) = {
+      val cur = cursor.map(c => s""","after_id":"$c"""").getOrElse("")
+      val (s, b) = a.handle("POST", "/collections/docs/query",
+        s"""{"filter":{"cat":{"$$eq":"a"}},"limit":3$cur}""")
+      assert(s == 200, b)
+      mapper.readTree(b)
+    }
+    val p1 = page(None)
+    val ids1 = (0 until p1.get("data").size())
+      .map(i => p1.get("data").get(i).get("id").asText())
+    assert(ids1 == Seq("v01", "v02", "v03"))
+    assert(p1.get("pagination").get("has_more").asBoolean())
+    val p2 = page(Some(p1.get("pagination").get("next_after_id").asText()))
+    val ids2 = (0 until p2.get("data").size())
+      .map(i => p2.get("data").get(i).get("id").asText())
+    assert(ids2 == Seq("v04", "v05", "v06"))
+    val p3 = page(Some(p2.get("pagination").get("next_after_id").asText()))
+    assert((0 until p3.get("data").size())
+      .map(i => p3.get("data").get(i).get("id").asText()) == Seq("v07"))
+    assert(!p3.get("pagination").get("has_more").asBoolean())
+    // cursor and offset are mutually exclusive
+    assert(a.handle("POST", "/collections/docs/query",
+      """{"filter":{"cat":{"$eq":"a"}},"offset":2,"after_id":"v01"}""")._1
+      == 400)
+  }
+
   test("ttl honored on a registered parquet-backed table") {
     import org.apache.spark.sql.functions._
     val a = new RestApi(spark)
