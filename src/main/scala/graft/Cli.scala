@@ -61,13 +61,19 @@ object Cli {
   }
 
   private def usage: String =
-    """usage: graft.Cli <sql|diff|merge|evaluate|tune> [args]
+    """usage: graft.Cli <command> [args]
       |  sql      --collection name=path ... (-e QUERY | -f FILE | stdin) [--json]
       |  diff     SOURCE TARGET [--threshold T] [--summary] [--json]
       |  merge    SOURCE TARGET --out OUT [--base BASE]
       |           [--strategy source-wins|target-wins] [--diff-report]
       |  evaluate COLLECTION [--k K] [--cells N] [--nprobe P] [--queries Q] [--json]
       |  tune     COLLECTION [--k K] [--min-recall R] [--queries Q] [--json]
+      |  dedup    COLLECTION [--max-distance D] [--cells N] [--groups] [--json]
+      |  export-bundle COLLECTION --out DIR [--name N] [--distance cosine]
+      |  import-bundle DIR [--out PARQUET]
+      |  estimate COLLECTION [--k K] [--selectivity S] [--json]
+      |  recommend-index COLLECTION [--target-recall R] [--memory-gb G]
+      |  health   COLLECTION [--k K] [--sample N] [--json]
       |every subcommand: [--id-col id] [--vector-col vector]
       |""".stripMargin
 
@@ -86,12 +92,18 @@ object Cli {
     if (args.isEmpty) { out(usage); return 1 }
     val parsed = parseArgs(args.tail)
     try args.head match {
-      case "sql"      => sqlCmd(spark, parsed, out, in)
-      case "diff"     => diffCmd(spark, parsed, out)
-      case "merge"    => mergeCmd(spark, parsed, out)
-      case "evaluate" => evaluateCmd(spark, parsed, out)
-      case "tune"     => tuneCmd(spark, parsed, out)
-      case other      => out(s"unknown command: $other"); out(usage); 1
+      case "sql"             => sqlCmd(spark, parsed, out, in)
+      case "diff"            => diffCmd(spark, parsed, out)
+      case "merge"           => mergeCmd(spark, parsed, out)
+      case "evaluate"        => evaluateCmd(spark, parsed, out)
+      case "tune"            => tuneCmd(spark, parsed, out)
+      case "dedup"           => dedupCmd(spark, parsed, out)
+      case "export-bundle"   => exportBundleCmd(spark, parsed, out)
+      case "import-bundle"   => importBundleCmd(spark, parsed, out)
+      case "estimate"        => estimateCmd(spark, parsed, out)
+      case "recommend-index" => recommendIndexCmd(spark, parsed, out)
+      case "health"          => healthCmd(spark, parsed, out)
+      case other             => out(s"unknown command: $other"); out(usage); 1
     } catch {
       case e: IllegalArgumentException => out(s"error: ${e.getMessage}"); 1
       case e: graft.needleql.Parser.ParseError =>
@@ -244,6 +256,116 @@ object Cli {
         out(s"""{"best": null, "min_recall": $minRecall, "note": "no config reached min_recall; see frontier"}""")
         2
     }
+  }
+
+  // -------------------------------------------- dedup / bundle / analyze
+
+  /** Near-duplicate report (reference CLI `dedup`): cell-blocked pair
+    * join — never all-pairs — optionally resolved to duplicate groups
+    * via pointer-jumping connected components.
+    */
+  private def dedupCmd(spark: SparkSession, a: ParsedArgs,
+                       out: String => Unit): Int = {
+    val Seq(path) = positional(a, 1, "dedup COLLECTION")
+    val maxDist = a.options.get("max-distance").map(_.last.toDouble)
+      .getOrElse(0.1)
+    val cells = intOpt(a, "cells", 16)
+    val df = spark.read.parquet(path)
+      .select(col(idCol(a)).as("id"), col(vecCol(a)).as("vector"))
+    val ix = Ivf.build(df, col("vector"), cells)
+    val pairs = Ivf.nearDupBlocked(ix, "id", "vector", maxDist)
+    val json = a.options.contains("json")
+    if (a.options.contains("groups")) {
+      val groups = graft.pipeline.DedupGroups.components(
+        pairs.select(col("id_a"), col("id_b")))
+      render(groups.groupBy("canonical")
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("n_members").desc, col("canonical")), json, out)
+    } else render(pairs.orderBy("id_a", "id_b"), json, out)
+    0
+  }
+
+  private def exportBundleCmd(spark: SparkSession, a: ParsedArgs,
+                              out: String => Unit): Int = {
+    val Seq(path) = positional(a, 1, "export-bundle COLLECTION --out DIR")
+    val outDir = a.options.getOrElse("out", throw new IllegalArgumentException(
+      "export-bundle requires --out DIR")).last
+    val df = spark.read.parquet(path)
+      .select(col(idCol(a)).as("id"), col(vecCol(a)).as("vector"))
+    val dims = df.select(size(col("vector"))).head().getInt(0)
+    val name = a.options.get("name").map(_.last)
+      .getOrElse(new java.io.File(path).getName.stripSuffix(".parquet"))
+    val distance = a.options.get("distance").map(_.last).getOrElse("cosine")
+    graft.sources.Interchange.exportBundle(df, outDir, name, dims, distance)
+    out(s"""{"exported": "$name", "dimensions": $dims, "dir": "$outDir"}""")
+    0
+  }
+
+  private def importBundleCmd(spark: SparkSession, a: ParsedArgs,
+                              out: String => Unit): Int = {
+    val Seq(dir) = positional(a, 1, "import-bundle DIR [--out PARQUET]")
+    val (df, cfg) = graft.sources.Interchange.importBundle(spark, dir)
+    a.options.get("out").map(_.last).foreach(p =>
+      df.write.mode("overwrite").parquet(p))
+    out(s"""{"name": "${cfg.name}", "dimensions": ${cfg.dimensions}, "distance": "${cfg.distance}", "count": ${cfg.count}, "rows": ${df.count()}}""")
+    0
+  }
+
+  /** Query cost estimation (reference CLI `estimate`): the reference's
+    * closed-form strategy comparison over this collection's statistics.
+    */
+  private def estimateCmd(spark: SparkSession, a: ParsedArgs,
+                          out: String => Unit): Int = {
+    import graft.ops.CostEstimator
+    val Seq(path) = positional(a, 1, "estimate COLLECTION")
+    val k = intOpt(a, "k", 10)
+    val sel = a.options.get("selectivity").map(_.last.toDouble)
+    val df = spark.read.parquet(path)
+    val stats = CostEstimator.CollectionStatistics(
+      totalVectors = df.count(),
+      dimensions = df.select(size(col(vecCol(a)))).head().getInt(0))
+    render(CostEstimator.estimate(spark, stats, k, sel),
+      a.options.contains("json"), out)
+    0
+  }
+
+  private def recommendIndexCmd(spark: SparkSession, a: ParsedArgs,
+                                out: String => Unit): Int = {
+    val Seq(path) = positional(a, 1, "recommend-index COLLECTION")
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    val dims = df.select(size(col(vecCol(a)))).head().getInt(0)
+    val targetRecall = a.options.get("target-recall").map(_.last.toDouble)
+      .getOrElse(0.95)
+    val budget = a.options.get("memory-gb").map(_.last.toDouble)
+      .map(g => (g * 1024 * 1024 * 1024).toLong)
+    val (mode, reasons) = Tuner.recommendIndex(n, dims, targetRecall, budget)
+    out(s"""{"recommended": "$mode"}""")
+    reasons.foreach(r => out(s"# $r"))
+    0
+  }
+
+  /** Collection health (reference CLI `health`): count/dims/null rate +
+    * LOF outliers over a bounded sample (the anomaly surface).
+    */
+  private def healthCmd(spark: SparkSession, a: ParsedArgs,
+                        out: String => Unit): Int = {
+    val Seq(path) = positional(a, 1, "health COLLECTION")
+    val k = intOpt(a, "k", 5)
+    val sample = intOpt(a, "sample", 2000)
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    val vc = col(vecCol(a))
+    val dims = df.select(size(vc)).head().getInt(0)
+    val nulls = df.filter(vc.isNull).count()
+    val sampled = df.filter(vc.isNotNull).limit(sample)
+      .select(col(idCol(a)).as("id"), vc.as("vector"))
+    val lof = graft.ops.Anomaly.lof(sampled, col("id"), col("vector"), k)
+    val outliers = lof.filter(col("lof_score") > 1.5).count()
+    out(s"""{"rows": $n, "dimensions": $dims, "null_vectors": $nulls, "sampled": ${math.min(sample, n)}, "lof_outliers_gt_1.5": $outliers}""")
+    if (a.options.contains("json"))
+      render(lof.orderBy(col("lof_score").desc).limit(10), json = true, out)
+    0
   }
 
   // ------------------------------------------------------------ plumbing

@@ -108,6 +108,50 @@ class CliSpec extends SparkSpec {
     assert(summary.contains("\"mean_scan_fraction\": 1.0000"), summary)
   }
 
+  test("dedup: planted near-identical pair reported, --groups resolves") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-dd").toString
+    val a = spark.read.parquet(s"$dataDir/a.parquet")
+    // clone v05 as d05 with a tiny perturbation → one near-dup pair
+    a.unionByName(a.filter(col("id") === "v05").select(lit("d05").as("id"),
+        transform(col("vector"), x => x + lit(1e-4f)).as("vector")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/c.parquet")
+    val (code, out) = cli("dedup", s"$dir/c.parquet",
+      "--max-distance", "0.01", "--cells", "4", "--json")
+    assert(code == 0, out.mkString("\n"))
+    assert(out.exists(l => l.contains("d05") && l.contains("v05")), out)
+    val (gc, gout) = cli("dedup", s"$dir/c.parquet",
+      "--max-distance", "0.01", "--cells", "4", "--groups")
+    assert(gc == 0)
+    assert(gout.exists(_.contains("2")), "one group of two members")
+  }
+
+  test("bundle: export then import round-trips rows and config") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-bd").toString
+    val (ec, eout) = cli("export-bundle", s"$dataDir/a.parquet",
+      "--out", s"$dir/bundle", "--name", "testcoll")
+    assert(ec == 0, eout.mkString("\n"))
+    assert(eout.exists(l => l.contains("testcoll") && l.contains(
+      "\"dimensions\": 4")))
+    val (ic, iout) = cli("import-bundle", s"$dir/bundle",
+      "--out", s"$dir/roundtrip.parquet")
+    assert(ic == 0, iout.mkString("\n"))
+    assert(iout.exists(_.contains("\"count\": 40")), iout)
+    assert(spark.read.parquet(s"$dir/roundtrip.parquet").count() == 40)
+  }
+
+  test("estimate + recommend-index + health run on a collection") {
+    val (ec, eout) = cli("estimate", s"$dataDir/a.parquet", "--k", "5")
+    assert(ec == 0, eout.mkString("\n"))
+    assert(eout.exists(_.contains("strategy")), eout)
+    val (rc, rout) = cli("recommend-index", s"$dataDir/a.parquet")
+    assert(rc == 0 && rout.exists(_.contains("\"recommended\"")), rout)
+    assert(rout.exists(_.contains("exact")), "40 vectors → exact scan")
+    val (hc, hout) = cli("health", s"$dataDir/a.parquet", "--k", "3")
+    assert(hc == 0, hout.mkString("\n"))
+    assert(hout.exists(l => l.contains("\"rows\": 40") &&
+      l.contains("\"null_vectors\": 0")), hout)
+  }
+
   test("tune: emits a frontier and a best config meeting the floor") {
     val (code, out) = cli("tune", s"$dataDir/a.parquet",
       "--k", "5", "--queries", "3", "--min-recall", "0.9")
