@@ -74,6 +74,9 @@ object Cli {
       |  estimate COLLECTION [--k K] [--selectivity S] [--json]
       |  recommend-index COLLECTION [--target-recall R] [--memory-gb G]
       |  health   COLLECTION [--k K] [--sample N] [--json]
+      |  index-build  COLLECTION --out DIR [--cells N] [--metric cosine]
+      |  index-search INDEXDIR (--vector v1,v2,.. | --query-id ID --collection PATH)
+      |               [--k K] [--nprobe P] [--json]
       |every subcommand: [--id-col id] [--vector-col vector]
       |""".stripMargin
 
@@ -103,6 +106,8 @@ object Cli {
       case "estimate"        => estimateCmd(spark, parsed, out)
       case "recommend-index" => recommendIndexCmd(spark, parsed, out)
       case "health"          => healthCmd(spark, parsed, out)
+      case "index-build"     => indexBuildCmd(spark, parsed, out)
+      case "index-search"    => indexSearchCmd(spark, parsed, out)
       case other             => out(s"unknown command: $other"); out(usage); 1
     } catch {
       case e: IllegalArgumentException => out(s"error: ${e.getMessage}"); 1
@@ -365,6 +370,51 @@ object Cli {
     out(s"""{"rows": $n, "dimensions": $dims, "null_vectors": $nulls, "sampled": ${math.min(sample, n)}, "lof_outliers_gt_1.5": $outliers}""")
     if (a.options.contains("json"))
       render(lof.orderBy(col("lof_score").desc).limit(10), json = true, out)
+    0
+  }
+
+  /** Build and persist an IVF index (reference CLI index management,
+    * src/cli/handlers/collection.rs): cells written partitionBy(cell) so
+    * probe filters prune at the storage layer.
+    */
+  private def indexBuildCmd(spark: SparkSession, a: ParsedArgs,
+                            out: String => Unit): Int = {
+    val Seq(path) = positional(a, 1, "index-build COLLECTION --out DIR")
+    val dir = a.options.get("out").map(_.last)
+      .getOrElse(throw new IllegalArgumentException("--out DIR required"))
+    val cells = intOpt(a, "cells", 16)
+    val metric = a.options.get("metric").map(_.last).getOrElse("cosine")
+    val df = spark.read.parquet(path)
+    val ix = Ivf.build(df, col(vecCol(a)), numCells = cells, metric = metric)
+    Ivf.writeIndex(ix, dir)
+    val n = spark.read.parquet(s"$dir/cells").count()
+    out(s"""{"indexed": $n, "cells": ${ix.centroids.length}, "metric": "$metric", "path": "$dir"}""")
+    0
+  }
+
+  /** Search a persisted IVF index. The probe filter on the partitioned
+    * cells directory reads only nprobe/numCells of the files.
+    */
+  private def indexSearchCmd(spark: SparkSession, a: ParsedArgs,
+                             out: String => Unit): Int = {
+    val Seq(dir) = positional(a, 1, "index-search INDEXDIR")
+    val ix = Ivf.loadIndex(spark, dir)
+    val k = intOpt(a, "k", 10)
+    val nprobe = intOpt(a, "nprobe", math.max(1, ix.centroids.length / 4))
+    val query: Array[Float] = a.options.get("vector").map(_.last) match {
+      case Some(csv) => csv.split(",").map(_.trim.toFloat)
+      case None =>
+        val coll = a.options.get("collection").map(_.last).getOrElse(
+          throw new IllegalArgumentException(
+            "--vector or (--query-id + --collection) required"))
+        val qid = a.options.get("query-id").map(_.last).getOrElse(
+          throw new IllegalArgumentException("--query-id required"))
+        spark.read.parquet(coll).filter(col(idCol(a)) === qid)
+          .select(col(vecCol(a))).head().getSeq[Float](0).toArray
+    }
+    val res = Ivf.search(ix, query, k, nprobe, idCol(a), vecCol(a),
+      roundTo = Some(6)).drop(vecCol(a))
+    render(res, a.options.contains("json"), out)
     0
   }
 

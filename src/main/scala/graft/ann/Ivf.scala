@@ -229,6 +229,39 @@ object Ivf {
       .drop("cell", "__vnorm")
   }
 
+  /** Persist an index as collection state (the reference serializes its
+    * index beside the data, src/indexing/ivf.rs): the tiny centroid table
+    * at `path/centroids`, and the assigned rows at `path/cells` written
+    * `partitionBy("cell")`. That directory layout IS the inverted file —
+    * each cell is a parquet partition directory, so a probe-time
+    * `cell IN (...)` filter becomes a storage-level PartitionFilter and a
+    * search with nprobe cells lists only nprobe/numCells of the files.
+    * At 100 TB this is the difference between scanning the corpus and
+    * scanning the posting lists.
+    */
+  def writeIndex(ix: Index, path: String): Unit = {
+    val spark = ix.assigned.sparkSession
+    import spark.implicits._
+    ix.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq, ix.metric) }.toSeq
+      .toDF("cell", "centroid", "metric")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    ix.assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells")
+  }
+
+  /** Load a persisted index. The assigned frame reads `cell` back as a
+    * parquet partition column, so [[search]]'s probe filter prunes at the
+    * file listing — no data files outside the probed cells are opened.
+    */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    val rows = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+    require(rows.nonEmpty, s"no centroids at $path/centroids")
+    Index(rows.map(_.getSeq[Float](1).toArray),
+      spark.read.parquet(s"$path/cells"), rows(0).getString(2))
+  }
+
   /** Batched ANN top-k: ALL queries answered by ONE job. Each query's
     * nprobe cells are computed driver-side over the tiny centroid set
     * (queries are by definition the small, collectable side — they are

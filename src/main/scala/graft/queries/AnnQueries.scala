@@ -60,6 +60,71 @@ object AnnQueries {
         .withColumn("check_passed", col("n_hit") >= 5).drop("n_hit")
     },
 
+    // The pruned-probe MECHANICS under a full hash oracle: centroids are
+    // pinned to the first 8 stored vectors (k-means is the one
+    // non-SQL-reproducible piece, so pin it away), and DuckDB replays the
+    // whole IVF pipeline — argmin cell assignment, nearest-2-cell probe
+    // selection, exact top-k within the probed cells. `ivf_knn_pruned`
+    // keeps the trained-centroid form with its recall self-check; this
+    // gate proves the probe/prune algebra is row-for-row correct.
+    "ivf_pruned_fixed" -> Q(
+      """WITH cents AS (
+        |  SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ve FROM embeddings),
+        |assigned AS (
+        |  SELECT v.vec_id, v.label, v.ve,
+        |         (SELECT c.cell FROM cents c
+        |          ORDER BY 1 - list_cosine_similarity(v.ve, c.cv), c.cell
+        |          LIMIT 1) AS cell
+        |  FROM v),
+        |q AS (SELECT ve AS qv FROM v WHERE vec_id = 0),
+        |probe AS (
+        |  SELECT c.cell FROM cents c, q
+        |  ORDER BY 1 - list_cosine_similarity(qv, c.cv), c.cell LIMIT 2)
+        |SELECT a.vec_id, a.label,
+        |       round(1 - list_cosine_similarity(a.ve, qv), 6) AS distance
+        |FROM assigned a, q
+        |WHERE a.cell IN (SELECT cell FROM probe)
+        |ORDER BY distance, vec_id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      val ix = graft.core.IndexCache.getOrBuild(s"ivffix:$dir") {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+          .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+        Ivf.Index(cents,
+          emb.withColumn("cell",
+            Ivf.cellOf(col("embedding"), cents, "cosine")).persist(),
+          "cosine")
+      }
+      Ivf.search(ix, queryVec(s, dir), k = 10, nprobe = 2,
+        idCol = "vec_id", vecCol = "embedding", roundTo = Some(6))
+        .select(col("vec_id"), col("label"), col("distance"))
+    },
+
+    // Storage round-trip under the exact-search oracle: the index is
+    // written partitionBy(cell) (the inverted-file directory layout —
+    // probe filters become storage-level PartitionFilters), loaded back,
+    // and a full probe over the STORED cells must still reproduce the
+    // brute-force top-k bit-for-bit.
+    "ivf_stored_search" -> Q(
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |       round(1 - list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6) AS distance
+        |FROM embeddings, q
+        |ORDER BY distance, vec_id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      val loaded = graft.core.IndexCache.getOrBuild(s"ivfstored:$dir") {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-ivf-stored").toString
+        Ivf.writeIndex(ivfIndex(s, dir, 8), path)
+        Ivf.loadIndex(s, path)
+      }
+      Ivf.search(loaded, queryVec(s, dir), k = 10, nprobe = 8,
+        idCol = "vec_id", vecCol = "embedding", roundTo = Some(6))
+        .select(col("vec_id"), col("label"), col("distance"))
+    },
+
     // recall@10 of the pruned IVF search vs exact ground truth, surfaced
     // as a 1-row measurement (the reference's recall_benchmark.rs analogue).
     "ivf_recall" -> Q.noOracle { (s, dir) =>

@@ -109,4 +109,40 @@ class IvfStorageSpec extends SparkSpec {
     // pruned scan reads strictly fewer rows than the table holds
     assert(pruned.count() < stored.count())
   }
+
+  test("writeIndex/loadIndex round-trips and the loaded search prunes files") {
+    val emb = sf("embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val ix = Ivf.build(emb, col("embedding"), numCells = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfix").toString
+    Ivf.writeIndex(ix, dir)
+    val loaded = Ivf.loadIndex(spark, dir)
+    assert(loaded.metric == ix.metric)
+    assert(loaded.centroids.length == ix.centroids.length)
+    assert(loaded.centroids.zip(ix.centroids)
+      .forall { case (a, b) => a.sameElements(b) })
+    // full probe on the stored index reproduces the in-memory result
+    def rows(i: Ivf.Index) =
+      Ivf.search(i, query, 10, nprobe = 4, "vec_id", "embedding",
+        roundTo = Some(6))
+        .select(col("vec_id").cast("long"), col("distance"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows(loaded) == rows(ix))
+    // pruned probe opens strictly fewer files than the table holds: the
+    // scan node's numFiles metric counts files AFTER partition pruning
+    // (Dataset.inputFiles would list the whole relation)
+    val probed = Ivf.probeCells(loaded, query, 1)
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      val plan = df.queryExecution.executedPlan
+      plan.execute().count() // run this exact plan so metrics populate
+      plan.collectLeaves().flatMap(_.metrics.get("numFiles"))
+        .map(_.value).sum
+    }
+    val prunedFiles = filesRead(
+      loaded.assigned.filter(col("cell").isin(probed: _*)))
+    val allFiles = filesRead(loaded.assigned)
+    assert(prunedFiles > 0 && prunedFiles < allFiles,
+      s"pruned scan read $prunedFiles of $allFiles files")
+  }
 }

@@ -152,6 +152,30 @@ class CliSpec extends SparkSpec {
       l.contains("\"null_vectors\": 0")), hout)
   }
 
+  test("index-build then index-search answers from the stored cells") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-ix").toString
+    val (bc, bout) = cli("index-build", s"$dataDir/a.parquet",
+      "--out", s"$dir/ix", "--cells", "4")
+    assert(bc == 0, bout.mkString("\n"))
+    assert(bout.exists(l => l.contains("\"indexed\": 40") &&
+      l.contains("\"cells\": 4")), bout)
+    // query by id from the source collection; full probe = exact top-1 is
+    // the query row itself at distance 0
+    val (sc, sout) = cli("index-search", s"$dir/ix",
+      "--query-id", "v07", "--collection", s"$dataDir/a.parquet",
+      "--k", "3", "--nprobe", "4", "--json")
+    assert(sc == 0, sout.mkString("\n"))
+    assert(sout.head.contains("\"id\":\"v07\"") ||
+      sout.head.contains("\"id\": \"v07\""), sout.head)
+    // literal-vector form agrees
+    val qv = spark.read.parquet(s"$dataDir/a.parquet")
+      .filter(col("id") === "v07").select("vector")
+      .head().getSeq[Float](0)
+    val (vc2, vout) = cli("index-search", s"$dir/ix",
+      "--vector", qv.mkString(","), "--k", "3", "--nprobe", "4", "--json")
+    assert(vc2 == 0 && vout == sout, vout.mkString("\n"))
+  }
+
   test("tune: emits a frontier and a best config meeting the floor") {
     val (code, out) = cli("tune", s"$dataDir/a.parquet",
       "--k", "5", "--queries", "3", "--min-recall", "0.9")
