@@ -102,6 +102,48 @@ object MultimodalQueries {
         .orderBy(col("id"))
     },
 
+    // Whole-database export/import (reference database/mod.rs:965-1020):
+    // two collections exported to the JSONL interchange with a manifest,
+    // imported back, and reduced to per-collection fingerprints — row
+    // count, id sum, and a fixed-point vector-content sum. The oracle
+    // computes the same fingerprints from the SOURCE parquet, so the gate
+    // proves the round trip loses nothing: JSON shortest-round-trip float
+    // text parses back to the identical f32, and both engines reduce
+    // per-row f64 sums to µ-precision BIGINTs before the order-insensitive
+    // global sum (the data_profile fixed-point pattern).
+    "export_import_all" -> Q(
+      """WITH src AS (
+        |  SELECT 'all_vecs' AS collection, vec_id AS id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT 'even_vecs', vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0)
+        |SELECT collection, count(*) AS n, CAST(sum(id) AS BIGINT) AS sum_id,
+        |       CAST(sum(CAST(round(list_sum(embedding::DOUBLE[]) * 1000000)
+        |                     AS BIGINT)) AS BIGINT) AS sum_vec_fp
+        |FROM src GROUP BY collection ORDER BY collection""".stripMargin
+    ) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vector"))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-exportall-q").toString
+      Interchange.exportAll(
+        Map("all_vecs" -> emb, "even_vecs" -> emb.filter(col("id") % 2 === 0)),
+        out, "id", "vector", metaCol = None)
+      val dims = emb.select(size(col("vector"))).head().getInt(0)
+      val ones = Array.fill(dims)(1.0f)
+      Interchange.importAll(s, out).toSeq.sortBy(_._1)
+        .map { case (name, df) =>
+          df.select(lit(name).as("collection"),
+            col("id").cast("long").as("id"),
+            // compiled dot with the ones vector = element sum in one pass
+            (-graft.functions.Distances.distance("dot", col("vector"),
+              lit(ones))).as("vs"))
+        }.reduce(_ unionAll _)
+        .groupBy(col("collection"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+          sum(round(col("vs") * 1e6, 0).cast("long")).as("sum_vec_fp"))
+        .orderBy(col("collection"))
+    },
+
     // Deterministic mock auto-embedding (reference insert_auto_text with
     // the Mock backend, src/ml/auto_embed.rs:542) — FULL hash oracle
     // since r5. The whole scheme replicates in DuckDB: FNV-1a over UTF-8
