@@ -99,6 +99,8 @@ class RestApi(spark: SparkSession) {
         case ("POST", List("collections")) => createCollection(body)
         case ("GET", List("collections", name)) => getCollection(name)
         case ("DELETE", List("collections", name)) => deleteCollection(name)
+        case ("GET", List("collections", c, "vectors")) =>
+          listVectors(c, params)
         case ("GET", List("collections", c, "vectors", id)) => getVector(c, id)
         case ("DELETE", List("collections", c, "vectors", id)) =>
           deleteVectors(c, Seq(id))
@@ -246,6 +248,34 @@ class RestApi(spark: SparkSession) {
       c.deleted += n
       ok(obj(_.put("deleted", n)))
     }
+  }
+
+  /** Keyset-paged vector listing (reference handlers/vector.rs list):
+    * `?after_id=&limit=` — each page is `WHERE id > cursor ORDER BY id
+    * LIMIT n`, constant cost at any depth, only the page is collected.
+    */
+  private def listVectors(name: String,
+                          params: Map[String, String]): (Int, String) = {
+    val c = coll(name)
+    val limit = math.min(math.max(
+      params.get("limit").map(_.toInt).getOrElse(100), 1), 1000)
+    val afterId = params.get("after_id")
+    val base = liveRows(c)
+    val page = afterId.fold(base)(cur => base.filter(col("id") > cur))
+      .orderBy(col("id")).limit(limit).collect()
+    ok(obj { o =>
+      val rs = o.putArray("vectors")
+      page.foreach { r =>
+        val e = rs.addObject()
+        e.put("id", r.getString(0))
+        val v = e.putArray("vector")
+        r.getSeq[Float](1).foreach(v.add(_))
+        e.set[ObjectNode]("metadata", metaNode(r.getAs[String]("metadata")))
+      }
+      val p = o.putObject("pagination")
+      p.put("count", page.length).put("has_more", page.length == limit)
+      if (page.nonEmpty) p.put("next_after_id", page.last.getString(0))
+    })
   }
 
   private def getVector(name: String, id: String): (Int, String) = {

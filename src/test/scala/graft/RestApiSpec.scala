@@ -292,6 +292,29 @@ class RestApiSpec extends SparkSpec {
       == 400)
   }
 
+  test("vector listing pages by keyset and carries vectors + metadata") {
+    val a = api
+    (1 to 5).foreach(i =>
+      insert(a, f"v$i%02d", Seq(i * 0.1, 0, 0), meta = s"""{"n":"$i"}"""))
+    val (s1, b1) = a.handle("GET", "/collections/docs/vectors?limit=3", "")
+    assert(s1 == 200, b1)
+    val p1 = mapper.readTree(b1)
+    val ids1 = (0 until p1.get("vectors").size())
+      .map(i => p1.get("vectors").get(i).get("id").asText())
+    assert(ids1 == Seq("v01", "v02", "v03"))
+    assert(p1.get("vectors").get(0).get("vector").size() == 3)
+    assert(p1.get("vectors").get(0).get("metadata").get("n").asText() == "1")
+    assert(p1.get("pagination").get("has_more").asBoolean())
+    val cur = p1.get("pagination").get("next_after_id").asText()
+    val (s2, b2) = a.handle("GET",
+      s"/collections/docs/vectors?limit=3&after_id=$cur", "")
+    assert(s2 == 200, b2)
+    val p2 = mapper.readTree(b2)
+    assert((0 until p2.get("vectors").size())
+      .map(i => p2.get("vectors").get(i).get("id").asText())
+      == Seq("v04", "v05"))
+  }
+
   test("ttl honored on a registered parquet-backed table") {
     import org.apache.spark.sql.functions._
     val a = new RestApi(spark)
