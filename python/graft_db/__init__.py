@@ -27,7 +27,8 @@ import urllib.error
 import urllib.request
 from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
 
-__all__ = ["Client", "Collection", "QueryResult", "GraftError", "backend"]
+__all__ = ["Client", "Collection", "MemoryStore", "QueryResult",
+           "GraftError", "backend"]
 
 
 def backend() -> str:
@@ -181,10 +182,17 @@ class Collection:
         return {"ids": r_ids, "vectors": r_vecs, "metadatas": r_meta}
 
     def delete(self, ids: Sequence[str]) -> int:
-        """Delete vectors by id; returns the number deleted."""
-        out = self._http.call(
-            "POST", f"/collections/{self.name}/vectors/delete-batch",
-            {"ids": [str(v) for v in ids]})
+        """Delete vectors by id; returns the number deleted (absent ids
+        count as 0, reference semantics).
+        """
+        try:
+            out = self._http.call(
+                "POST", f"/collections/{self.name}/vectors/delete-batch",
+                {"ids": [str(v) for v in ids]})
+        except GraftError as e:
+            if e.status == 404:
+                return 0
+            raise
         return int(out.get("deleted", 0))
 
     def where(self, where: Dict[str, Any], limit: int = 100,
@@ -239,6 +247,69 @@ class Collection:
     def __repr__(self) -> str:
         return (f"Collection(name='{self.name}', "
                 f"dimensions={self.dimensions})")
+
+
+class MemoryStore:
+    """Agentic memory over a collection (reference ``needle_db.MemoryStore``):
+    memories are vectors whose metadata carries content, tier, importance,
+    and an optional session scope, so recall is a filtered similarity
+    search on the same engine path as any other query.
+    """
+
+    _seq = 0
+
+    def __init__(self, collection: Collection) -> None:
+        self.collection = collection
+
+    def remember(self, content: str, vector: Sequence[float],
+                 tier: str = "episodic", importance: float = 0.5,
+                 session_id: Optional[str] = None,
+                 metadata: Optional[Dict[str, Any]] = None) -> str:
+        """Store one memory; returns its generated id."""
+        import time
+        MemoryStore._seq += 1
+        memory_id = f"mem_{int(time.time() * 1000)}_{MemoryStore._seq}"
+        meta = dict(metadata or {})
+        meta.update({"_memory_content": content, "_memory_tier": tier,
+                     "_memory_importance": importance,
+                     "_memory_timestamp": time.time()})
+        if session_id:
+            meta["_memory_session"] = session_id
+        self.collection.add(ids=[memory_id], vectors=[list(vector)],
+                            metadatas=[meta])
+        return memory_id
+
+    def recall(self, query: Sequence[float], k: int = 5,
+               tier: Optional[str] = None,
+               min_importance: Optional[float] = None,
+               session_id: Optional[str] = None) -> List[Dict[str, Any]]:
+        """Similarity recall with optional tier/importance/session filters."""
+        clauses: List[Dict[str, Any]] = []
+        if tier:
+            clauses.append({"_memory_tier": {"$eq": tier}})
+        if min_importance is not None:
+            clauses.append({"_memory_importance": {"$gte": min_importance}})
+        if session_id:
+            clauses.append({"_memory_session": {"$eq": session_id}})
+        where: Optional[Dict[str, Any]] = None
+        if len(clauses) == 1:
+            where = clauses[0]
+        elif clauses:
+            where = {"$and": clauses}
+        res = self.collection.query([list(query)], n_results=k, where=where)
+        out: List[Dict[str, Any]] = []
+        for i, mid in enumerate(res.ids[0] if res.ids else []):
+            meta = (res.metadatas[0][i] or {}) if res.metadatas[0] else {}
+            out.append({"memory_id": mid,
+                        "distance": res.distances[0][i],
+                        "content": meta.get("_memory_content"),
+                        "tier": meta.get("_memory_tier"),
+                        "importance": meta.get("_memory_importance")})
+        return out
+
+    def forget(self, memory_id: str) -> bool:
+        """Delete one memory; True when it existed."""
+        return self.collection.delete([memory_id]) > 0
 
 
 class Client:
@@ -313,6 +384,11 @@ class Client:
 
     def delete_collection(self, name: str) -> None:
         self._http.call("DELETE", f"/collections/{name}")
+
+    def memory(self, collection_name: str, dimensions: int) -> MemoryStore:
+        """Agentic memory store over a (created-if-missing) collection."""
+        return MemoryStore(
+            self.get_or_create_collection(collection_name, dimensions))
 
     def __repr__(self) -> str:
         return f"Client(url='{self._http.base}')"

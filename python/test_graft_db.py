@@ -93,5 +93,25 @@ with Client.local(spark) as client:
     client.delete_collection("notes")
     assert client.list_collections() == []
 
+    # agentic memory: remember / filtered recall / forget
+    mem = client.memory("memories", dimensions=3)
+    m1 = mem.remember("prefers dark mode", [1, 0, 0],
+                      tier="semantic", importance=0.9)
+    m2 = mem.remember("asked about spark", [0.9, 0.1, 0],
+                      tier="episodic", importance=0.4, session_id="s1")
+    mem.remember("low-value note", [0, 1, 0],
+                 tier="episodic", importance=0.1)
+    hits = mem.recall([1, 0, 0], k=5, tier="semantic")
+    assert [h["memory_id"] for h in hits] == [m1], hits
+    assert hits[0]["content"] == "prefers dark mode"
+    assert hits[0]["importance"] == 0.9
+    important = mem.recall([1, 0, 0], k=5, min_importance=0.3)
+    assert [h["memory_id"] for h in important] == [m1, m2], important
+    scoped = mem.recall([1, 0, 0], k=5, session_id="s1")
+    assert [h["memory_id"] for h in scoped] == [m2], scoped
+    assert mem.forget(m1) and not mem.forget(m1)
+    assert mem.collection.count == 2
+    client.delete_collection("memories")
+
 print("graft_db smoke OK")
 spark.stop()
