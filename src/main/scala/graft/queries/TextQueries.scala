@@ -143,5 +143,137 @@ object TextQueries {
       Rrf.fuse(vtop, btop, Rrf.Config.default, limit = 10)
         .select(col("id"), round(col("rrf_score"), 6).as("rrf_score"))
     },
+
+    // Adaptive fusion learning (reference hybrid.rs AdaptiveFusion
+    // :812-1000) under a FULL hash oracle: 40 planted feedback events over
+    // 8 controlled query strings. DuckDB re-derives the query-type
+    // classification (question word / quotes / special chars) from the
+    // strings themselves, then replays the order-dependent clamped
+    // feedback fold as a recursive CTE (the trajectory_dtw DP-fold
+    // pattern) and the preset-vs-learned blend, so classifier, fold,
+    // clamp, blend, and normalization are all row-for-row checked.
+    // Arithmetic parity: both sides run the same f64 op sequence
+    // (w * (1/(pos+1)), w * 0.1 decay, clamp at 0), so values are
+    // bit-identical before the 6-decimal rounding.
+    "adaptive_fusion" -> Q(
+      """WITH RECURSIVE qs(qi, q) AS (
+        |  VALUES (0, 'what is spark streaming'), (1, 'how does caching work'),
+        |         (2, '"exact phrase match"'), (3, '''quoted term'''),
+        |         (4, 'c++ vector<int> impl'), (5, 'json.parse error'),
+        |         (6, 'spark sql tutorial'), (7, 'machine learning basics')),
+        |cls AS (
+        |  SELECT qi,
+        |    CASE
+        |      WHEN lower(regexp_extract(trim(q), '^\S+')) IN
+        |             ('who','what','when','where','why','how','which',
+        |              'whose','whom','is','are','can','does','do')
+        |           OR right(trim(q), 1) = '?' THEN 'Semantic'
+        |      WHEN contains(q, '"') OR contains(q, '''') THEN 'Keyword'
+        |      WHEN regexp_matches(q, '[^a-zA-Z0-9\s''"?]') THEN 'Mixed'
+        |      ELSE 'Semantic' END AS qtype
+        |  FROM qs),
+        |-- per-event jitter on the recorded weights (feedback carries the
+        |-- weights actually used, which drift over a session) so the
+        |-- per-type sums are not ratio-degenerate
+        |ev AS (
+        |  SELECT i + 1 AS rn, c.qtype, (i % 3) <> 0 AS rel, i % 5 AS pos,
+        |         CAST(CASE c.qtype WHEN 'Semantic' THEN 0.7
+        |              WHEN 'Keyword' THEN 0.3 ELSE 0.5 END AS DOUBLE)
+        |           + 0.01::DOUBLE * (i % 4) AS vw,
+        |         CAST(CASE c.qtype WHEN 'Semantic' THEN 0.3
+        |              WHEN 'Keyword' THEN 0.7 ELSE 0.5 END AS DOUBLE)
+        |           + 0.01::DOUBLE * ((i + 2) % 4) AS bw
+        |  FROM range(40) t(i) JOIN cls c ON c.qi = i % 8),
+        |-- every state column is cast DOUBLE in the anchor: a recursive
+        |-- CTE's types are fixed by the anchor, and a bare 0.0 would be
+        |-- DECIMAL(1,1) — rounding the whole fold to one decimal per step
+        |fold AS (
+        |  SELECT 0 AS rn,
+        |         0.0::DOUBLE AS vS, 0.0::DOUBLE AS bS, 0 AS nS,
+        |         0.0::DOUBLE AS vK, 0.0::DOUBLE AS bK, 0 AS nK,
+        |         0.0::DOUBLE AS vM, 0.0::DOUBLE AS bM, 0 AS nM
+        |  UNION ALL
+        |  SELECT e.rn,
+        |    CASE WHEN e.qtype <> 'Semantic' THEN f.vS
+        |         WHEN e.rel THEN f.vS + e.vw * (1.0/(e.pos + 1.0))
+        |         WHEN f.nS > 0 THEN greatest(0.0, f.vS - e.vw * 0.1)
+        |         ELSE f.vS END,
+        |    CASE WHEN e.qtype <> 'Semantic' THEN f.bS
+        |         WHEN e.rel THEN f.bS + e.bw * (1.0/(e.pos + 1.0))
+        |         WHEN f.nS > 0 THEN greatest(0.0, f.bS - e.bw * 0.1)
+        |         ELSE f.bS END,
+        |    f.nS + CASE WHEN e.qtype = 'Semantic' AND e.rel THEN 1 ELSE 0 END,
+        |    CASE WHEN e.qtype <> 'Keyword' THEN f.vK
+        |         WHEN e.rel THEN f.vK + e.vw * (1.0/(e.pos + 1.0))
+        |         WHEN f.nK > 0 THEN greatest(0.0, f.vK - e.vw * 0.1)
+        |         ELSE f.vK END,
+        |    CASE WHEN e.qtype <> 'Keyword' THEN f.bK
+        |         WHEN e.rel THEN f.bK + e.bw * (1.0/(e.pos + 1.0))
+        |         WHEN f.nK > 0 THEN greatest(0.0, f.bK - e.bw * 0.1)
+        |         ELSE f.bK END,
+        |    f.nK + CASE WHEN e.qtype = 'Keyword' AND e.rel THEN 1 ELSE 0 END,
+        |    CASE WHEN e.qtype <> 'Mixed' THEN f.vM
+        |         WHEN e.rel THEN f.vM + e.vw * (1.0/(e.pos + 1.0))
+        |         WHEN f.nM > 0 THEN greatest(0.0, f.vM - e.vw * 0.1)
+        |         ELSE f.vM END,
+        |    CASE WHEN e.qtype <> 'Mixed' THEN f.bM
+        |         WHEN e.rel THEN f.bM + e.bw * (1.0/(e.pos + 1.0))
+        |         WHEN f.nM > 0 THEN greatest(0.0, f.bM - e.bw * 0.1)
+        |         ELSE f.bM END,
+        |    f.nM + CASE WHEN e.qtype = 'Mixed' AND e.rel THEN 1 ELSE 0 END
+        |  FROM fold f JOIN ev e ON e.rn = f.rn + 1),
+        |fin AS (SELECT * FROM fold ORDER BY rn DESC LIMIT 1),
+        |st AS (
+        |  SELECT 'Keyword' AS query_type, nK AS n, vK AS vSum, bK AS bSum,
+        |         0.3::DOUBLE AS pv, 0.7::DOUBLE AS pb FROM fin
+        |  UNION ALL SELECT 'Mixed', nM, vM, bM, 0.5, 0.5 FROM fin
+        |  UNION ALL SELECT 'Semantic', nS, vS, bS, 0.7, 0.3 FROM fin),
+        |w AS (
+        |  SELECT query_type, n, vSum / n AS avgV, bSum / n AS avgB,
+        |         CASE WHEN n >= 10 THEN least(n / (n + 10.0), 0.8)
+        |              ELSE 0.0 END AS blend, pv, pb
+        |  FROM st),
+        |f2 AS (
+        |  SELECT query_type, n, avgV, avgB,
+        |         pv * (1 - blend) + avgV * blend AS rawV,
+        |         pb * (1 - blend) + avgB * blend AS rawB
+        |  FROM w)
+        |SELECT query_type, CAST(n AS BIGINT) AS samples,
+        |       round(avgV / (avgV + avgB), 6) AS avg_vector_weight,
+        |       round(avgB / (avgV + avgB), 6) AS avg_bm25_weight,
+        |       round(rawV / (rawV + rawB), 6) AS vector_weight,
+        |       round(rawB / (rawV + rawB), 6) AS bm25_weight
+        |FROM f2 ORDER BY query_type""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      import graft.ops.{AdaptiveFusion, Extras}
+      val qs = Seq(
+        "what is spark streaming", "how does caching work",
+        "\"exact phrase match\"", "'quoted term'",
+        "c++ vector<int> impl", "json.parse error",
+        "spark sql tutorial", "machine learning basics")
+      val af = new AdaptiveFusion()
+      val events = (0 until 40).map { i =>
+        val q = qs(i % 8)
+        val cfg = Extras.weightsFor(Extras.classify(Extras.extractFeatures(q)))
+        (i, q, i % 3 != 0, i % 5,
+          cfg.vectorWeight + 0.01 * (i % 4),
+          cfg.bm25Weight + 0.01 * ((i + 2) % 4))
+      }.toDF("seq", "query", "relevant", "position",
+        "vector_weight", "bm25_weight")
+      af.recordBatch(events, "seq")
+      val st = af.stats
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val rep = Map("Semantic" -> qs(0), "Keyword" -> qs(2), "Mixed" -> qs(4))
+      Seq("Keyword", "Mixed", "Semantic").map { t =>
+        val ts = st.byType(t)
+        val cfg = af.weightsFor(rep(t))
+        (t, ts.samples.toLong, r6(ts.avgVectorWeight), r6(ts.avgBm25Weight),
+          r6(cfg.vectorWeight), r6(cfg.bm25Weight))
+      }.toDF("query_type", "samples", "avg_vector_weight",
+        "avg_bm25_weight", "vector_weight", "bm25_weight")
+        .orderBy(col("query_type"))
+    },
   )
 }
