@@ -85,4 +85,47 @@ with Client.local(spark) as client:
     assert store2.similarity_search("x", k=1)[0].metadata["k"] == "v"
 
 print("graft_langchain smoke OK")
+
+# ------------------------------------------------- llamaindex adapter
+from graft_llamaindex import GraftVectorStoreIndex, TextNode
+
+with Client.local(spark) as client:
+    index = GraftVectorStoreIndex.from_nodes(
+        [TextNode("alpha", id_="a", metadata={"kind": "x"},
+                  embedding=[1.0, 0.0]),
+         TextNode("beta", id_="b", metadata={"kind": "y"},
+                  embedding=[0.0, 1.0]),
+         TextNode("alpha prime", id_="c", metadata={"kind": "x"},
+                  embedding=[0.9, 0.1])],
+        client=client, collection_name="li")
+    assert index.count == 3
+
+    hits = index.query([1.0, 0.0], similarity_top_k=2)
+    assert [h.node.id_ for h in hits] == ["a", "c"], hits
+    assert hits[0].score >= hits[1].score
+    assert hits[0].node.text == "alpha"
+    assert hits[0].node.metadata == {"kind": "x"}
+
+    only_y = index.query([1.0, 0.0], similarity_top_k=3,
+                         filters={"kind": {"$eq": "y"}})
+    assert [h.node.id_ for h in only_y] == ["b"]
+
+    node = index.get_by_id("b")
+    assert node is not None and node.text == "beta"
+    assert node.embedding == [0.0, 1.0]
+    assert index.get_by_id("zz") is None
+
+    # unembedded nodes are rejected
+    try:
+        index.add([TextNode("nope", id_="z")])
+        raise AssertionError("missing embedding not rejected")
+    except ValueError:
+        pass
+
+    index.delete("a")
+    assert index.count == 2
+    retriever = index.as_retriever(similarity_top_k=1)
+    assert retriever([0.0, 1.0])[0].node.id_ == "b"
+
+print("graft_llamaindex smoke OK")
 spark.stop()

@@ -40,7 +40,12 @@ class PlanAuditSpec extends SparkSpec {
     // round-5 language-surface gates: parser/session/DSL compile down to
     // scans + windows + equi-joins
     "needleql_nearest", "needleql_asof", "alias_query", "needleql_view",
-    "windowed_agg", "bundle_roundtrip", "bm25_incremental", "pipeline_dsl")
+    "windowed_agg", "bundle_roundtrip", "bm25_incremental", "pipeline_dsl",
+    // round-6 continuation: stored/pinned IVF probes are filter+top-k
+    // scans, the interchange fingerprint is union+aggregate, and the
+    // fusion fold emits a driver-local frame
+    "ivf_pruned_fixed", "ivf_stored_search", "export_import_all",
+    "adaptive_fusion")
 
   // allowed a bounded broadcast nested loop — a 1-ROW broadcast frame
   // (BM25's (n, avgdl) corpus stats, the dedup gates' planted-pair count,
