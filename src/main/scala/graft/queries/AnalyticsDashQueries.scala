@@ -49,7 +49,14 @@ object AnalyticsDashQueries {
     // Dashboard insights (analytics.rs:506-577): QPS over the rate
     // window, index-based latency percentiles (p99 = max, the reference's
     // degenerate index expression), op-class totals, slow count, filtered
-    // ratio.
+    // ratio. The hashed surface is all-BIGINT fixed point: rounded DOUBLE
+    // quotients proved environment-sensitive across DuckDB builds (last-ulp
+    // flips in round(sum/n, 6)), so the gate hashes the micro-unit sums,
+    // counts, and micro-unit percentile values instead; ratios (QPS,
+    // filtered ratio, averages) are recovered on the Spark side by the
+    // exact inverse transform round(q·n) — IEEE division is correctly
+    // rounded, so multiplying back by the known denominator recovers the
+    // integer numerator exactly.
     "query_insights" -> Q(
       s"""WITH $qlogCte,
         |w AS (SELECT * FROM qlog WHERE ts > 1700000000 AND ts <= 1700005000),
@@ -60,34 +67,38 @@ object AnalyticsDashQueries {
         |  FROM w WHERE operation IN ('search', 'query')
         |),
         |lat AS (
-        |  SELECT round(sum(CAST(round(latency_ms * 1000) AS BIGINT)) / (count(latency_ms) * 1000.0), 6) AS avg_latency_ms,
-        |         round(max(CASE WHEN r = n * 50 // 100 THEN latency_ms END), 6) AS p50_latency_ms,
-        |         round(max(CASE WHEN r = n * 95 // 100 THEN latency_ms END), 6) AS p95_latency_ms,
-        |         round(max(latency_ms), 6) AS p99_latency_ms
+        |  SELECT coalesce(sum(CAST(round(latency_ms * 1000) AS BIGINT)), 0) AS lat_sum_micro,
+        |         count(latency_ms) AS lat_n,
+        |         coalesce(CAST(round(max(CASE WHEN r = n * 50 // 100 THEN latency_ms END) * 1000) AS BIGINT), 0) AS p50_micro,
+        |         coalesce(CAST(round(max(CASE WHEN r = n * 95 // 100 THEN latency_ms END) * 1000) AS BIGINT), 0) AS p95_micro,
+        |         coalesce(CAST(round(max(latency_ms) * 1000) AS BIGINT), 0) AS p99_micro
         |  FROM s
         |),
         |c AS (
-        |  SELECT round(count(*) / 5000.0, 6) AS current_qps,
+        |  SELECT count(*) AS total_ops,
         |         sum(CASE WHEN operation IN ('search', 'query') THEN 1 ELSE 0 END) AS total_queries,
         |         sum(CASE WHEN operation IN ('insert', 'upsert') THEN 1 ELSE 0 END) AS total_inserts,
         |         sum(CASE WHEN operation = 'delete' THEN 1 ELSE 0 END) AS total_deletes,
         |         sum(CASE WHEN operation IN ('search', 'query') AND latency_ms > 90 THEN 1 ELSE 0 END) AS slow_query_count,
-        |         round(sum(CASE WHEN operation IN ('search', 'query') AND has_filter THEN 1 ELSE 0 END)::DOUBLE /
-        |               sum(CASE WHEN operation IN ('search', 'query') THEN 1 ELSE 0 END), 6) AS filtered_query_ratio
+        |         sum(CASE WHEN operation IN ('search', 'query') AND has_filter THEN 1 ELSE 0 END) AS filtered_count
         |  FROM w
         |)
         |SELECT * FROM c CROSS JOIN lat""".stripMargin
     ) { (s, dir) =>
       QueryAnalytics.insights(qlog(s, dir), now = 1700005000L,
           windowSecs = 5000L, slowThresholdMs = 90.0)
-        .select(round(col("current_qps"), 6).as("current_qps"),
+        .select(
+          round(col("current_qps") * 5000).cast("long").as("total_ops"),
           col("total_queries"), col("total_inserts"), col("total_deletes"),
           col("slow_query_count"),
-          round(col("filtered_query_ratio"), 6).as("filtered_query_ratio"),
-          round(col("avg_latency_ms"), 6).as("avg_latency_ms"),
-          round(col("p50_latency_ms"), 6).as("p50_latency_ms"),
-          round(col("p95_latency_ms"), 6).as("p95_latency_ms"),
-          round(col("p99_latency_ms"), 6).as("p99_latency_ms"))
+          round(col("filtered_query_ratio") * col("total_queries"))
+            .cast("long").as("filtered_count"),
+          round(col("avg_latency_ms") * col("total_queries") * 1000)
+            .cast("long").as("lat_sum_micro"),
+          col("total_queries").as("lat_n"),
+          round(col("p50_latency_ms") * 1000).cast("long").as("p50_micro"),
+          round(col("p95_latency_ms") * 1000).cast("long").as("p95_micro"),
+          round(col("p99_latency_ms") * 1000).cast("long").as("p99_micro"))
     },
 
     // Query patterns (analytics.rs:208-256) keyed by (collection,
@@ -134,24 +145,27 @@ object AnalyticsDashQueries {
         .limit(15)
     },
 
-    // Per-collection analytics (analytics.rs:429-456).
+    // Per-collection analytics (analytics.rs:429-456). Same fixed-point
+    // hashing discipline as query_insights: the gate hashes micro-unit
+    // BIGINT latency sums (recovered exactly from the operator's averages
+    // by round(avg·n·1000)), never a rounded double quotient.
     "collection_analytics" -> Q(
       s"""WITH $qlogCte
         |SELECT collection,
         |       sum(CASE WHEN operation IN ('search', 'query') THEN 1 ELSE 0 END) AS total_queries,
         |       sum(CASE WHEN operation IN ('insert', 'upsert') THEN 1 ELSE 0 END) AS total_inserts,
         |       sum(CASE WHEN operation = 'delete' THEN 1 ELSE 0 END) AS total_deletes,
-        |       round(coalesce(sum(CASE WHEN operation IN ('search', 'query') THEN CAST(round(latency_ms * 1000) AS BIGINT) END) /
-        |                      (count(CASE WHEN operation IN ('search', 'query') THEN latency_ms END) * 1000.0), 0), 6) AS avg_search_latency_ms,
-        |       round(coalesce(sum(CASE WHEN operation IN ('insert', 'upsert') THEN CAST(round(latency_ms * 1000) AS BIGINT) END) /
-        |                      (count(CASE WHEN operation IN ('insert', 'upsert') THEN latency_ms END) * 1000.0), 0), 6) AS avg_insert_latency_ms
+        |       coalesce(sum(CASE WHEN operation IN ('search', 'query') THEN CAST(round(latency_ms * 1000) AS BIGINT) END), 0) AS search_lat_micro,
+        |       coalesce(sum(CASE WHEN operation IN ('insert', 'upsert') THEN CAST(round(latency_ms * 1000) AS BIGINT) END), 0) AS insert_lat_micro
         |FROM qlog GROUP BY collection ORDER BY collection""".stripMargin
     ) { (s, dir) =>
       QueryAnalytics.collectionAnalytics(qlog(s, dir))
         .select(col("collection"), col("total_queries"), col("total_inserts"),
           col("total_deletes"),
-          round(col("avg_search_latency_ms"), 6).as("avg_search_latency_ms"),
-          round(col("avg_insert_latency_ms"), 6).as("avg_insert_latency_ms"))
+          round(col("avg_search_latency_ms") * col("total_queries") * 1000)
+            .cast("long").as("search_lat_micro"),
+          round(col("avg_insert_latency_ms") * col("total_inserts") * 1000)
+            .cast("long").as("insert_lat_micro"))
         .orderBy(col("collection"))
     },
   )
