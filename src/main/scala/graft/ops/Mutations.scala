@@ -140,17 +140,49 @@ object Mutations {
     *                   incoming metadata, row dropped;
     *   Version       — row inserted under `id-v<n>`.
     * Outcomes has one row per incoming id: (id, outcome, existing_id,
-    * distance). The 1-NN is a broadcast-able join (incoming batch is small
-    * relative to the collection) followed by a min-struct aggregate; ties
-    * break on existing id.
+    * distance); ties break on existing id.
+    *
+    * The 1-NN has two physical shapes, picked by collection size:
+    *   - at or below `maxExactRows` existing rows: the definitional exact
+    *     form — |incoming|×|coll| distance pairs via crossJoin + min-struct
+    *     aggregate (fine for a small collection or a small batch against a
+    *     small store; the semantics oracle);
+    *   - above `maxExactRows`: IVF cell blocking (the
+    *     Ivf.nearDupBlocked shape) — centroids fit on a bounded sample,
+    *     existing rows assigned to their nearest cell (one narrow
+    *     full-data map), each incoming row exploded to its `nprobe`
+    *     nearest cells, and distances computed only inside the cell
+    *     equi-join. Work drops from |incoming|×|coll| to
+    *     |incoming|×nprobe×(|coll|/numCells) expected, and the join is a
+    *     shuffle-on-cell equi-join — the shape that survives a streaming
+    *     ingest batch against a 100 TB store. Near-dup detection is then
+    *     multi-probe-approximate: a duplicate hiding beyond the incoming
+    *     vector's `nprobe` nearest cells is missed, which at dup-grade
+    *     thresholds requires the pair to straddle `nprobe` cell boundaries
+    *     at once.
     */
   def dedupInsert(coll: DataFrame, incoming: DataFrame, threshold: Double,
                   policy: DedupPolicy, metric: String = "cosine",
                   idCol: String = "id", vecCol: String = "vector",
                   metaCol: String = "metadata",
-                  roundTo: Int = 6): DedupResult = {
-    val existing = coll.select(col(idCol).as("__eid"), col(vecCol).as("__evec"))
-    val nn = incoming.select(col(idCol), col(vecCol)).crossJoin(existing)
+                  roundTo: Int = 6, maxExactRows: Int = 100000,
+                  numCells: Int = 64, nprobe: Int = 4): DedupResult = {
+    val exact = coll.limit(maxExactRows + 1).count() <= maxExactRows
+    val pairs =
+      if (exact) {
+        val existing = coll.select(col(idCol).as("__eid"), col(vecCol).as("__evec"))
+        incoming.select(col(idCol), col(vecCol)).crossJoin(existing)
+      } else {
+        val ix = graft.ann.Ivf.build(
+          coll.select(col(idCol), col(vecCol)), col(vecCol), numCells, metric)
+        val existing = ix.assigned.select(col("cell"),
+          col(idCol).as("__eid"), col(vecCol).as("__evec"))
+        incoming.select(col(idCol), col(vecCol))
+          .withColumn("cell", explode(
+            graft.ann.Ivf.probeCellsOf(col(vecCol), ix.centroids, metric, nprobe)))
+          .join(existing, Seq("cell"))
+      }
+    val nn = pairs
       .withColumn("__d",
         round(Distances.distance(metric, col(vecCol), col("__evec")), roundTo))
       .groupBy(col(idCol))

@@ -90,6 +90,53 @@ class MutationsSpec extends SparkSpec {
       && aMeta.contains("\"x\":1"))
   }
 
+  test("dedup blocked path matches the exact path on an exhaustive probe") {
+    val base = coll.filter(!col("deleted"))
+    val incoming = Seq(
+      ("dup1", Array(1f, 0f), """{"y": 7}""", 500L, null.asInstanceOf[java.lang.Long], false),
+      ("new1", Array(-1f, 0.5f), """{"y": 8}""", 500L, null.asInstanceOf[java.lang.Long], false),
+    ).toDF("id", "vector", "metadata", "inserted_at", "ttl_expires_at", "deleted")
+    // maxExactRows = 0 forces IVF blocking; nprobe == numCells makes the
+    // probe exhaustive, so the outcomes must be bit-identical to exact
+    val exact = Mutations.dedupInsert(base, incoming, 0.01, DedupPolicy.Reject)
+    val blocked = Mutations.dedupInsert(base, incoming, 0.01, DedupPolicy.Reject,
+      maxExactRows = 0, numCells = 2, nprobe = 2)
+    val e = exact.outcomes.orderBy("id")
+      .select("id", "outcome", "existing_id").as[(String, String, String)]
+      .collect().toSeq
+    val b = blocked.outcomes.orderBy("id")
+      .select("id", "outcome", "existing_id").as[(String, String, String)]
+      .collect().toSeq
+    assert(b == e)
+    assert(blocked.collection.count() == exact.collection.count())
+  }
+
+  test("dedup blocked path: 100k-row collection, no cartesian, planted dup caught") {
+    val n = 100000L
+    // last component pinned to 1 → two rows are cosine-identical iff the
+    // whole pattern matches (no accidental parallel pairs)
+    val vec = array((col("id") % 7 + 1).cast("float"),
+      (col("id") % 11 + 1).cast("float"), (col("id") % 13 + 1).cast("float"),
+      lit(1f))
+    val big = spark.range(n).select(col("id"), vec.as("vector"),
+      lit("{}").as("metadata"))
+    val incoming = Seq(
+      (1000005L, Seq(6f, 6f, 6f, 1f), "{}"),   // == row id 5's pattern
+      (1000006L, Seq(100f, 1f, 1f, 1f), "{}")) // far from every pattern
+      .toDF("id", "vector", "metadata")
+      .select(col("id"), col("vector").cast("array<float>").as("vector"),
+        col("metadata"))
+    val got = Mutations.dedupInsert(big, incoming, 0.0001, DedupPolicy.Reject,
+      numCells = 16, nprobe = 4)
+    val plan = got.outcomes.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    val out = got.outcomes.orderBy("id")
+      .select("id", "outcome", "existing_id")
+      .as[(Long, String, java.lang.Long)].collect().toSeq
+    assert(out.head == ((1000005L, "rejected", java.lang.Long.valueOf(5L))))
+    assert(out(1)._2 == "inserted")
+  }
+
   test("dedup Version: suffix continues across calls (no -v1 collision)") {
     val base = coll.filter(!col("deleted"))
     val in1 = Seq(("dup1", Array(1f, 0f), """{}""", 500L,

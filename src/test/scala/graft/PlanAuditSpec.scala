@@ -88,6 +88,28 @@ class PlanAuditSpec extends SparkSpec {
       s"p_size filter not pushed to the parquet scan:\n$plan")
   }
 
+  // dedup_insert_reject's gate runs at correctness scale where the exact
+  // |incoming|×|coll| form is definitional — so the AUDITED shape is the
+  // one a big collection takes: above maxExactRows the 1-NN must plan as
+  // an IVF cell equi-join, never a cartesian or nested loop
+  test("dedupInsert blocked path plans an equi-join, no cartesian/BNLJ") {
+    import org.apache.spark.sql.functions._
+    val vec = array((col("id") % 5 + 1).cast("float"),
+      (col("id") % 3 + 1).cast("float"), lit(1f))
+    val coll = spark.range(500).select(col("id"), vec.as("vector"),
+      lit("{}").as("metadata"))
+    val incoming = spark.range(3).select((col("id") + 1000).as("id"),
+      vec.as("vector"), lit("{}").as("metadata"))
+    val got = graft.ops.Mutations.dedupInsert(coll, incoming, 0.0001,
+      graft.ops.Mutations.DedupPolicy.Reject,
+      maxExactRows = 0, numCells = 4, nprobe = 2)
+    for (df <- Seq(got.outcomes, got.collection)) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+  }
+
   // narrow per-row operators: the ONLY exchange allowed is the gate's
   // final ORDER BY (range partitioning) — a hash repartition anywhere
   // means the "streams at scan speed" claim is false
