@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import urllib.error
+import urllib.parse
 import urllib.request
 from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
 
@@ -171,7 +172,8 @@ class Collection:
         for vid in ids:
             try:
                 out = self._http.call(
-                    "GET", f"/collections/{self.name}/vectors/{vid}")
+                    "GET", f"/collections/{self.name}/vectors/"
+                           f"{urllib.parse.quote(str(vid), safe='')}")
             except GraftError as e:
                 if e.status == 404:
                     continue
@@ -215,7 +217,8 @@ class Collection:
     def __contains__(self, vector_id: str) -> bool:
         try:
             self._http.call(
-                "GET", f"/collections/{self.name}/vectors/{vector_id}")
+                "GET", f"/collections/{self.name}/vectors/"
+                       f"{urllib.parse.quote(str(vector_id), safe='')}")
             return True
         except GraftError as e:
             if e.status == 404:
@@ -229,9 +232,11 @@ class Collection:
         """
         after: Optional[str] = None
         while True:
-            path = f"/collections/{self.name}/vectors?limit=500"
+            params = {"limit": 500}
             if after is not None:
-                path += f"&after_id={after}"
+                params["after_id"] = after
+            path = (f"/collections/{self.name}/vectors?"
+                    f"{urllib.parse.urlencode(params)}")
             page = self._http.call("GET", path)
             data = page.get("vectors", [])
             for row in data:

@@ -17,6 +17,7 @@ engine — no client-side scans.
 """
 from __future__ import annotations
 
+import uuid
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 from graft_db import Client, Collection
@@ -110,8 +111,10 @@ class GraftVectorStore:
         vectors = _vectors if _vectors is not None else _embed_many(
             self.embedding, texts)
         if ids is None:
-            start = self.collection.count
-            ids = [f"doc_{start + i}" for i in range(len(texts))]
+            # uuid4, not count-based: after a deletion the live count shrinks
+            # and count-derived ids collide with (and upsert over) existing
+            # unrelated documents
+            ids = [f"doc_{uuid.uuid4().hex}" for _ in range(len(texts))]
         metas = []
         for i, text in enumerate(texts):
             m = dict(metadatas[i]) if metadatas and i < len(metadatas) else {}

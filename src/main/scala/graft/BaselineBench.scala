@@ -226,6 +226,19 @@ object BaselineBench {
       val ms2000 = best(math.max(1, runs - 1))(ivfBatch(q2000)) / 2000.0
       out(s"ivf${cells}_batch2000_nprobe${nprobe}_ms_per_query") = ms2000
       out(s"ivf${cells}_batch2000_nprobe${nprobe}_qps") = 1000.0 / ms2000
+
+      // fused mapPartitions kernel: identical results (AnnSpec proves
+      // row-identity), the row-overhead-free throughput shape
+      out(s"fused${cells}_batch_nprobe${nprobe}_recall_at_10") =
+        recalls.sum / recalls.length
+      def fusedBatch(qs: Seq[(Int, Array[Float])]): Unit =
+        Ivf.batchSearchFused(index, qs, 10, nprobe, "id", "vector").collect()
+      fusedBatch(q100.take(10)) // warm
+      val fms100 = best(runs)(fusedBatch(q100)) / 100.0
+      out(s"fused${cells}_batch100_nprobe${nprobe}_qps") = 1000.0 / fms100
+      val fms2000 = best(math.max(1, runs - 1))(fusedBatch(q2000)) / 2000.0
+      out(s"fused${cells}_batch2000_nprobe${nprobe}_ms_per_query") = fms2000
+      out(s"fused${cells}_batch2000_nprobe${nprobe}_qps") = 1000.0 / fms2000
     }
 
     ix256.assigned.unpersist() // keep the BQ section's memory clean
@@ -278,12 +291,13 @@ object BaselineBench {
         // clears the reference's published band (≥ 0.95) — a fast
         // low-recall config is not a comparable number
         val eligible = out.keys.filter(_.matches(
-          "(ivf\\d+|rbq)_batch_nprobe\\d+_recall_at_10"))
+          "(ivf\\d+|rbq|fused\\d+)_batch_nprobe\\d+_recall_at_10"))
           .filter(out(_) >= 0.95)
           .map(_.replace("_batch_nprobe", "_batch2000_nprobe")
             .replace("_recall_at_10", "_qps"))
           .filter(out.contains)
-        eligible.map(out).max
+        // maxOption: an all-below-floor run must still write the artifact
+        eligible.map(out).maxOption.getOrElse(0.0)
       }),
       ("insert_ops_per_s", 1200.0, out("insert_append_ops_per_s")),
       ("filtered_search_qps", 220.0, out("filtered_batch100_qps")))

@@ -35,6 +35,12 @@ object Cli {
   final case class ParsedArgs(positional: Seq[String],
                               options: Map[String, Seq[String]])
 
+  /** Flags that never take a space-separated value — without this list a
+    * bare flag would swallow the next positional/short option, so
+    * `diff --summary SRC TGT` or `sql --json -e QUERY` would misparse.
+    */
+  private val booleanFlags = Set("json", "summary", "groups", "diff-report")
+
   /** `--key value` (repeatable), `--key=value`, bare `--flag`, and short
     * `-e value` forms (both spellings land under the bare key name).
     */
@@ -51,7 +57,8 @@ object Cli {
         val body = a.dropWhile(_ == '-')
         if (body.contains("=")) {
           val Array(k, v) = body.split("=", 2); add(k, v)
-        } else if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+        } else if (!booleanFlags.contains(body) &&
+            i + 1 < args.length && !args(i + 1).startsWith("--")) {
           add(body, args(i + 1)); i += 1
         } else add(body, "")
       } else pos += a

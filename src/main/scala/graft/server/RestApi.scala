@@ -91,7 +91,10 @@ class RestApi(spark: SparkSession) {
     */
   def handle(method: String, rawPath: String, body: String): (Int, String) = {
     val (path, params) = splitQuery(rawPath)
+    // percent-decode AFTER splitting on '/': an id containing an encoded
+    // '/' or '&' must stay one segment
     val parts = path.stripPrefix("/").stripSuffix("/").split("/").toList
+      .map(urlDecode)
     try {
       (method.toUpperCase(java.util.Locale.ROOT), parts) match {
         case ("GET", List("health")) => ok(obj(_.put("status", "ok")))
@@ -99,6 +102,8 @@ class RestApi(spark: SparkSession) {
         case ("POST", List("collections")) => createCollection(body)
         case ("GET", List("collections", name)) => getCollection(name)
         case ("DELETE", List("collections", name)) => deleteCollection(name)
+        case ("POST", List("collections", name, "rename")) =>
+          renameCollection(name, body)
         case ("GET", List("collections", c, "vectors")) =>
           listVectors(c, params)
         case ("GET", List("collections", c, "vectors", id)) => getVector(c, id)
@@ -192,6 +197,25 @@ class RestApi(spark: SparkSession) {
     ok(obj(_.put("deleted", name)))
   }
 
+  /** Rename (reference: db.rename_collection, exposed through MCP): the
+    * registry key moves, the DataFrame is untouched.
+    */
+  private def renameCollection(name: String, body: String): (Int, String) =
+    synchronized {
+      val c = coll(name)
+      val newName = require(mapper.readTree(body), "new_name").asText()
+      if (newName.isEmpty || !newName.matches("[A-Za-z0-9_.-]{1,128}"))
+        throw ApiException(400, s"Invalid collection name: $newName",
+          "INVALID_NAME")
+      if (collections.contains(newName))
+        throw ApiException(409, s"Collection already exists: $newName",
+          "ALREADY_EXISTS")
+      collections.remove(name)
+      collections(newName) = c.copy(name = newName)
+      ok(obj(o => o.put("old_name", name).put("new_name", newName)
+        .put("renamed", true)))
+    }
+
   // -------------------------------------------------------------- vectors
 
   private def insert(name: String, reqs: Seq[JsonNode],
@@ -261,8 +285,11 @@ class RestApi(spark: SparkSession) {
       params.get("limit").map(_.toInt).getOrElse(100), 1), 1000)
     val afterId = params.get("after_id")
     val base = liveRows(c)
-    val page = afterId.fold(base)(cur => base.filter(col("id") > cur))
-      .orderBy(col("id")).limit(limit).collect()
+    // fetch limit+1: has_more from the presence of the extra row, so an
+    // exact-boundary final page does not advertise a phantom next page
+    val fetched = afterId.fold(base)(cur => base.filter(col("id") > cur))
+      .orderBy(col("id")).limit(limit + 1).collect()
+    val page = fetched.take(limit)
     ok(obj { o =>
       val rs = o.putArray("vectors")
       page.foreach { r =>
@@ -273,7 +300,7 @@ class RestApi(spark: SparkSession) {
         e.set[ObjectNode]("metadata", metaNode(r.getAs[String]("metadata")))
       }
       val p = o.putObject("pagination")
-      p.put("count", page.length).put("has_more", page.length == limit)
+      p.put("count", page.length).put("has_more", fetched.length > limit)
       if (page.nonEmpty) p.put("next_after_id", page.last.getString(0))
     })
   }
@@ -440,12 +467,15 @@ class RestApi(spark: SparkSession) {
       throw ApiException(400, "filter is required", "MISSING_FILTER"))
     val matched = liveRows(c).filter(filter)
     val total = matched.count()
-    val page = afterId match {
+    // keyset page fetches limit+1 rows: has_more comes from the presence
+    // of the extra row, never from an exactly-full page
+    val fetched = afterId match {
       case Some(cur) => matched.filter(col("id") > cur)
-        .orderBy(col("id")).limit(limit).collect()
+        .orderBy(col("id")).limit(limit + 1).collect()
       case None => matched.orderBy(col("id"))
         .limit(offset + limit).collect().drop(offset)
     }
+    val page = if (afterId.isDefined) fetched.take(limit) else fetched
     ok(obj { o =>
       val rs = o.putArray("data")
       page.foreach { r =>
@@ -455,7 +485,7 @@ class RestApi(spark: SparkSession) {
       }
       val p = o.putObject("pagination")
       p.put("count", page.length).put("offset", offset).put("total", total)
-      val more = afterId.isDefined && page.length == limit ||
+      val more = afterId.isDefined && fetched.length > limit ||
         afterId.isEmpty && total > offset + limit
       p.put("has_more", more)
       if (page.nonEmpty && more) p.put("next_after_id", page.last.getString(0))
@@ -570,11 +600,17 @@ class RestApi(spark: SparkSession) {
     out.result()
   }
 
+  private def urlDecode(s: String): String =
+    java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+
   private def splitQuery(raw: String): (String, Map[String, String]) =
     raw.split("\\?", 2) match {
       case Array(p) => (p, Map.empty)
       case Array(p, q) => (p, q.split("&").filter(_.contains("="))
-        .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap)
+        .map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          urlDecode(k) -> urlDecode(v)
+        }.toMap)
     }
 }
 

@@ -65,6 +65,25 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("ivf batchSearchFused is row-identical to batchSearch") {
+    val queries = emb.filter(col("vec_id") < 5).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray).zipWithIndex.map(_.swap).toSeq
+    for (metric <- Seq("cosine", "euclidean", "dot");
+         nprobe <- Seq(2, 8)) {
+      val ix = Ivf.build(emb, col("embedding"), numCells = 8, metric)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("query_id"), col("vec_id").cast("long"), col("distance"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(x => (x._1, x._3, x._2)).toSeq
+      val joined = rows(Ivf.batchSearch(ix, queries, 5, nprobe,
+        "vec_id", "embedding", roundTo = Some(6)))
+      val fused = rows(Ivf.batchSearchFused(ix, queries, 5, nprobe,
+        "vec_id", "embedding", roundTo = Some(6)))
+      assert(fused == joined, s"metric=$metric nprobe=$nprobe")
+    }
+  }
+
   test("ivf blocked near-dup is a subset of the exact near-dup pairs") {
     val small = emb.filter(col("vec_id") < 120)
     val exact = graft.pipeline.Dedup.embeddingNearDup(

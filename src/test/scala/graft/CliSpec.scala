@@ -43,6 +43,19 @@ class CliSpec extends SparkSpec {
     assert(p.options.contains("json"))
   }
 
+  test("arg parser: boolean flags never swallow the next token") {
+    // --json before a short option: -e must stay a distinct option
+    val p1 = Cli.parseArgs(Seq("sql", "--json", "-e", "SELECT 1"))
+    assert(p1.options("json") == Vector(""))
+    assert(p1.options("e") == Vector("SELECT 1"))
+    // --summary before positionals: SRC/TGT must stay positional
+    val p2 = Cli.parseArgs(Seq("diff", "--summary", "src.parquet", "tgt.parquet"))
+    assert(p2.positional == Seq("diff", "src.parquet", "tgt.parquet"))
+    assert(p2.options("summary") == Vector(""))
+    val p3 = Cli.parseArgs(Seq("dedup", "c.parquet", "--groups", "--json"))
+    assert(p3.options.contains("groups") && p3.options.contains("json"))
+  }
+
   test("no command / unknown command → usage, exit 1") {
     assert(cli()._1 == 1)
     val (code, out) = cli("frobnicate")

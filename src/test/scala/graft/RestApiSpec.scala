@@ -315,6 +315,44 @@ class RestApiSpec extends SparkSpec {
       == Seq("v04", "v05"))
   }
 
+  test("exact-boundary final page reports has_more=false") {
+    val a = api
+    (1 to 6).foreach(i =>
+      insert(a, f"v$i%02d", Seq(i * 0.1, 0, 0), meta = s"""{"n":"$i"}"""))
+    // 6 rows, limit 3 → page 2 is exactly full AND final
+    val (_, b1) = a.handle("GET", "/collections/docs/vectors?limit=3", "")
+    val cur = mapper.readTree(b1).get("pagination").get("next_after_id").asText()
+    val (_, b2) = a.handle("GET",
+      s"/collections/docs/vectors?limit=3&after_id=$cur", "")
+    val p2 = mapper.readTree(b2)
+    assert(p2.get("vectors").size() == 3)
+    assert(!p2.get("pagination").get("has_more").asBoolean(), b2)
+    // same for the metadata keyset query
+    val (_, m1) = a.handle("POST", "/collections/docs/query",
+      """{"filter":{"n":{"$exists":true}},"limit":3,"after_id":"v03"}""")
+    val mp = mapper.readTree(m1)
+    assert(mp.get("data").size() == 3)
+    assert(!mp.get("pagination").get("has_more").asBoolean(), m1)
+  }
+
+  test("percent-encoded ids round-trip through path and query params") {
+    val a = api
+    val weird = "doc a/b&c#d"
+    insert(a, weird, Seq(1, 0, 0))
+    val enc = java.net.URLEncoder.encode(weird, "UTF-8")
+    val (s1, b1) = a.handle("GET", s"/collections/docs/vectors/$enc", "")
+    assert(s1 == 200, b1)
+    assert(mapper.readTree(b1).get("id").asText() == weird)
+    val (s2, b2) = a.handle("GET",
+      s"/collections/docs/vectors?limit=5&after_id=${java.net.URLEncoder.encode("doc", "UTF-8")}", "")
+    assert(s2 == 200, b2)
+    assert(mapper.readTree(b2).get("vectors").get(0).get("id").asText() == weird)
+    val (s3, _) = a.handle("DELETE", s"/collections/docs/vectors/$enc", "")
+    assert(s3 == 200)
+    val (s4, _) = a.handle("GET", s"/collections/docs/vectors/$enc", "")
+    assert(s4 == 404)
+  }
+
   test("ttl honored on a registered parquet-backed table") {
     import org.apache.spark.sql.functions._
     val a = new RestApi(spark)
