@@ -12,11 +12,22 @@ object Tables {
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects unless
-    // read as a raw long (nanos since epoch). The DuckDB oracle mirrors the
-    // same value with epoch_ns(ts).
+    // events.ts generations vary: TIMESTAMP(NANOS) parquet is only readable
+    // as a raw long (nanos since epoch, via the legacy conf); TIMESTAMP
+    // (MICROS) arrives as a native timestamp. Consumers that do arithmetic
+    // on ts must branch on the dtype; the assertion below makes any third
+    // variant fail loudly instead of silently dropping a gate.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      import org.apache.spark.sql.types._
+      val dt = df.schema("ts").dataType
+      require(dt == LongType || dt.isInstanceOf[TimestampType] ||
+        dt.isInstanceOf[TimestampNTZType],
+        s"events.ts schema drift: $dt is neither long-nanos nor timestamp; " +
+          "audit every consumer that does arithmetic on ts")
+    }
+    df
   }
 
   /** Register every table as a temp view (for SQL / NeedleQL layers). */

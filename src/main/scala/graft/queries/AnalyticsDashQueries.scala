@@ -19,7 +19,8 @@ object AnalyticsDashQueries {
       |         CASE event_id % 10 WHEN 7 THEN 'insert' WHEN 8 THEN 'upsert'
       |              WHEN 9 THEN 'delete' WHEN 6 THEN 'query'
       |              ELSE 'search' END AS operation,
-      |         round(value * 10, 3) AS latency_ms,
+      |         CAST(round(value * 10000) AS BIGINT) AS lat_micro,
+      |         CAST(round(value * 10000) AS BIGINT) / 1000.0 AS latency_ms,
       |         CAST(event_id % 20 AS BIGINT) AS result_count,
       |         CASE event_id % 3 WHEN 0 THEN 10 WHEN 1 THEN 50 END AS k,
       |         event_id % 2 = 0 AS has_filter,
@@ -36,7 +37,15 @@ object AnalyticsDashQueries {
         .when(col("event_id") % 10 === 9, "delete")
         .when(col("event_id") % 10 === 6, "query")
         .otherwise("search").as("operation"),
-      round(col("value") * 10, 3).as("latency_ms"),
+      // latency is NEVER a decimal-rounded double: round-to-integer of the
+      // bit-identical product value·10000 agrees across engines (half-up ==
+      // half-away-from-zero for the shortest decimal repr), and the IEEE
+      // division by 1000.0 of that integer is correctly rounded in both —
+      // so latency_ms is bit-identical to the oracle's, unlike round(x, 3)
+      // whose decimal-expansion rounding differs by a ulp across builds
+      round(col("value") * 10000).cast("long").as("lat_micro"),
+      (round(col("value") * 10000).cast("long") / lit(1000.0))
+        .as("latency_ms"),
       (col("event_id") % 20).as("result_count"),
       when(col("event_id") % 3 === 0, 10)
         .when(col("event_id") % 3 === 1, 50).as("k"),
@@ -61,17 +70,17 @@ object AnalyticsDashQueries {
       s"""WITH $qlogCte,
         |w AS (SELECT * FROM qlog WHERE ts > 1700000000 AND ts <= 1700005000),
         |s AS (
-        |  SELECT latency_ms,
-        |         row_number() OVER (ORDER BY latency_ms, ts) - 1 AS r,
+        |  SELECT lat_micro,
+        |         row_number() OVER (ORDER BY lat_micro, ts) - 1 AS r,
         |         count(*) OVER () AS n
         |  FROM w WHERE operation IN ('search', 'query')
         |),
         |lat AS (
-        |  SELECT coalesce(sum(CAST(round(latency_ms * 1000) AS BIGINT)), 0) AS lat_sum_micro,
-        |         count(latency_ms) AS lat_n,
-        |         coalesce(CAST(round(max(CASE WHEN r = n * 50 // 100 THEN latency_ms END) * 1000) AS BIGINT), 0) AS p50_micro,
-        |         coalesce(CAST(round(max(CASE WHEN r = n * 95 // 100 THEN latency_ms END) * 1000) AS BIGINT), 0) AS p95_micro,
-        |         coalesce(CAST(round(max(latency_ms) * 1000) AS BIGINT), 0) AS p99_micro
+        |  SELECT coalesce(sum(lat_micro), 0) AS lat_sum_micro,
+        |         count(lat_micro) AS lat_n,
+        |         coalesce(max(CASE WHEN r = n * 50 // 100 THEN lat_micro END), 0) AS p50_micro,
+        |         coalesce(max(CASE WHEN r = n * 95 // 100 THEN lat_micro END), 0) AS p95_micro,
+        |         coalesce(max(lat_micro), 0) AS p99_micro
         |  FROM s
         |),
         |c AS (
@@ -79,7 +88,7 @@ object AnalyticsDashQueries {
         |         sum(CASE WHEN operation IN ('search', 'query') THEN 1 ELSE 0 END) AS total_queries,
         |         sum(CASE WHEN operation IN ('insert', 'upsert') THEN 1 ELSE 0 END) AS total_inserts,
         |         sum(CASE WHEN operation = 'delete' THEN 1 ELSE 0 END) AS total_deletes,
-        |         sum(CASE WHEN operation IN ('search', 'query') AND latency_ms > 90 THEN 1 ELSE 0 END) AS slow_query_count,
+        |         sum(CASE WHEN operation IN ('search', 'query') AND lat_micro > 90000 THEN 1 ELSE 0 END) AS slow_query_count,
         |         sum(CASE WHEN operation IN ('search', 'query') AND has_filter THEN 1 ELSE 0 END) AS filtered_count
         |  FROM w
         |)
@@ -155,8 +164,8 @@ object AnalyticsDashQueries {
         |       sum(CASE WHEN operation IN ('search', 'query') THEN 1 ELSE 0 END) AS total_queries,
         |       sum(CASE WHEN operation IN ('insert', 'upsert') THEN 1 ELSE 0 END) AS total_inserts,
         |       sum(CASE WHEN operation = 'delete' THEN 1 ELSE 0 END) AS total_deletes,
-        |       coalesce(sum(CASE WHEN operation IN ('search', 'query') THEN CAST(round(latency_ms * 1000) AS BIGINT) END), 0) AS search_lat_micro,
-        |       coalesce(sum(CASE WHEN operation IN ('insert', 'upsert') THEN CAST(round(latency_ms * 1000) AS BIGINT) END), 0) AS insert_lat_micro
+        |       coalesce(sum(CASE WHEN operation IN ('search', 'query') THEN lat_micro END), 0) AS search_lat_micro,
+        |       coalesce(sum(CASE WHEN operation IN ('insert', 'upsert') THEN lat_micro END), 0) AS insert_lat_micro
         |FROM qlog GROUP BY collection ORDER BY collection""".stripMargin
     ) { (s, dir) =>
       QueryAnalytics.collectionAnalytics(qlog(s, dir))

@@ -106,10 +106,17 @@ object LanguageSurfaceQueries {
         |FROM events
         |GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin
     ) { (s, dir) =>
-      // events.ts is parquet TIMESTAMP(NANOS) read as raw nanos (Tables
-      // .load); integer-divide to µs to rebuild the timestamp losslessly
-      val ev = Tables.load(s, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // events.ts has drifted across testdata generations: TIMESTAMP(NANOS)
+      // parquet arrives as raw long nanos (legacy conf in Tables.load),
+      // TIMESTAMP(MICROS) as a native (NTZ) timestamp. Branch on the actual
+      // dtype so either generation feeds the same windowed plan.
+      val raw = Tables.load(s, dir, "events")
+      val ev = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
       graft.streaming.Streams.windowedCounts(
           ev, "ts", "event_type",
           windowDur = "1 hour", lateness = "10 minutes")

@@ -352,10 +352,10 @@ class McpServer(api: RestApi, readOnly: Boolean = false) {
     row.put("id", id)
     row.set[ObjectNode]("vector", existing.get("vector"))
     row.set[ObjectNode]("metadata", merged)
-    val body = mapper.createObjectNode()
-    body.putArray("vectors").add(row)
+    // the upsert route takes ONE bare vector object (RestApi.scala:117);
+    // batches go to /vectors/upsert-batch
     rest("POST", s"/collections/${enc(collection)}/vectors/upsert",
-      mapper.writeValueAsString(body))
+      mapper.writeValueAsString(row))
     val out = mapper.createObjectNode()
     out.put("id", id).put("updated", true)
     out.set[ObjectNode]("metadata", merged)

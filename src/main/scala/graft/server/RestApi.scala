@@ -115,6 +115,8 @@ class RestApi(spark: SparkSession) {
           insert(c, arr(mapper.readTree(body).get("vectors")), upsertMode = false)
         case ("POST", List("collections", c, "vectors", "upsert")) =>
           insert(c, Seq(mapper.readTree(body)), upsertMode = true)
+        case ("POST", List("collections", c, "vectors", "upsert-batch")) =>
+          insert(c, arr(mapper.readTree(body).get("vectors")), upsertMode = true)
         case ("POST", List("collections", c, "vectors", "delete-batch")) =>
           deleteVectors(c, arr(mapper.readTree(body).get("ids")).map(_.asText()))
         case ("POST", List("collections", c, "search")) => search(c, body)
