@@ -203,6 +203,7 @@ object BaselineBench {
     }
     val sizes256 = ix256.assigned.groupBy("cell").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val packedCache = scala.collection.mutable.Map.empty[Int, Ivf.PackedIndex]
     for ((index, cells, sizes, probes) <- Seq(
            (ix, 64, cellSizes, Seq(2, 4)),
            (ix256, 256, sizes256, Seq(4, 8)));
@@ -239,8 +240,50 @@ object BaselineBench {
       val fms2000 = best(math.max(1, runs - 1))(fusedBatch(q2000)) / 2000.0
       out(s"fused${cells}_batch2000_nprobe${nprobe}_ms_per_query") = fms2000
       out(s"fused${cells}_batch2000_nprobe${nprobe}_qps") = 1000.0 / fms2000
+
+      // packed inverted lists: same semantics (AnnSpec row-identity), zero
+      // per-batch decode — the serving-mode throughput row
+      val px = packedCache.getOrElseUpdate(cells, {
+        val (p, pms) = timeMs(Ivf.pack(index, "id", "vector"))
+        out(s"packed${cells}_pack_ms") = pms
+        p
+      })
+      out(s"packed${cells}_batch_nprobe${nprobe}_recall_at_10") =
+        recalls.sum / recalls.length
+      def packedBatch(qs: Seq[(Int, Array[Float])]): Unit =
+        Ivf.batchSearchPacked(px, qs, 10, nprobe, "id").collect()
+      packedBatch(q100.take(10)) // warm
+      val pms100 = best(runs)(packedBatch(q100)) / 100.0
+      out(s"packed${cells}_batch100_nprobe${nprobe}_qps") = 1000.0 / pms100
+      val pms2000 = best(math.max(1, runs - 1))(packedBatch(q2000)) / 2000.0
+      out(s"packed${cells}_batch2000_nprobe${nprobe}_ms_per_query") = pms2000
+      out(s"packed${cells}_batch2000_nprobe${nprobe}_qps") = 1000.0 / pms2000
     }
 
+    // ---- driver-local serving: in-process single-query latency ---------
+    // the reference's ~300 QPS single-search row is an in-process probe
+    // with no scheduler in the loop; this is the like-for-like mode (see
+    // LocalServe's caveats: a collect()ed snapshot, maxRows-guarded)
+    {
+      import graft.ann.LocalServe
+      val (li, lbMs) = timeMs(LocalServe.fromIndex(ix256, "id", "vector"))
+      out("local_snapshot_build_ms") = lbMs
+      val localRecalls = qr.zip(exactTops).map { case (q, exact) =>
+        val ids = LocalServe.search(li, q, 10, nprobe = 8).map(_._1).toSet
+        exact.intersect(ids).size / 10.0
+      }
+      out("single_search_local_recall_at_10") =
+        localRecalls.sum / localRecalls.length
+      val lq = queryVecs(200)
+      lq.foreach(q => LocalServe.search(li, q, 10, 8)) // warm JIT
+      val perMs = best(runs) {
+        lq.foreach(q => LocalServe.search(li, q, 10, 8))
+      } / lq.length
+      out("single_search_local_ms_per_query") = perMs
+      out("single_search_local_qps") = 1000.0 / perMs
+    }
+
+    packedCache.values.foreach(_.unpersist())
     ix256.assigned.unpersist() // keep the BQ section's memory clean
 
     // ---- batched IVF + residual-binary two-phase (scan-bandwidth path) -
@@ -291,7 +334,7 @@ object BaselineBench {
         // clears the reference's published band (≥ 0.95) — a fast
         // low-recall config is not a comparable number
         val eligible = out.keys.filter(_.matches(
-          "(ivf\\d+|rbq|fused\\d+)_batch_nprobe\\d+_recall_at_10"))
+          "(ivf\\d+|rbq|fused\\d+|packed\\d+)_batch_nprobe\\d+_recall_at_10"))
           .filter(out(_) >= 0.95)
           .map(_.replace("_batch_nprobe", "_batch2000_nprobe")
             .replace("_recall_at_10", "_qps"))
@@ -300,7 +343,10 @@ object BaselineBench {
         eligible.map(out).maxOption.getOrElse(0.0)
       }),
       ("insert_ops_per_s", 1200.0, out("insert_append_ops_per_s")),
-      ("filtered_search_qps", 220.0, out("filtered_batch100_qps")))
+      ("filtered_search_qps", 220.0, out("filtered_batch100_qps")),
+      // in-process serving mode (LocalServe) — the fair peer of the
+      // reference's in-process single-search row; recall reported beside it
+      ("single_search_local_qps", 300.0, out("single_search_local_qps")))
     def f(d: Double): String =
       if (d >= 100) f"$d%.1f" else f"$d%.4f"
     val ratios = refRows.map { case (k, ref, got) =>

@@ -192,10 +192,14 @@ object Ivf {
   /** The nprobe cells nearest to the query (driver-side over the tiny
     * centroid set).
     */
-  def probeCells(ix: Index, query: Array[Float], nprobe: Int): Seq[Int] = {
+  def probeCells(ix: Index, query: Array[Float], nprobe: Int): Seq[Int] =
+    probeCells(ix.centroids, ix.metric, query, nprobe)
+
+  def probeCells(centroids: Array[Array[Float]], metric: String,
+                 query: Array[Float], nprobe: Int): Seq[Int] = {
     def dist(a: Array[Float], b: Array[Float]): Double = {
       // driver-side mirror of the cosine/euclidean kernels
-      ix.metric match {
+      metric match {
         case "cosine" =>
           var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
           while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
@@ -206,7 +210,7 @@ object Ivf {
           math.sqrt(s)
       }
     }
-    ix.centroids.zipWithIndex
+    centroids.zipWithIndex
       .map { case (c, i) => (dist(query, c), i) }
       .sortBy(x => (x._1, x._2))
       .take(nprobe).map(_._2).toSeq
@@ -462,6 +466,213 @@ object Ivf {
           (0 until b.n).iterator.map(i => (e.getKey.intValue(), b.scores(i), b.ids(i)))
         }
       }
+    partial.toDF("query_id", "__d", "__id")
+      .groupBy(col("query_id"))
+      .agg(TopKAgg.topKF(kk)(col("__d"), col("__id")).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__t"))
+      .select(col("query_id"), col("__t._2").as(idCol),
+        col("__t._1").as("distance"))
+  }
+
+  /** One partition-resident inverted list: a cell's ids and row-major flat
+    * vectors (dims stride) plus per-row squared norms (cosine). Primitive
+    * arrays only — zero per-row object overhead, scan-friendly layout.
+    */
+  final case class PackedBlock(cell: Int, ids: Array[Long],
+                               vecs: Array[Float], norms2: Array[Double])
+
+  /** The JVM-resident serving form of an [[Index]]: per-cell flat blocks
+    * persisted DESERIALIZED across the cluster.
+    */
+  final case class PackedIndex(centroids: Array[Array[Float]], metric: String,
+                               dims: Int,
+                               blocks: org.apache.spark.rdd.RDD[PackedBlock]) {
+    def unpersist(): Unit = blocks.unpersist()
+  }
+
+  /** Decode once, serve many: [[batchSearchFused]] still pays a full
+    * columnar-cache decode (InternalRow → Array[Float] allocation) of every
+    * probed row on EVERY batch — at 1M×384 with a large batch (all cells
+    * probed by someone) that decode dominates the scan arithmetic itself,
+    * which is why halving nprobe barely moves the fused QPS. Packing
+    * converts the assigned table ONCE into per-cell primitive-array blocks
+    * held deserialized (the in-memory posting-list layout of any native ANN
+    * engine), so every subsequent batch runs the kernel over JVM-native
+    * flat floats at array-scan speed. Stays an RDD: blocks live partitioned
+    * across executors, and 100 TB-scale collections simply hold more
+    * blocks per executor — nothing here is driver-resident.
+    */
+  def pack(ix: Index, idCol: String = "id",
+           vecCol: String = "vector"): PackedIndex = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = ix.assigned.sparkSession
+    import spark.implicits._
+    val needsNorm = ix.metric == "cosine"
+    val dims = ix.centroids.headOption.map(_.length).getOrElse(0)
+    val ds = ix.assigned.select(col(idCol).cast("long"), col("cell").cast("int"),
+      col(vecCol).cast("array<float>")).as[(Long, Int, Array[Float])]
+    val blocks = ds.rdd.mapPartitions { it =>
+      val idsB = new java.util.HashMap[Int, scala.collection.mutable.ArrayBuilder.ofLong]()
+      val vecsB = new java.util.HashMap[Int, scala.collection.mutable.ArrayBuilder.ofFloat]()
+      it.foreach { case (id, cell, v) =>
+        var ib = idsB.get(cell)
+        if (ib == null) {
+          ib = new scala.collection.mutable.ArrayBuilder.ofLong
+          idsB.put(cell, ib)
+          vecsB.put(cell, new scala.collection.mutable.ArrayBuilder.ofFloat)
+        }
+        ib += id
+        vecsB.get(cell).addAll(v)
+      }
+      import scala.jdk.CollectionConverters._
+      idsB.entrySet().iterator().asScala.map { e =>
+        val cell = e.getKey.intValue()
+        val ids = e.getValue.result()
+        val vecs = vecsB.get(cell).result()
+        val norms2 =
+          if (!needsNorm) Array.emptyDoubleArray
+          else {
+            val out = new Array[Double](ids.length)
+            var i = 0
+            while (i < ids.length) {
+              var s = 0.0; var j = 0; val off = i * dims
+              while (j < dims) {
+                val x = vecs(off + j).toDouble; s += x * x; j += 1
+              }
+              out(i) = s; i += 1
+            }
+            out
+          }
+        PackedBlock(cell, ids, vecs, norms2)
+      }
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    blocks.count() // materialize now: packing cost is paid once, here
+    PackedIndex(ix.centroids, ix.metric, dims, blocks)
+  }
+
+  /** [[scoreKernel]] over a row-major flat array — identical arithmetic in
+    * identical index order, so scores are bit-identical to [[batchSearch]]
+    * and [[batchSearchFused]] (AnnSpec asserts row identity).
+    */
+  private[graft] def flatScoreKernel(metric: String)
+      : (Array[Float], Int, Int, Array[Float], Double, Double) => Double =
+    metric match {
+      case "cosine" => (vs, off, dims, q, vn2, qn2) =>
+        if (vn2 == 0.0 || qn2 == 0.0) 1.0
+        else {
+          var s = 0.0; var i = 0
+          while (i < dims) { s += vs(off + i).toDouble * q(i).toDouble; i += 1 }
+          1.0 - s / (math.sqrt(vn2) * math.sqrt(qn2))
+        }
+      case "cosine_normalized" => (vs, off, dims, q, _, _) => {
+        var s = 0.0; var i = 0
+        while (i < dims) { s += vs(off + i).toDouble * q(i).toDouble; i += 1 }
+        1.0 - s
+      }
+      case "dot" => (vs, off, dims, q, _, _) => {
+        var s = 0.0; var i = 0
+        while (i < dims) { s += vs(off + i).toDouble * q(i).toDouble; i += 1 }
+        -s
+      }
+      case "euclidean" => (vs, off, dims, q, _, _) => {
+        var s = 0.0; var i = 0
+        while (i < dims) {
+          val d = vs(off + i).toDouble - q(i).toDouble; s += d * d; i += 1
+        }
+        math.sqrt(s)
+      }
+      case "sq_euclidean" => (vs, off, dims, q, _, _) => {
+        var s = 0.0; var i = 0
+        while (i < dims) {
+          val d = vs(off + i).toDouble - q(i).toDouble; s += d * d; i += 1
+        }
+        s
+      }
+      case "manhattan" => (vs, off, dims, q, _, _) => {
+        var s = 0.0; var i = 0
+        while (i < dims) {
+          s += math.abs(vs(off + i).toDouble - q(i).toDouble); i += 1
+        }
+        s
+      }
+      case "chebyshev" => (vs, off, dims, q, _, _) => {
+        var s = 0.0; var i = 0
+        while (i < dims) {
+          val d = math.abs(vs(off + i).toDouble - q(i).toDouble)
+          if (d > s) s = d; i += 1
+        }
+        s
+      }
+      case "hamming" => (vs, off, dims, q, _, _) => {
+        var s = 0.0; var i = 0
+        while (i < dims) { if (vs(off + i) != q(i)) s += 1.0; i += 1 }
+        s
+      }
+      case other => throw new IllegalArgumentException(s"unknown metric $other")
+    }
+
+  /** Batched ANN over a [[PackedIndex]]: [[batchSearchFused]]'s exact
+    * semantics (same probe algebra, kernels, tie order) with zero per-batch
+    * decode — the loop reads flat primitive floats straight from the block
+    * cache. Row-outer / prober-inner keeps each 1.5 KB vector L1-resident
+    * across all its cell's probers, so DRAM traffic is one pass over the
+    * probed cells regardless of batch size.
+    */
+  def batchSearchPacked(px: PackedIndex, queries: Seq[(Int, Array[Float])],
+                        k: Int, nprobe: Int, idCol: String = "id",
+                        roundTo: Option[Int] = None): DataFrame = {
+    import graft.functions.TopKAgg
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val qarr = queries.toArray
+    val cellsPer = new Array[Seq[Int]](qarr.length)
+    java.util.stream.IntStream.range(0, qarr.length).parallel()
+      .forEach(i => cellsPer(i) =
+        probeCells(px.centroids, px.metric, qarr(i)._2, nprobe))
+    val byCell: Map[Int, Array[(Int, Array[Float], Double)]] =
+      qarr.indices.flatMap { i =>
+        val (qid, qv) = qarr(i); val n2 = norm2(qv)
+        cellsPer(i).map(c => (c, (qid, qv, n2)))
+      }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toArray }
+    val bc = spark.sparkContext.broadcast(byCell)
+    val metric = px.metric
+    val kk = k
+    val rnd = roundTo
+    val dims = px.dims
+    val partial = px.blocks.mapPartitions { it =>
+      val score = flatScoreKernel(metric)
+      val needsNorm = metric == "cosine"
+      val bufs = new java.util.HashMap[Int, TopBuf]()
+      it.foreach { b =>
+        val probers = bc.value.getOrElse(b.cell, null)
+        if (probers != null) {
+          val n = b.ids.length
+          var i = 0
+          while (i < n) {
+            val off = i * dims
+            val vn2 = if (needsNorm) b.norms2(i) else 0.0
+            var j = 0
+            while (j < probers.length) {
+              val (qid, qv, qn2) = probers(j)
+              var d = score(b.vecs, off, dims, qv, vn2, qn2)
+              rnd.foreach(p => d = java.math.BigDecimal.valueOf(d)
+                .setScale(p, java.math.RoundingMode.HALF_UP).doubleValue())
+              var buf = bufs.get(qid)
+              if (buf == null) { buf = new TopBuf(kk); bufs.put(qid, buf) }
+              buf.insert(d, b.ids(i))
+              j += 1
+            }
+            i += 1
+          }
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      bufs.entrySet().iterator().asScala.flatMap { e =>
+        val b = e.getValue
+        (0 until b.n).iterator
+          .map(i => (e.getKey.intValue(), b.scores(i), b.ids(i)))
+      }
+    }
     partial.toDF("query_id", "__d", "__id")
       .groupBy(col("query_id"))
       .agg(TopKAgg.topKF(kk)(col("__d"), col("__id")).as("__top"))

@@ -1,0 +1,123 @@
+package graft.ann
+
+import org.apache.spark.sql.functions._
+
+/** Driver-local point-query serving — the in-process answer path for the
+  * single-query latency row (reference README.md:75-85: its ~300 QPS
+  * single-search number is an in-process HNSW probe with no scheduler in
+  * the loop; a Spark job pays a ~0.2 s floor per query regardless of scan
+  * size, see BaselineBench `single_*`).
+  *
+  * HONEST CAVEATS, by design:
+  *   - The snapshot is a `collect()`ed COPY of the collection, guarded by
+  *     `maxRows` — this mode exists for collections that fit on the
+  *     driver (the serving-cache tier every vector DB keeps hot). Larger
+  *     collections use the distributed paths ([[Ivf.batchSearchPacked]]).
+  *   - It is a snapshot: mutations after [[fromIndex]] are not visible
+  *     until re-built. The reference's in-memory index has the same
+  *     rebuild-on-mutation character (its inserts rebuild HNSW segments).
+  *
+  * Results are bit-identical to [[Ivf.search]] at the same (k, nprobe):
+  * the same probe algebra ([[Ivf.probeCells]]), the same flat kernels
+  * ([[Ivf.flatScoreKernel]]), the same (distance, id) tie order
+  * (LocalServeSpec asserts equality row by row).
+  */
+object LocalServe {
+
+  /** Per-cell flat arrays, driver-resident. */
+  final class LocalIndex(
+      val centroids: Array[Array[Float]],
+      val metric: String,
+      val dims: Int,
+      val cellIds: Array[Array[Long]],      // cell -> ids
+      val cellVecs: Array[Array[Float]],    // cell -> row-major flat vectors
+      val cellNorms2: Array[Array[Double]]) // cell -> per-row ||v||² (cosine)
+
+  /** Materialize a driver-local snapshot of an IVF index. One distributed
+    * pass; refuses collections beyond `maxRows` (the driver-memory guard —
+    * this is the small-collection serving tier, not a general path).
+    */
+  def fromIndex(ix: Ivf.Index, idCol: String = "id",
+                vecCol: String = "vector",
+                maxRows: Long = 2000000L): LocalIndex = {
+    val n = ix.assigned.count()
+    require(n <= maxRows,
+      s"LocalServe.fromIndex: $n rows exceeds maxRows=$maxRows — " +
+        "driver-local serving is for collections that fit on the driver; " +
+        "use Ivf.batchSearchPacked for larger ones")
+    val dims = ix.centroids.headOption.map(_.length).getOrElse(0)
+    val numCells = ix.centroids.length
+    val rows = ix.assigned
+      .select(col(idCol).cast("long"), col("cell").cast("int"),
+        col(vecCol).cast("array<float>"))
+      .collect()
+    val counts = new Array[Int](numCells)
+    rows.foreach(r => counts(r.getInt(1)) += 1)
+    val ids = Array.tabulate(numCells)(c => new Array[Long](counts(c)))
+    val vecs = Array.tabulate(numCells)(c => new Array[Float](counts(c) * dims))
+    val norms2 = Array.tabulate(numCells)(c =>
+      if (ix.metric == "cosine") new Array[Double](counts(c))
+      else Array.emptyDoubleArray)
+    val fill = new Array[Int](numCells)
+    rows.foreach { r =>
+      val cell = r.getInt(1)
+      val i = fill(cell); fill(cell) = i + 1
+      ids(cell)(i) = r.getLong(0)
+      val v = r.getSeq[Float](2)
+      var j = 0; val off = i * dims
+      var s = 0.0
+      while (j < dims) {
+        val x = v(j)
+        vecs(cell)(off + j) = x
+        s += x.toDouble * x.toDouble
+        j += 1
+      }
+      if (ix.metric == "cosine") norms2(cell)(i) = s
+    }
+    new LocalIndex(ix.centroids, ix.metric, dims, ids, vecs, norms2)
+  }
+
+  /** In-process ANN top-k: probe nprobe cells, exact top-k within —
+    * [[Ivf.search]]'s semantics with zero Spark jobs. Returns (id,
+    * distance) sorted by (distance, id) ascending.
+    *
+    * The probed scan is chunked and run on the common fork-join pool:
+    * clustered corpora make the probed cells exactly the DENSE ones, so a
+    * sequential scan serializes on the skew. Per-chunk [[Ivf.TopBuf]]s
+    * merge deterministically (k-smallest with (score, id) ties is
+    * insertion-order-insensitive).
+    */
+  def search(li: LocalIndex, query: Array[Float], k: Int,
+             nprobe: Int): Array[(Long, Double)] = {
+    val cells = Ivf.probeCells(li.centroids, li.metric, query, nprobe)
+    val score = Ivf.flatScoreKernel(li.metric)
+    val needsNorm = li.metric == "cosine"
+    val qn2 = if (needsNorm) Ivf.norm2(query) else 0.0
+    val chunk = 4096
+    val tasks = cells.flatMap { c =>
+      val n = li.cellIds(c).length
+      (0 until n by chunk).map(from => (c, from, math.min(from + chunk, n)))
+    }.toArray
+    val bufs = new Array[Ivf.TopBuf](tasks.length)
+    java.util.stream.IntStream.range(0, tasks.length).parallel().forEach { t =>
+      val (c, from, until) = tasks(t)
+      val ids = li.cellIds(c)
+      val vecs = li.cellVecs(c)
+      val norms2 = li.cellNorms2(c)
+      val buf = new Ivf.TopBuf(k)
+      var i = from
+      while (i < until) {
+        val vn2 = if (needsNorm) norms2(i) else 0.0
+        buf.insert(score(vecs, i * li.dims, li.dims, query, vn2, qn2), ids(i))
+        i += 1
+      }
+      bufs(t) = buf
+    }
+    val merged = new Ivf.TopBuf(k)
+    bufs.foreach { b =>
+      var i = 0
+      while (i < b.n) { merged.insert(b.scores(i), b.ids(i)); i += 1 }
+    }
+    Array.tabulate(merged.n)(i => (merged.ids(i), merged.scores(i)))
+  }
+}

@@ -126,9 +126,96 @@ object AdvancedQueries {
 
     // End-to-end GraphRAG (reference: graphrag.rs): extract entities from
     // documents, build co-occurrence edges, hybrid vector+graph search
-    // seeded by embedding similarity. Rows-only (entity extraction is not
-    // ANSI-SQL-expressible); component semantics are spec-tested.
-    "graphrag_search" -> Q.noOracle { (s, dir) =>
+    // seeded by embedding similarity. Fully oracle-gated (r7 verdict #6):
+    // the extraction heuristic reduces to SQL — after initcap, a word
+    // yields an entity iff its RAW first char is a letter (initcap
+    // uppercases exactly the word-leading letter and entity_id lowercases
+    // the name anyway), so DuckDB replays extraction → co-occurrence →
+    // per-entity centroid → seeds → two unrolled BFS hops → max-merge.
+    "graphrag_search" -> Q(
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |sent AS (SELECT doc_id, unnest(string_split(text, '. ')) AS sentence FROM docs),
+        |words0 AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(sentence, '\s+'), w -> w <> '') AS ws
+        |  FROM sent
+        |),
+        |tok AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM words0),
+        |ent AS (
+        |  SELECT DISTINCT doc_id,
+        |         'entity_' || lower(regexp_replace(w, '[^a-zA-Z0-9]+$', '')) AS entity_id
+        |  FROM tok
+        |  WHERE i >= 2 AND length(w) >= 2 AND regexp_matches(w, '^[a-zA-Z]')
+        |),
+        |edg AS (
+        |  SELECT a.entity_id AS src, b.entity_id AS dst
+        |  FROM ent a JOIN ent b ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id
+        |  GROUP BY 1, 2
+        |),
+        |und AS (SELECT DISTINCT src, dst FROM
+        |        (SELECT src, dst FROM edg UNION ALL SELECT dst, src FROM edg)),
+        |docemb AS (SELECT vec_id AS doc_id, embedding FROM embeddings WHERE vec_id < 200),
+        |unn AS (
+        |  SELECT e.entity_id, generate_subscripts(m.embedding, 1) AS dim,
+        |         unnest(m.embedding)::DOUBLE AS x
+        |  FROM ent e JOIN docemb m USING (doc_id)
+        |),
+        |cent AS (SELECT entity_id, dim, avg(x)::FLOAT AS v FROM unn GROUP BY entity_id, dim),
+        |evec AS (SELECT entity_id, list(v ORDER BY dim) AS vec FROM cent GROUP BY entity_id),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |seed0 AS (
+        |  SELECT e.entity_id AS id,
+        |         1 - list_cosine_similarity(e.vec::DOUBLE[], q.qv::DOUBLE[]) AS d
+        |  FROM evec e, q ORDER BY d, id LIMIT 10
+        |),
+        |mx AS (SELECT greatest(max(d), 1e-6) AS maxd FROM seed0),
+        |seeds AS (
+        |  SELECT id, 1.0 - d / maxd AS vector_score, 1.0 AS graph_score,
+        |         0 AS hop_count, 0.7 * (1.0 - d / maxd) + 0.3 AS combined_score
+        |  FROM seed0, mx
+        |),
+        |hop1 AS (
+        |  SELECT u.dst AS id, max(s.vector_score) AS vector_score
+        |  FROM und u JOIN seeds s ON u.src = s.id GROUP BY u.dst
+        |),
+        |hop1s AS (
+        |  SELECT id, vector_score, 0.5 AS graph_score, 1 AS hop_count,
+        |         0.7 * vector_score + 0.3 * 0.5 AS combined_score
+        |  FROM hop1
+        |),
+        |best1 AS (
+        |  SELECT id, vector_score, graph_score, hop_count, combined_score FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id
+        |               ORDER BY combined_score DESC, hop_count ASC) AS r
+        |    FROM (SELECT * FROM seeds UNION ALL SELECT * FROM hop1s)
+        |  ) WHERE r = 1
+        |),
+        |frontier2 AS (
+        |  SELECT id, vector_score FROM hop1s
+        |  WHERE id NOT IN (SELECT id FROM seeds)
+        |),
+        |hop2 AS (
+        |  SELECT u.dst AS id, max(f.vector_score) AS vector_score
+        |  FROM und u JOIN frontier2 f ON u.src = f.id GROUP BY u.dst
+        |),
+        |hop2s AS (
+        |  SELECT id, vector_score, 1.0/3.0 AS graph_score, 2 AS hop_count,
+        |         0.7 * vector_score + 0.3 * (1.0/3.0) AS combined_score
+        |  FROM hop2
+        |),
+        |best2 AS (
+        |  SELECT id, vector_score, graph_score, hop_count, combined_score FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id
+        |               ORDER BY combined_score DESC, hop_count ASC) AS r
+        |    FROM (SELECT * FROM best1 UNION ALL SELECT * FROM hop2s)
+        |  ) WHERE r = 1
+        |),
+        |sel AS (SELECT * FROM best2 ORDER BY combined_score DESC, id LIMIT 10)
+        |SELECT id, round(vector_score, 6) AS vector_score,
+        |       round(graph_score, 6) AS graph_score,
+        |       CAST(hop_count AS BIGINT) AS hop_count,
+        |       round(combined_score, 6) AS combined_score
+        |FROM sel""".stripMargin
+    ) { (s, dir) =>
       import graft.ops.GraphRag
       // the entity graph is persistent index state (the reference builds
       // it once at ingest, graphrag.rs) — cache per source dir so the
@@ -149,17 +236,16 @@ object AdvancedQueries {
           .persist()
         (ev, e)
       }
-      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 200)
-        .limit(1).select("embedding").collect()(0).getSeq[Float](0).toArray
+      // deterministic query vector: vec_id 0 (was limit(1), which is
+      // partition-order-dependent — an oracle needs a pinned seed)
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
       GraphRag.search(entVecs, edges, q, k = 10, maxHops = 2)
-        // self-check: per-row score algebra — combined is exactly the
-        // 0.7/0.3 blend, all scores in [0,1], hops within the bound
-        .withColumn("check_passed",
-          abs(col("combined_score") -
-            (col("vector_score") * 0.7 + col("graph_score") * 0.3)) < 1e-9 &&
-            col("vector_score").between(-1e-9, 1.0 + 1e-9) &&
-            col("graph_score").between(0.0, 1.0) &&
-            col("hop_count").between(0, 2))
+        .select(col("id"),
+          round(col("vector_score"), 6).as("vector_score"),
+          round(col("graph_score"), 6).as("graph_score"),
+          col("hop_count").cast("long").as("hop_count"),
+          round(col("combined_score"), 6).as("combined_score"))
     },
 
     // Semantic k-NN graph edges (reference: experimental/graph.rs:116-270):

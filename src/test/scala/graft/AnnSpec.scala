@@ -84,6 +84,49 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("ivf batchSearchPacked is row-identical to batchSearch") {
+    val queries = emb.filter(col("vec_id") < 5).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray).zipWithIndex.map(_.swap).toSeq
+    for (metric <- Seq("cosine", "euclidean", "dot", "manhattan");
+         nprobe <- Seq(2, 8)) {
+      val ix = Ivf.build(emb, col("embedding"), numCells = 8, metric)
+      val px = Ivf.pack(ix, "vec_id", "embedding")
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("query_id"), col("vec_id").cast("long"), col("distance"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(x => (x._1, x._3, x._2)).toSeq
+      val joined = rows(Ivf.batchSearch(ix, queries, 5, nprobe,
+        "vec_id", "embedding", roundTo = Some(6)))
+      val packed = rows(Ivf.batchSearchPacked(px, queries, 5, nprobe,
+        "vec_id", roundTo = Some(6)))
+      px.unpersist()
+      assert(packed == joined, s"metric=$metric nprobe=$nprobe")
+    }
+  }
+
+  test("LocalServe.search equals Ivf.search row for row") {
+    import graft.ann.LocalServe
+    for (metric <- Seq("cosine", "euclidean")) {
+      val ix = Ivf.build(emb, col("embedding"), numCells = 8, metric)
+      val li = LocalServe.fromIndex(ix, "vec_id", "embedding")
+      Seq(2, 8).foreach { nprobe =>
+        val dist = Ivf.search(ix, query, 10, nprobe, "vec_id", "embedding")
+          .select(col("vec_id").cast("long"), col("distance"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val local = LocalServe.search(li, query, 10, nprobe).toSeq
+        assert(local == dist, s"metric=$metric nprobe=$nprobe")
+      }
+    }
+  }
+
+  test("LocalServe.fromIndex refuses collections beyond maxRows") {
+    val ix = Ivf.build(emb, col("embedding"), numCells = 4)
+    intercept[IllegalArgumentException] {
+      graft.ann.LocalServe.fromIndex(ix, "vec_id", "embedding", maxRows = 10)
+    }
+  }
+
   test("ivf blocked near-dup is a subset of the exact near-dup pairs") {
     val small = emb.filter(col("vec_id") < 120)
     val exact = graft.pipeline.Dedup.embeddingNearDup(
