@@ -67,6 +67,9 @@ object BaselineBench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.artifact.isolation.enabled", "false")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      // LocalServe.fromIndex collects the 1M×384 snapshot (~1.5 GB
+      // serialized) — above the 1 GiB maxResultSize default
+      .config("spark.driver.maxResultSize", "4g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
