@@ -620,7 +620,8 @@ object Ivf {
     */
   def batchSearchPacked(px: PackedIndex, queries: Seq[(Int, Array[Float])],
                         k: Int, nprobe: Int, idCol: String = "id",
-                        roundTo: Option[Int] = None): DataFrame = {
+                        roundTo: Option[Int] = None,
+                        maxDriverMergeRows: Long = 4000000L): DataFrame = {
     import graft.functions.TopKAgg
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
@@ -673,12 +674,37 @@ object Ivf {
           .map(i => (e.getKey.intValue(), b.scores(i), b.ids(i)))
       }
     }
-    partial.toDF("query_id", "__d", "__id")
-      .groupBy(col("query_id"))
-      .agg(TopKAgg.topKF(kk)(col("__d"), col("__id")).as("__top"))
-      .select(col("query_id"), explode(col("__top")).as("__t"))
-      .select(col("query_id"), col("__t._2").as(idCol),
-        col("__t._1").as("distance"))
+    // Finish: partials are k-bounded (≤ |partitions|·|queries|·k rows).
+    // When that bound is driver-sized, merging the per-partition TopBufs
+    // on the driver skips an entire exchange + aggregate stage — at
+    // batch-serving shapes that stage costs more than the scan itself.
+    // Beyond the bound (cluster-scale fan-in) the bounded top-k aggregate
+    // keeps the reduction distributed. Both finishes pick the identical
+    // canonical k-smallest-(distance, id) set per query.
+    val estPartials =
+      px.blocks.getNumPartitions.toLong * qarr.length.toLong * kk
+    if (estPartials <= maxDriverMergeRows) {
+      val merged = new java.util.HashMap[Int, TopBuf]()
+      partial.collect().foreach { case (qid, d, id) =>
+        var b = merged.get(qid)
+        if (b == null) { b = new TopBuf(kk); merged.put(qid, b) }
+        b.insert(d, id)
+      }
+      import scala.jdk.CollectionConverters._
+      val rows = merged.entrySet().iterator().asScala.flatMap { e =>
+        val b = e.getValue
+        (0 until b.n).iterator
+          .map(i => (e.getKey.intValue(), b.ids(i), b.scores(i)))
+      }.toSeq
+      rows.toDF("query_id", idCol, "distance")
+    } else {
+      partial.toDF("query_id", "__d", "__id")
+        .groupBy(col("query_id"))
+        .agg(TopKAgg.topKF(kk)(col("__d"), col("__id")).as("__top"))
+        .select(col("query_id"), explode(col("__top")).as("__t"))
+        .select(col("query_id"), col("__t._2").as(idCol),
+          col("__t._1").as("distance"))
+    }
   }
 
   /** Blocked near-duplicate join: pairs within maxDistance *inside each

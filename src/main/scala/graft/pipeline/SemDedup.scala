@@ -31,6 +31,14 @@ object SemDedup {
                seed: Long = 42L): DataFrame = {
     val base = df.select(idCol.as("id"), vecCol.as("vec"))
     val ix = Ivf.build(base, col("vec"), numCells, metric = "cosine", seed = seed)
+    semDedupWithIndex(ix, maxDistance)
+  }
+
+  /** [[semDedup]] over a caller-supplied index (id, vec, cell) — lets a
+    * gate pin the centroids so the whole pipeline is oracle-replayable
+    * (the `ivf_pruned_fixed` trick; trained k-means is not).
+    */
+  def semDedupWithIndex(ix: Ivf.Index, maxDistance: Double): DataFrame = {
     val centroidsLit = typedLit(ix.centroids.map(_.toSeq).toSeq)
     val assigned = ix.assigned.withColumn("centroid_dist",
       round(Distances.distance(ix.metric, col("vec"),

@@ -409,6 +409,71 @@ object PipelineQueries {
         .orderBy(col("id"))
     },
 
+    // SemDeDup under a FULL hash oracle via pinned centroids (the
+    // ivf_pruned_fixed trick — trained k-means is not SQL-replayable, a
+    // fixed centroid set is): DuckDB replays assignment → centroid
+    // distance → within-cell pairs → connected components (recursive CTE
+    // min-propagation) → keep-farthest-from-centroid representative.
+    "semantic_dedup_fixed" -> Q(
+      """WITH RECURSIVE cents AS (
+        |  SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |base AS (
+        |  SELECT vec_id AS id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000 AS id, embedding FROM embeddings WHERE vec_id < 20
+        |),
+        |v AS (SELECT id, embedding::DOUBLE[] AS ve FROM base),
+        |assigned AS (
+        |  SELECT v.id, v.ve,
+        |         (SELECT c.cell FROM cents c
+        |          ORDER BY 1 - list_cosine_similarity(v.ve, c.cv), c.cell
+        |          LIMIT 1) AS cell
+        |  FROM v),
+        |wd AS (
+        |  SELECT a.id, a.cell, a.ve,
+        |         round(1 - list_cosine_similarity(a.ve, c.cv), 6) AS centroid_dist
+        |  FROM assigned a JOIN cents c ON a.cell = c.cell),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM wd a JOIN wd b ON a.cell = b.cell AND a.id < b.id
+        |  WHERE round(1 - list_cosine_similarity(a.ve, b.ve), 6) <= 0.000001),
+        |und AS (SELECT id_a AS s, id_b AS t FROM pairs
+        |        UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT s AS id FROM und),
+        |r(id, c) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT u.s, r.c FROM und u JOIN r ON u.t = r.id),
+        |comp AS (SELECT id, min(c) AS canonical FROM r GROUP BY id),
+        |ranked AS (
+        |  SELECT w.id, m.canonical,
+        |         row_number() OVER (PARTITION BY m.canonical
+        |                            ORDER BY w.centroid_dist DESC, w.id) AS rk
+        |  FROM wd w JOIN comp m ON w.id = m.id)
+        |SELECT w.id, CAST(w.cell AS BIGINT) AS cell, w.centroid_dist,
+        |       coalesce(k.canonical, w.id) AS canonical,
+        |       CAST(CASE WHEN k.id IS NULL OR k.rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM wd w LEFT JOIN ranked k ON w.id = k.id
+        |ORDER BY w.id""".stripMargin
+    ) { (s, dir) =>
+      import graft.pipeline.SemDedup
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val planted = emb.unionAll(emb.filter(col("id") < 20)
+        .select((col("id") + 10000).as("id"), col("vec")))
+      val cents = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 8)
+        .orderBy("vec_id").select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val ix = graft.ann.Ivf.Index(cents, planted.withColumn("cell",
+        graft.ann.Ivf.cellOf(col("vec"), cents, "cosine")), "cosine")
+      SemDedup.semDedupWithIndex(ix, maxDistance = 1e-6)
+        .select(col("id"), col("cell").cast("long").as("cell"),
+          col("centroid_dist"), col("canonical"),
+          col("keep").cast("long").as("keep"))
+        .orderBy(col("id"))
+    },
+
     // Learned quality filter (the GPT-3/CCNet fastText-style step):
     // LR over hashed tokens, trained on a planted separable labeling
     // (docs mentioning 'table'), scored on the deterministic holdout.

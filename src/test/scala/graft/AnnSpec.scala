@@ -98,10 +98,15 @@ class AnnSpec extends SparkSpec {
         .sortBy(x => (x._1, x._3, x._2)).toSeq
       val joined = rows(Ivf.batchSearch(ix, queries, 5, nprobe,
         "vec_id", "embedding", roundTo = Some(6)))
+      // both finishes: driver-side TopBuf merge and the distributed
+      // bounded top-k aggregate (maxDriverMergeRows = 0 forces the latter)
       val packed = rows(Ivf.batchSearchPacked(px, queries, 5, nprobe,
         "vec_id", roundTo = Some(6)))
+      val packedAgg = rows(Ivf.batchSearchPacked(px, queries, 5, nprobe,
+        "vec_id", roundTo = Some(6), maxDriverMergeRows = 0L))
       px.unpersist()
       assert(packed == joined, s"metric=$metric nprobe=$nprobe")
+      assert(packedAgg == joined, s"agg finish: metric=$metric nprobe=$nprobe")
     }
   }
 
