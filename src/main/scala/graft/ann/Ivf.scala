@@ -475,11 +475,14 @@ object Ivf {
   }
 
   /** One partition-resident inverted list: a cell's ids and row-major flat
-    * vectors (dims stride) plus per-row squared norms (cosine). Primitive
-    * arrays only — zero per-row object overhead, scan-friendly layout.
+    * vectors (dims stride) plus per-row squared norms (cosine) and an
+    * optional per-row long payload (the filterable attribute — empty when
+    * the index was packed without one). Primitive arrays only — zero
+    * per-row object overhead, scan-friendly layout.
     */
   final case class PackedBlock(cell: Int, ids: Array[Long],
-                               vecs: Array[Float], norms2: Array[Double])
+                               vecs: Array[Float], norms2: Array[Double],
+                               payload: Array[Long] = Array.emptyLongArray)
 
   /** The JVM-resident serving form of an [[Index]]: per-cell flat blocks
     * persisted DESERIALIZED across the cluster.
@@ -503,26 +506,34 @@ object Ivf {
     * blocks per executor — nothing here is driver-resident.
     */
   def pack(ix: Index, idCol: String = "id",
-           vecCol: String = "vector"): PackedIndex = {
+           vecCol: String = "vector",
+           payloadCol: Option[String] = None): PackedIndex = {
     import org.apache.spark.storage.StorageLevel
     val spark = ix.assigned.sparkSession
     import spark.implicits._
     val needsNorm = ix.metric == "cosine"
     val dims = ix.centroids.headOption.map(_.length).getOrElse(0)
+    val hasPayload = payloadCol.isDefined
+    val payC = payloadCol.map(c => col(c).cast("long")).getOrElse(lit(0L))
     val ds = ix.assigned.select(col(idCol).cast("long"), col("cell").cast("int"),
-      col(vecCol).cast("array<float>")).as[(Long, Int, Array[Float])]
+      col(vecCol).cast("array<float>"), payC)
+      .as[(Long, Int, Array[Float], Long)]
     val blocks = ds.rdd.mapPartitions { it =>
       val idsB = new java.util.HashMap[Int, scala.collection.mutable.ArrayBuilder.ofLong]()
       val vecsB = new java.util.HashMap[Int, scala.collection.mutable.ArrayBuilder.ofFloat]()
-      it.foreach { case (id, cell, v) =>
+      val payB = new java.util.HashMap[Int, scala.collection.mutable.ArrayBuilder.ofLong]()
+      it.foreach { case (id, cell, v, pay) =>
         var ib = idsB.get(cell)
         if (ib == null) {
           ib = new scala.collection.mutable.ArrayBuilder.ofLong
           idsB.put(cell, ib)
           vecsB.put(cell, new scala.collection.mutable.ArrayBuilder.ofFloat)
+          if (hasPayload)
+            payB.put(cell, new scala.collection.mutable.ArrayBuilder.ofLong)
         }
         ib += id
         vecsB.get(cell).addAll(v)
+        if (hasPayload) payB.get(cell) += pay
       }
       import scala.jdk.CollectionConverters._
       idsB.entrySet().iterator().asScala.map { e =>
@@ -543,7 +554,9 @@ object Ivf {
             }
             out
           }
-        PackedBlock(cell, ids, vecs, norms2)
+        val pay =
+          if (hasPayload) payB.get(cell).result() else Array.emptyLongArray
+        PackedBlock(cell, ids, vecs, norms2, pay)
       }
     }.persist(StorageLevel.MEMORY_AND_DISK)
     blocks.count() // materialize now: packing cost is paid once, here
@@ -618,10 +631,17 @@ object Ivf {
     * across all its cell's probers, so DRAM traffic is one pass over the
     * probed cells regardless of batch size.
     */
+  /** `payloadPred` (filtered ANN serving): rows whose packed payload fails
+    * the predicate are skipped BEFORE scoring — the kernel-level analogue
+    * of `search_with_filter`, paying one long-compare instead of a
+    * dims-length dot product per excluded row. Requires the index to have
+    * been packed with `payloadCol`.
+    */
   def batchSearchPacked(px: PackedIndex, queries: Seq[(Int, Array[Float])],
                         k: Int, nprobe: Int, idCol: String = "id",
                         roundTo: Option[Int] = None,
-                        maxDriverMergeRows: Long = 4000000L): DataFrame = {
+                        maxDriverMergeRows: Long = 4000000L,
+                        payloadPred: Option[Long => Boolean] = None): DataFrame = {
     import graft.functions.TopKAgg
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
@@ -640,6 +660,7 @@ object Ivf {
     val kk = k
     val rnd = roundTo
     val dims = px.dims
+    val pred: Long => Boolean = payloadPred.orNull
     val partial = px.blocks.mapPartitions { it =>
       val score = flatScoreKernel(metric)
       val needsNorm = metric == "cosine"
@@ -647,21 +668,25 @@ object Ivf {
       it.foreach { b =>
         val probers = bc.value.getOrElse(b.cell, null)
         if (probers != null) {
+          require(pred == null || b.payload.length == b.ids.length,
+            "payloadPred requires an index packed with payloadCol")
           val n = b.ids.length
           var i = 0
           while (i < n) {
-            val off = i * dims
-            val vn2 = if (needsNorm) b.norms2(i) else 0.0
-            var j = 0
-            while (j < probers.length) {
-              val (qid, qv, qn2) = probers(j)
-              var d = score(b.vecs, off, dims, qv, vn2, qn2)
-              rnd.foreach(p => d = java.math.BigDecimal.valueOf(d)
-                .setScale(p, java.math.RoundingMode.HALF_UP).doubleValue())
-              var buf = bufs.get(qid)
-              if (buf == null) { buf = new TopBuf(kk); bufs.put(qid, buf) }
-              buf.insert(d, b.ids(i))
-              j += 1
+            if (pred == null || pred(b.payload(i))) {
+              val off = i * dims
+              val vn2 = if (needsNorm) b.norms2(i) else 0.0
+              var j = 0
+              while (j < probers.length) {
+                val (qid, qv, qn2) = probers(j)
+                var d = score(b.vecs, off, dims, qv, vn2, qn2)
+                rnd.foreach(p => d = java.math.BigDecimal.valueOf(d)
+                  .setScale(p, java.math.RoundingMode.HALF_UP).doubleValue())
+                var buf = bufs.get(qid)
+                if (buf == null) { buf = new TopBuf(kk); bufs.put(qid, buf) }
+                buf.insert(d, b.ids(i))
+                j += 1
+              }
             }
             i += 1
           }

@@ -110,6 +110,28 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("packed payload filter at full probe equals exact filtered top-k") {
+    val ix = Ivf.build(emb, col("embedding"), numCells = 8)
+    val px = Ivf.pack(ix, "vec_id", "embedding", payloadCol = Some("label"))
+    val queries = emb.filter(col("vec_id") < 3).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray).zipWithIndex.map(_.swap).toSeq
+    val got = Ivf.batchSearchPacked(px, queries, 5, nprobe = 8, "vec_id",
+        roundTo = Some(6), payloadPred = Some((p: Long) => p < 5))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val filtered = emb.filter(col("label") < 5)
+    queries.foreach { case (qid, qv) =>
+      val exact = filtered.withColumn("distance",
+          round(Distances.cosine(col("embedding"), lit(qv)), 6))
+        .orderBy(col("distance").asc, col("vec_id").asc).limit(5)
+        .select(col("vec_id").cast("long"), col("distance"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got(qid).map(x => (x._2, x._3)).toSet == exact, s"query=$qid")
+    }
+    px.unpersist()
+  }
+
   test("LocalServe.search equals Ivf.search row for row") {
     import graft.ann.LocalServe
     for (metric <- Seq("cosine", "euclidean")) {
