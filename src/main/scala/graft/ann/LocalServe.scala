@@ -24,14 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object LocalServe {
 
-  /** Per-cell flat arrays, driver-resident. */
+  /** Per-cell flat arrays, driver-resident. `cellPayload` holds one long
+    * attribute per row when built with `payloadCol` (for filtered point
+    * queries), empty otherwise.
+    */
   final class LocalIndex(
       val centroids: Array[Array[Float]],
       val metric: String,
       val dims: Int,
       val cellIds: Array[Array[Long]],      // cell -> ids
       val cellVecs: Array[Array[Float]],    // cell -> row-major flat vectors
-      val cellNorms2: Array[Array[Double]]) // cell -> per-row ||v||² (cosine)
+      val cellNorms2: Array[Array[Double]], // cell -> per-row ||v||² (cosine)
+      val cellPayload: Array[Array[Long]])  // cell -> per-row filter attr
 
   /** Materialize a driver-local snapshot of an IVF index. One distributed
     * pass; refuses collections beyond `maxRows` (the driver-memory guard —
@@ -39,7 +43,8 @@ object LocalServe {
     */
   def fromIndex(ix: Ivf.Index, idCol: String = "id",
                 vecCol: String = "vector",
-                maxRows: Long = 2000000L): LocalIndex = {
+                maxRows: Long = 2000000L,
+                payloadCol: Option[String] = None): LocalIndex = {
     val n = ix.assigned.count()
     require(n <= maxRows,
       s"LocalServe.fromIndex: $n rows exceeds maxRows=$maxRows — " +
@@ -47,9 +52,11 @@ object LocalServe {
         "use Ivf.batchSearchPacked for larger ones")
     val dims = ix.centroids.headOption.map(_.length).getOrElse(0)
     val numCells = ix.centroids.length
+    val hasPayload = payloadCol.isDefined
+    val payC = payloadCol.map(c => col(c).cast("long")).getOrElse(lit(0L))
     val rows = ix.assigned
       .select(col(idCol).cast("long"), col("cell").cast("int"),
-        col(vecCol).cast("array<float>"))
+        col(vecCol).cast("array<float>"), payC)
       .collect()
     val counts = new Array[Int](numCells)
     rows.foreach(r => counts(r.getInt(1)) += 1)
@@ -58,6 +65,8 @@ object LocalServe {
     val norms2 = Array.tabulate(numCells)(c =>
       if (ix.metric == "cosine") new Array[Double](counts(c))
       else Array.emptyDoubleArray)
+    val payload = Array.tabulate(numCells)(c =>
+      if (hasPayload) new Array[Long](counts(c)) else Array.emptyLongArray)
     val fill = new Array[Int](numCells)
     rows.foreach { r =>
       val cell = r.getInt(1)
@@ -73,8 +82,9 @@ object LocalServe {
         j += 1
       }
       if (ix.metric == "cosine") norms2(cell)(i) = s
+      if (hasPayload) payload(cell)(i) = r.getLong(3)
     }
-    new LocalIndex(ix.centroids, ix.metric, dims, ids, vecs, norms2)
+    new LocalIndex(ix.centroids, ix.metric, dims, ids, vecs, norms2, payload)
   }
 
   /** In-process ANN top-k: probe nprobe cells, exact top-k within —
@@ -88,11 +98,13 @@ object LocalServe {
     * insertion-order-insensitive).
     */
   def search(li: LocalIndex, query: Array[Float], k: Int,
-             nprobe: Int): Array[(Long, Double)] = {
+             nprobe: Int,
+             payloadPred: Option[Long => Boolean] = None): Array[(Long, Double)] = {
     val cells = Ivf.probeCells(li.centroids, li.metric, query, nprobe)
     val score = Ivf.flatScoreKernel(li.metric)
     val needsNorm = li.metric == "cosine"
     val qn2 = if (needsNorm) Ivf.norm2(query) else 0.0
+    val pred: Long => Boolean = payloadPred.orNull
     val chunk = 4096
     val tasks = cells.flatMap { c =>
       val n = li.cellIds(c).length
@@ -104,11 +116,16 @@ object LocalServe {
       val ids = li.cellIds(c)
       val vecs = li.cellVecs(c)
       val norms2 = li.cellNorms2(c)
+      val payload = li.cellPayload(c)
+      if (pred != null) require(payload.length == ids.length,
+        "payloadPred requires an index built with payloadCol")
       val buf = new Ivf.TopBuf(k)
       var i = from
       while (i < until) {
-        val vn2 = if (needsNorm) norms2(i) else 0.0
-        buf.insert(score(vecs, i * li.dims, li.dims, query, vn2, qn2), ids(i))
+        if (pred == null || pred(payload(i))) {
+          val vn2 = if (needsNorm) norms2(i) else 0.0
+          buf.insert(score(vecs, i * li.dims, li.dims, query, vn2, qn2), ids(i))
+        }
         i += 1
       }
       bufs(t) = buf

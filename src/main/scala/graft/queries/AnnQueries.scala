@@ -243,6 +243,78 @@ object AnnQueries {
         .withColumn("check_passed", col("recall_at_10") >= 0.8)
     },
 
+    // SQ8 two-phase search under a FULL hash oracle: training (per-dim
+    // min/max) is a deterministic aggregate, and every float-arithmetic
+    // step of encode → decode → f32-accumulated asymmetric distance is
+    // replayed in DuckDB by wrapping each operation in CAST(... AS FLOAT)
+    // (IEEE ops are correctly rounded, so double-compute-then-round-to-
+    // f32 equals Java's f32 op exactly); the sequential f32 accumulation
+    // uses list_reduce over dim-ordered terms. Gates the quantizer
+    // training, the u8 codes, the coarse rank, and the exact re-rank.
+    "sq8_two_phase_fixed" -> Q(
+      """WITH unn AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |         unnest(embedding) AS x
+        |  FROM embeddings
+        |),
+        |mm AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM unn GROUP BY dim),
+        |sc AS (
+        |  SELECT dim, mn,
+        |         CASE WHEN CAST(mx - mn AS FLOAT) > CAST(1e-10 AS FLOAT)
+        |              THEN CAST(CAST(255.0 AS FLOAT) / CAST(mx - mn AS FLOAT) AS FLOAT)
+        |              ELSE CAST(1.0 AS FLOAT) END AS scale
+        |  FROM mm
+        |),
+        |qv AS (
+        |  SELECT generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS qx
+        |  FROM embeddings WHERE vec_id = 0
+        |),
+        |codes AS (
+        |  SELECT u.vec_id, u.dim,
+        |         CAST(trunc(least(CAST(255.0 AS FLOAT), greatest(CAST(0.0 AS FLOAT),
+        |           CAST(CAST(u.x - s.mn AS FLOAT) * s.scale AS FLOAT)))) AS INTEGER) AS code
+        |  FROM unn u JOIN sc s USING (dim)
+        |),
+        |terms AS (
+        |  SELECT c.vec_id,
+        |         list(CAST(CAST(q.qx - CAST(CAST(CAST(c.code AS FLOAT) / s.scale AS FLOAT) + s.mn AS FLOAT) AS FLOAT)
+        |              * CAST(q.qx - CAST(CAST(CAST(c.code AS FLOAT) / s.scale AS FLOAT) + s.mn AS FLOAT) AS FLOAT) AS FLOAT)
+        |              ORDER BY c.dim) AS ds
+        |  FROM codes c JOIN sc s USING (dim) JOIN qv q USING (dim)
+        |  GROUP BY c.vec_id
+        |),
+        |qd AS (
+        |  SELECT vec_id,
+        |         CAST(CAST(sqrt(CAST(list_reduce(ds, (a, b) -> CAST(a + b AS FLOAT)) AS DOUBLE)) AS FLOAT) AS DOUBLE) AS qdist
+        |  FROM terms
+        |),
+        |coarse AS (SELECT vec_id FROM qd ORDER BY qdist, vec_id LIMIT 40),
+        |q2 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |       round(list_distance(e.embedding::DOUBLE[], q2.qe::DOUBLE[]), 6) AS distance
+        |FROM embeddings e JOIN coarse USING (vec_id), q2
+        |ORDER BY distance, e.vec_id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      import graft.ann.Quantization
+      val (sq, _, _, enc) = graft.core.IndexCache
+        .getOrBuild(s"sq:$dir") {
+          val e = Tables.load(s, dir, "embeddings")
+          val sqT = Quantization.trainSq(e, col("embedding"))
+          val bqT = Quantization.trainBq(e, col("embedding"))
+          val pqT = Quantization.trainPq(e, col("embedding"), numSubvectors = 8)
+          val encD = e
+            .withColumn("sq_codes", Quantization.sqEncode(sqT)(col("embedding")))
+            .withColumn("bq_codes", Quantization.bqEncode(bqT)(col("embedding")))
+            .withColumn("pq_codes", Quantization.pqEncode(pqT)(col("embedding")))
+            .persist()
+          (sqT, bqT, pqT, encD)
+        }
+      Quantization.sqSearchRerank(enc, sq, queryVec(s, dir), 10,
+          idCol = "vec_id", vecCol = "embedding", codesCol = "sq_codes",
+          roundTo = Some(6))
+        .select(col("vec_id"), col("distance"))
+    },
+
     // PCA embedding compression (reference: ml/dimreduce.rs) — rows-only
     // (power iteration is not SQL-reproducible). One row per component
     // with its variance ratio; the self-check asserts the spectral

@@ -147,6 +147,20 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("LocalServe filtered point query at full probe equals exact filtered top-k") {
+    import graft.ann.LocalServe
+    val ix = Ivf.build(emb, col("embedding"), numCells = 8)
+    val li = LocalServe.fromIndex(ix, "vec_id", "embedding",
+      payloadCol = Some("label"))
+    val got = LocalServe.search(li, query, 10, nprobe = 8,
+      payloadPred = Some((p: Long) => p < 5)).map(_._1).toSeq
+    val exact = emb.filter(col("label") < 5)
+      .withColumn("distance", Distances.cosine(col("embedding"), lit(query)))
+      .orderBy(col("distance").asc, col("vec_id").asc).limit(10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == exact)
+  }
+
   test("LocalServe.fromIndex refuses collections beyond maxRows") {
     val ix = Ivf.build(emb, col("embedding"), numCells = 4)
     intercept[IllegalArgumentException] {
