@@ -8,8 +8,9 @@ import graft.ops.QueryAnalytics
 /** Oracle gates for the query-analytics dashboard (reference:
   * src/experimental/analytics.rs). The query log derives from `events`:
   * operation classes cycle with event_id (6 search : 1 query : 1 insert :
-  * 1 upsert : 1 delete), latency = value·10, and timestamps are synthetic
-  * epoch seconds so the rate window is deterministic.
+  * 1 upsert : 1 delete), latency is synthesized from pure integer
+  * arithmetic on event_id, and timestamps are synthetic epoch seconds so
+  * the rate window is deterministic.
   */
 object AnalyticsDashQueries {
 
@@ -19,8 +20,8 @@ object AnalyticsDashQueries {
       |         CASE event_id % 10 WHEN 7 THEN 'insert' WHEN 8 THEN 'upsert'
       |              WHEN 9 THEN 'delete' WHEN 6 THEN 'query'
       |              ELSE 'search' END AS operation,
-      |         CAST(round(value * 10000) AS BIGINT) AS lat_micro,
-      |         CAST(round(value * 10000) AS BIGINT) / 1000.0 AS latency_ms,
+      |         CAST((event_id * 7919) % 100000 AS BIGINT) AS lat_micro,
+      |         CAST((event_id * 7919) % 100000 AS BIGINT) / 1000.0 AS latency_ms,
       |         CAST(event_id % 20 AS BIGINT) AS result_count,
       |         CASE event_id % 3 WHEN 0 THEN 10 WHEN 1 THEN 50 END AS k,
       |         event_id % 2 = 0 AS has_filter,
@@ -37,14 +38,15 @@ object AnalyticsDashQueries {
         .when(col("event_id") % 10 === 9, "delete")
         .when(col("event_id") % 10 === 6, "query")
         .otherwise("search").as("operation"),
-      // latency is NEVER a decimal-rounded double: round-to-integer of the
-      // bit-identical product value·10000 agrees across engines (half-up ==
-      // half-away-from-zero for the shortest decimal repr), and the IEEE
-      // division by 1000.0 of that integer is correctly rounded in both —
-      // so latency_ms is bit-identical to the oracle's, unlike round(x, 3)
-      // whose decimal-expansion rounding differs by a ulp across builds
-      round(col("value") * 10000).cast("long").as("lat_micro"),
-      (round(col("value") * 10000).cast("long") / lit(1000.0))
+      // latency is synthesized with pure integer arithmetic — no double
+      // enters the derivation, so there is no rounding semantics to agree
+      // on: (event_id·7919) mod 100000 is identical in any engine, and the
+      // IEEE division of that integer by 1000.0 is correctly rounded in
+      // both, so latency_ms is bit-identical to the oracle's. (The earlier
+      // round(value·10000) derivation tripped on half-tie semantics that
+      // differ across DuckDB builds.)
+      ((col("event_id") * 7919) % 100000).cast("long").as("lat_micro"),
+      (((col("event_id") * 7919) % 100000).cast("long") / lit(1000.0))
         .as("latency_ms"),
       (col("event_id") % 20).as("result_count"),
       when(col("event_id") % 3 === 0, 10)
