@@ -62,6 +62,40 @@ object QualityClassifier {
       .drop("__toks", "__features", "__prob", "__pred", "__raw")
   }
 
+  /** Score a corpus with a PINNED linear model over an explicit term
+    * vocabulary: `z = intercept + Σ w_i · tf_i` where `tf_i` is the count
+    * of `vocab(i)` in the document's token stream (engine tokenizer,
+    * stemming off). The margin, probability, and 0/1 prediction mirror
+    * [[score]]'s surface, but every input to the decision is exact
+    * arithmetic — integer counts against literal weights folded in vocab
+    * order — so the result is reproducible in any engine (the
+    * `quality_classifier_fixed` oracle replays it in SQL).
+    *
+    * UDF-free and shuffle-free: tokenization is one compiled pass and each
+    * vocab count is a narrow array-filter over the per-row token array, so
+    * scoring scales to a 100 TB corpus as a scan, like [[score]].
+    */
+  def scorePinned(corpus: DataFrame, textCol: Column, vocab: Seq[String],
+                  weights: Seq[Double], intercept: Double): DataFrame = {
+    require(vocab.length == weights.length,
+      s"vocab(${vocab.length}) and weights(${weights.length}) must align")
+    val toks = graft.text.Tokenizer.tokens(textCol, stemming = false)
+    val counts = vocab.map(t =>
+      size(filter(toks, tok => tok === lit(t))).cast("double"))
+    // left-fold in vocab order: the same association order as the SQL
+    // replay's `intercept + w1*tf1 + w2*tf2 + …`, so z is bit-identical
+    val z = weights.zip(counts).foldLeft(lit(intercept): Column) {
+      case (acc, (w, c)) => acc + lit(w) * c
+    }
+    corpus.withColumn("quality_margin", z)
+      .withColumn("quality_prob",
+        lit(1.0) / (lit(1.0) + exp(-col("quality_margin"))))
+      // threshold on the sign of the exact margin, not the probability —
+      // no libm call participates in the decision
+      .withColumn("quality_pred",
+        (col("quality_margin") > 0).cast("long"))
+  }
+
   /** The xxhash64(id) mod 1000 cutoff below which a seed row lands in the
     * holdout — exposed so callers reconstructing the split (e.g. to score
     * exactly the holdout) derive it from the same constant.

@@ -16,6 +16,47 @@ object PipelineQueries {
   private val stopList = Tokenizer.defaultStopWords.toSeq.sorted
     .map(w => s"'$w'").mkString(", ")
 
+  /** Pinned linear quality model for the `quality_classifier_fixed` gate:
+    * LR over tf counts of a fixed 10-term vocabulary, fitted once against
+    * the "document mentions 'table'" seed labeling and frozen here as
+    * decimal literals. The SAME strings feed both sides — `.toDouble` for
+    * Spark, verbatim interpolation for DuckDB — so both engines parse the
+    * identical nearest-double weights.
+    */
+  private val qcVocab = Seq("table", "data", "query", "join", "hash",
+    "spark", "vector", "stream", "filter", "batch")
+  private val qcWeights = Seq("6.891273319064015", "0.005441656817936885",
+    "0.08515721440525505", "0.07341991330058673", "-0.01925447278271162",
+    "0.02071599846346851", "0.05032865350021801", "0.13632578906799991",
+    "0.0682286207738857", "-0.002832487272056724")
+  private val qcIntercept = "-3.8997167972919713"
+
+  private def qcFixedSql: String = {
+    val inList = qcVocab.map(v => s"'$v'").mkString(", ")
+    val tfCases = qcVocab.zipWithIndex.map { case (v, i) =>
+      s"coalesce(max(CASE WHEN t.term = '$v' THEN t.c END), 0)::DOUBLE AS tf$i"
+    }.mkString(",\n        ")
+    val dot = qcWeights.zipWithIndex
+      .map { case (w, i) => s"$w * tf$i" }.mkString(" + ")
+    // no stop-word filter needed: every vocab term is a non-stop token, so
+    // its count is identical with or without stop removal upstream
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS c FROM toks
+       |       WHERE len(term) > 1 AND term IN ($inList)
+       |       GROUP BY doc_id, term),
+       |f AS (SELECT d.doc_id,
+       |        $tfCases
+       |      FROM documents d LEFT JOIN tf t ON d.doc_id = t.doc_id
+       |      GROUP BY d.doc_id),
+       |z AS (SELECT doc_id, $qcIntercept + $dot AS z FROM f)
+       |SELECT doc_id, round(z, 6) AS quality_margin,
+       |       CAST(z > 0 AS BIGINT) AS quality_pred,
+       |       round(1 / (1 + exp(-z)), 6) AS quality_prob
+       |FROM z ORDER BY doc_id""".stripMargin
+  }
+
   /** documents ∪ (docs with id<20 re-inserted under id+10000) — a
     * deterministic corpus with planted exact duplicates, built identically
     * on both sides.
@@ -499,6 +540,26 @@ object PipelineQueries {
         .select(col("doc_id"), col("label").cast("long").as("label"),
           col("quality_pred"))
         .withColumn("check_passed", lit(acc >= 0.9))
+        .orderBy(col("doc_id"))
+    },
+
+    // Learned quality filter under a FULL hash oracle via pinned weights
+    // (the pinned-parameter replay trick): a trained LR is not
+    // SQL-reproducible, but a FROZEN coefficient vector over an explicit
+    // vocabulary is — DuckDB replays tokenize → tf-count → dot-product →
+    // margin/sigmoid/threshold. The decision thresholds the exact margin
+    // (integer counts × literal weights, fixed fold order), so no libm
+    // call participates; the trained-path self-check (`quality_classifier`)
+    // stays beside this gate.
+    "quality_classifier_fixed" -> Q(qcFixedSql) { (s, dir) =>
+      import graft.pipeline.QualityClassifier
+      QualityClassifier.scorePinned(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("text")),
+        col("text"), qcVocab, qcWeights.map(_.toDouble), qcIntercept.toDouble)
+        .select(col("doc_id"),
+          round(col("quality_margin"), 6).as("quality_margin"),
+          col("quality_pred"),
+          round(col("quality_prob"), 6).as("quality_prob"))
         .orderBy(col("doc_id"))
     },
 

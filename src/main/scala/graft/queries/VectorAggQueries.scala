@@ -117,6 +117,50 @@ object VectorAggQueries {
         .orderBy(col("bin"))
     },
 
+    // Cluster{k} under a FULL hash oracle via pinned centroids (the
+    // semantic_dedup_fixed trick — trained k-means++ is not
+    // SQL-replayable, a fixed centroid set is): DuckDB replays ONE Lloyd
+    // assignment step — nearest-centroid assignment (ties to the lowest
+    // cell), per-cluster size, and per-cluster WCSS. Per-row squared
+    // distances are rounded to 6 decimals BEFORE the sum so the hashed
+    // aggregate is order-independent; the outer round(…, 3) absorbs the
+    // summation-order ulp. The trained-path self-check (`vec_cluster`)
+    // stays beside this gate.
+    "vec_cluster_fixed" -> Q(
+      """WITH cents AS (
+        |  SELECT vec_id AS cluster, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id < 10),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+        |ad AS (
+        |  SELECT v.vec_id, c.cluster, list_distance(v.ve, c.cv) AS d,
+        |         row_number() OVER (PARTITION BY v.vec_id
+        |             ORDER BY list_distance(v.ve, c.cv), c.cluster) AS rk
+        |  FROM v CROSS JOIN cents c),
+        |a AS (SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, d
+        |      FROM ad WHERE rk = 1)
+        |SELECT cluster, count(*) AS n,
+        |       round(sum(round(d * d, 6)), 3) AS wcss
+        |FROM a GROUP BY cluster ORDER BY cluster""".stripMargin
+    ) { (s, dir) =>
+      import graft.functions.Distances
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 10).orderBy("vec_id")
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray)
+      // same struct-array argmin the IVF assignment uses (Ivf.cellOf),
+      // kept inline to also surface the winning distance for the WCSS
+      val scored = array(cents.zipWithIndex.map { case (c, i) =>
+        struct(Distances.distance("euclidean", col("embedding"), lit(c)).as("d"),
+          lit(i.toLong).as("cluster"))
+      }: _*)
+      emb.select(array_min(scored).as("best"))
+        .select(col("best.cluster").as("cluster"), col("best.d").as("d"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("d") * col("d"), 6)), 3).as("wcss"))
+        .orderBy("cluster")
+    },
+
     // KMeans cluster sizes (reference Cluster{k}: vector_aggregation.rs:
     // 186-295) — rows-only: k-means++ init is not SQL-reproducible.
     "vec_cluster" -> Q.noOracle { (s, dir) =>
