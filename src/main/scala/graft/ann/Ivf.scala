@@ -563,6 +563,48 @@ object Ivf {
     PackedIndex(ix.centroids, ix.metric, dims, blocks)
   }
 
+  /** Persist a packed serving layout. [[pack]] is session-lifetime — fine
+    * when the ~seconds rebuild is amortized, but at 100× the collection a
+    * re-pack on serving restart costs minutes of cluster time. Each
+    * [[PackedBlock]] becomes ONE parquet row of primitive arrays (a cell
+    * at 1M×384/256 cells ≈ 6 MB — well inside a row group), so a restart
+    * re-maps columnar bytes instead of re-running assignment + packing.
+    */
+  def writePacked(px: PackedIndex, path: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    px.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq, px.metric, px.dims) }.toSeq
+      .toDF("cell", "centroid", "metric", "dims")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    px.blocks.map(b => (b.cell, b.ids, b.vecs, b.norms2, b.payload))
+      .toDF("cell", "ids", "vecs", "norms2", "payload")
+      .write.mode("overwrite").parquet(s"$path/blocks")
+  }
+
+  /** Load a persisted packed layout back into the deserialized JVM-resident
+    * serving form. Blocks re-partition across the cluster on read
+    * (`maxPartitionBytes` governs the mapping — nothing driver-resident),
+    * and the same persist + materialize contract as [[pack]] applies, so
+    * a loaded index serves bit-identically to a freshly packed one
+    * (IvfStorageSpec asserts row identity).
+    */
+  def loadPacked(spark: org.apache.spark.sql.SparkSession,
+                 path: String): PackedIndex = {
+    import org.apache.spark.storage.StorageLevel
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/centroids").orderBy("cell").collect()
+    require(rows.nonEmpty, s"no centroids at $path/centroids")
+    val blocks = spark.read.parquet(s"$path/blocks")
+      .as[(Int, Array[Long], Array[Float], Array[Double], Array[Long])]
+      .rdd.map { case (c, ids, vecs, n2, pay) =>
+        PackedBlock(c, ids, vecs, n2, pay)
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    blocks.count()
+    PackedIndex(rows.map(_.getSeq[Float](1).toArray),
+      rows(0).getString(2), rows(0).getInt(3), blocks)
+  }
+
   /** [[scoreKernel]] over a row-major flat array — identical arithmetic in
     * identical index order, so scores are bit-identical to [[batchSearch]]
     * and [[batchSearchFused]] (AnnSpec asserts row identity).

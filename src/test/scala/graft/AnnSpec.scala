@@ -248,4 +248,35 @@ class IvfStorageSpec extends SparkSpec {
     assert(prunedFiles > 0 && prunedFiles < allFiles,
       s"pruned scan read $prunedFiles of $allFiles files")
   }
+
+  test("writePacked/loadPacked round-trips and serves identically") {
+    val emb = sf("embeddings")
+    val queries = emb.filter(col("vec_id") < 5).orderBy("vec_id")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray)).toSeq
+    val ix = Ivf.build(emb, col("embedding"), numCells = 8)
+    val px = Ivf.pack(ix, "vec_id", "embedding", payloadCol = Some("label"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpk").toString
+    Ivf.writePacked(px, dir)
+    val loaded = Ivf.loadPacked(spark, dir)
+    assert(loaded.metric == px.metric && loaded.dims == px.dims)
+    assert(loaded.centroids.zip(px.centroids)
+      .forall { case (a, b) => a.sameElements(b) })
+    // block CONTENT survives the round-trip regardless of partitioning
+    def blockSet(p: Ivf.PackedIndex) = p.blocks
+      .map(b => (b.cell, b.ids.toSeq, b.vecs.toSeq, b.norms2.toSeq,
+        b.payload.toSeq)).collect().toSet
+    assert(blockSet(loaded) == blockSet(px))
+    // and the loaded layout answers searches row-identically — including
+    // through the packed payload-filter path
+    def rows(p: Ivf.PackedIndex, pred: Option[Long => Boolean]) =
+      Ivf.batchSearchPacked(p, queries, k = 10, nprobe = 8, "vec_id",
+        roundTo = Some(6), payloadPred = pred)
+        .orderBy("query_id", "distance", "vec_id")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(loaded, None) == rows(px, None))
+    val pred = Some((p: Long) => p < 5)
+    assert(rows(loaded, pred) == rows(px, pred))
+    loaded.unpersist(); px.unpersist()
+  }
 }
