@@ -776,21 +776,36 @@ object Ivf {
 
   /** Blocked near-duplicate join: pairs within maxDistance *inside each
     * cell* — the 100 TB path for embedding near-dup (cells are
-    * executor-sized; cross-cell near-dups are the recall trade, mitigated by
-    * multi-assignment at build time if needed).
+    * executor-sized). Cross-cell near-dups are the recall trade:
+    * `multiAssign = m` places every row in its m nearest cells, so a pair
+    * straddling a cell boundary still meets in the runner-up cell
+    * (AnnSpec plants such a pair and asserts recovery at m = 2). Join
+    * input grows to rows×m — bounded and linear, unlike any all-pairs
+    * fallback; pairs meeting in several shared cells dedupe with one
+    * distinct on the (already distance-filtered, small) output.
     */
   def nearDupBlocked(ix: Index, idCol: String, vecCol: String,
-                     maxDistance: Double): DataFrame = {
-    val a = ix.assigned.select(col("cell"), col(idCol).as("id_a"),
+                     maxDistance: Double, multiAssign: Int = 1): DataFrame = {
+    require(multiAssign >= 1, s"multiAssign must be >= 1, got $multiAssign")
+    val assigned =
+      if (multiAssign <= 1)
+        ix.assigned.select(col("cell"), col(idCol), col(vecCol))
+      else
+        ix.assigned.select(
+          explode(probeCellsOf(col(vecCol), ix.centroids, ix.metric,
+            multiAssign)).as("cell"),
+          col(idCol), col(vecCol))
+    val a = assigned.select(col("cell"), col(idCol).as("id_a"),
       col(vecCol).as("v_a"))
-    val b = ix.assigned.select(col("cell"), col(idCol).as("id_b"),
+    val b = assigned.select(col("cell"), col(idCol).as("id_b"),
       col(vecCol).as("v_b"))
-    a.join(b, Seq("cell"))
+    val pairs = a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("distance",
         round(Distances.distance(ix.metric, col("v_a"), col("v_b")), 6))
       .filter(col("distance") <= maxDistance)
       .select(col("id_a"), col("id_b"), col("distance"))
+    if (multiAssign <= 1) pairs else pairs.distinct()
   }
 
   /** recall@k of an approximate result against the exact result. */

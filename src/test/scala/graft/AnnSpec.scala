@@ -182,6 +182,57 @@ class AnnSpec extends SparkSpec {
         s"blocked recall ${blocked.size}/${exact.size}")
   }
 
+  test("multi-assignment recovers a planted boundary near-dup pair") {
+    val base = emb.filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"))
+    val ix0 = Ivf.build(base, col("embedding"), numCells = 4)
+    val cents = ix0.centroids
+    def cosDist(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // plant a near-dup pair straddling the boundary between the two
+    // mutually-closest centroids: each point leans slightly toward one
+    val (ci, cj) = (for {
+      i <- cents.indices; j <- cents.indices if i < j
+    } yield ((i, j), cosDist(cents(i), cents(j)))).minBy(_._2)._1
+    // mix the NORMALIZED centroids — under cosine the Voronoi boundary
+    // lies between the unit directions, not the raw (norm-skewed) vectors
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    def mix(wa: Float): Array[Float] =
+      unit(cents(ci)).zip(unit(cents(cj)))
+        .map { case (x, y) => x * wa + y * (1f - wa) }
+    val p1 = mix(0.51f); val p2 = mix(0.49f)
+    val thr = math.max(1e-6, cosDist(p1, p2) * 2)
+    val planted = base.unionAll(
+      Seq((9001L, p1.toSeq), (9002L, p2.toSeq)).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")))
+    val ix = Ivf.Index(cents, planted.withColumn("cell",
+      Ivf.cellOf(col("embedding"), cents, ix0.metric)), ix0.metric)
+    // precondition: the plant really does split across two cells
+    val plantCells = ix.assigned.filter(col("vec_id") >= 9001)
+      .select("cell").as[Int].collect().toSet
+    assert(plantCells.size == 2, s"plant landed in one cell: $plantCells")
+    def hasPair(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.filter(col("id_a") === 9001L && col("id_b") === 9002L).count() == 1
+    val single = Ivf.nearDupBlocked(ix, "vec_id", "embedding", thr)
+    val multi = Ivf.nearDupBlocked(ix, "vec_id", "embedding", thr,
+      multiAssign = 2)
+    assert(!hasPair(single), "boundary pair should be invisible single-assigned")
+    assert(hasPair(multi), "multiAssign=2 should recover the boundary pair")
+    // multi-assignment output is a superset of the single-assigned pairs
+    val sp = single.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val mp = multi.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sp.subsetOf(mp))
+  }
+
   test("lsh candidates give reasonable recall with bounded scan") {
     // fewer planes per table = wider buckets (higher collision probability);
     // more tables recover recall: p ≈ 1-(1-cosθ-ish^6)^10
