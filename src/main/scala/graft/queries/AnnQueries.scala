@@ -28,6 +28,40 @@ object AnnQueries {
       ix.copy(assigned = ix.assigned.persist())
     }
 
+  /** Pinned PCA parameters for `pca_transform_fixed`: mean + 8 components
+    * fitted offline on the sf0.01 embeddings (eigendecomposition of the
+    * covariance, sign-normalized) and FROZEN here at 8 decimals. The same
+    * strings feed both engines — `.toDouble` for Spark, verbatim
+    * interpolation for DuckDB — so both parse identical nearest-doubles,
+    * and the f64 projection fold is bit-identical on both sides.
+    */
+  private val pcaMeanStr =
+    "0.00216471 -0.00454779 0.00393015 -0.00479320 0.00994308 0.00777253 -0.01823136 0.00921736 -0.00242740 -0.00061788 0.00643608 0.00335401 -0.00265889 0.00205403 -0.00021457 0.00591025 0.00333422 0.00582612 -0.00046128 0.00123172 -0.00383914 0.00230218 0.00416827 -0.00805459 -0.00189117 0.01280814 -0.00159706 0.01062633 -0.00115328 0.00039037 0.00560472 -0.00579269 0.00833530 -0.00667538 0.00515563 0.00117718 -0.00533533 -0.00159380 -0.00096670 -0.00114098 -0.00174421 -0.01183411 0.00031352 -0.00056316 -0.01152056 0.00383261 -0.00059806 0.00589030 -0.00374966 -0.01026440 0.00937715 -0.00148199 0.00777004 -0.00391756 0.00470978 -0.00357729 0.00477387 -0.00247036 -0.00484451 -0.00872118 -0.00028117 0.00500418 -0.00115906 -0.01326622"
+  private val pcaCompStrs = Seq(
+    "-0.20963933 -0.12057272 0.03654786 0.01181957 0.07567008 0.01321463 0.09058412 0.28661879 0.04954696 0.41405653 0.06530498 0.18207885 0.06513224 -0.03653205 0.17114898 -0.18534978 0.08898987 -0.15702655 -0.03013669 0.03217897 0.06121320 -0.11068832 -0.08347513 -0.05543747 0.01955001 0.19912543 -0.03751725 0.14950770 -0.17287963 -0.00612311 -0.05871573 0.06203772 0.29653854 0.10616458 -0.03204194 0.10414385 0.04453876 0.06146405 0.01300670 0.02177121 -0.11667899 0.00552459 -0.24083692 0.09570759 -0.02830771 -0.22512744 0.00873184 -0.07903751 -0.08368084 -0.11845091 0.12045950 0.07248325 -0.01718648 0.08160437 -0.01503136 -0.06676477 -0.05565064 -0.05137606 0.06019602 -0.09113914 0.12198700 0.05064983 -0.21821146 -0.10201389",
+    "-0.00383713 -0.05443025 -0.01256793 -0.08813366 0.17485770 0.02521437 0.07494656 -0.06998070 0.07744817 0.03069606 0.10575814 -0.01788287 0.01297566 0.13369682 0.01455920 0.04139192 0.14841100 0.36030985 -0.05418865 -0.05076478 0.03254317 0.03539113 0.06533467 -0.30912281 -0.25768214 -0.23906586 -0.02063763 -0.00022331 -0.08628570 -0.17453292 -0.02406793 -0.21754494 0.02946394 0.06153868 0.03375333 0.07921967 0.05946710 0.03649840 0.18210698 0.04667388 0.00000863 0.04698676 -0.06276705 -0.17918980 0.17268649 -0.18883522 -0.04694587 0.14577948 0.11292398 -0.11328063 -0.15743104 -0.08197501 0.01297995 -0.01609235 0.23803515 0.02338432 -0.30282028 0.01638284 0.13543364 -0.12158607 -0.08367050 0.08483883 -0.00044318 -0.07861587",
+    "-0.14804404 -0.08512441 -0.06394747 -0.00045760 -0.20437467 -0.04374174 0.11775530 -0.28449785 0.04440240 0.02371734 -0.05117953 0.03570203 -0.06017956 -0.03455061 0.00944952 -0.23454576 0.17137353 -0.08492759 0.11604707 0.07732840 0.01313163 0.17530755 -0.10064802 0.05337470 0.09255731 0.10008395 0.09063736 -0.13414210 0.01027770 -0.10540483 -0.12285967 0.09091211 0.04825217 -0.18066130 -0.02976989 -0.10216258 0.13907850 -0.21255244 -0.06345652 -0.10392900 0.18947963 0.19011010 -0.12585556 -0.20893278 0.16586568 0.05283628 0.04279757 0.01802002 -0.06832009 -0.05127551 -0.12949844 -0.10645450 0.22780032 -0.15329477 -0.17915209 -0.00192002 -0.00538110 0.10972460 0.18279524 -0.05268508 -0.06955779 0.28843061 -0.09008108 -0.07553050",
+    "0.06808660 0.06269221 0.00878076 0.17252699 -0.25796105 0.10712925 -0.02320921 0.17754309 -0.11522019 0.13620196 0.00764088 0.20195048 -0.06077544 -0.14021935 -0.09311368 0.04930807 0.09682486 0.07142427 -0.00931948 -0.20316849 -0.22547295 0.15765898 -0.01185644 0.07323162 0.02747075 -0.11908308 0.11645429 -0.00383525 0.12892448 -0.10452313 0.15211656 0.20057540 -0.08141318 -0.01767747 -0.11650295 0.31619012 -0.11671862 -0.14843442 -0.01025206 -0.04828887 -0.01450754 -0.00017920 -0.08565322 -0.01743476 -0.07573380 -0.04152083 -0.01362043 0.36940447 -0.10851089 -0.15344610 0.06647234 -0.01977801 0.00932962 0.00540102 -0.02191754 0.10147291 -0.17091025 0.09292951 -0.17072043 -0.07391768 -0.19206043 -0.09621919 -0.08404634 0.02629689",
+    "-0.01508535 0.01351787 -0.17389132 0.02253742 0.16896698 0.30866309 -0.25309506 -0.10693042 -0.01790620 -0.06613281 -0.14284835 0.36196190 0.11830375 0.11743310 0.11494381 0.05571654 -0.11872343 -0.11316167 -0.01902053 -0.24534483 0.03191824 0.03445192 -0.01109188 -0.10927002 0.12474958 0.16616885 0.03526855 -0.14137834 -0.02618929 -0.18259916 0.04226625 0.01617220 -0.06229192 -0.02846260 -0.03986889 -0.05384708 -0.08802505 0.23525140 0.04905412 -0.26307459 -0.05655834 -0.10089457 -0.00751365 -0.05056559 0.11724160 0.00909173 -0.03499876 -0.02060432 0.10296227 -0.21235460 -0.13375688 -0.08333561 -0.16669651 0.09694053 -0.21787743 -0.00421618 -0.00563030 0.04229456 0.10565660 -0.00469864 0.05406349 0.03249525 0.07261703 0.06545658",
+    "-0.08544207 0.01107624 -0.17443305 0.19971582 0.00851946 -0.02935471 0.16018545 -0.01384659 -0.11290145 -0.04229773 0.02215838 0.03605047 -0.18230215 0.47848072 -0.08551789 -0.01742053 0.02487550 -0.19661496 -0.20969732 -0.10289007 -0.06340425 0.03467842 0.16836503 0.03422495 0.00617651 -0.02254298 -0.18434963 -0.02527353 0.01200013 -0.05242866 0.16064801 -0.10225656 -0.15891143 -0.18394128 -0.09522292 0.01510492 0.17046991 0.05533663 -0.07520279 0.20414407 -0.04185252 0.26939098 -0.17915567 -0.04481313 -0.03845338 -0.11610530 0.12082476 -0.00704702 0.03018452 0.04781310 0.16379575 0.01401973 0.06607626 0.11155759 -0.09857967 -0.09315851 -0.08969349 -0.10318157 -0.01787652 0.13658262 0.07658138 -0.07416291 0.07691181 0.01438098",
+    "-0.10467703 0.04334903 0.33082335 0.05281115 0.07154724 -0.23957893 -0.03597021 -0.05025064 0.00544640 0.21559013 -0.25725133 0.08007311 0.23352969 0.06344687 0.10695937 0.19554398 0.05497151 -0.15899120 -0.06773789 0.04729157 -0.04121476 -0.06668513 -0.04778990 0.02707000 -0.05888063 0.00883302 -0.13899059 -0.15865816 0.04030695 -0.12584153 0.15366276 -0.22586041 -0.11182060 0.10493781 0.01450337 -0.18891691 0.00721301 -0.20401995 -0.13255086 -0.20449432 0.19571794 0.08722167 0.02497070 -0.01767263 -0.06601916 -0.06466507 -0.13659525 0.04433185 -0.13211727 -0.08608364 -0.05007146 0.21818179 0.04603151 0.14948533 0.10036774 0.06536654 -0.01421816 -0.01194769 -0.02457567 0.01462271 -0.15823870 -0.04525846 0.13015214 -0.03712295",
+    "0.28053835 -0.13715907 -0.04126692 0.07332610 -0.01915856 -0.14848892 -0.11300437 0.08889732 -0.01738314 0.09350298 0.15384332 -0.09533876 0.10336994 0.02293488 0.07543843 0.18178214 -0.16023108 0.02863289 -0.05134799 -0.01784053 -0.00998433 0.16671737 -0.00360416 0.25852724 -0.15791551 0.05612739 -0.09822172 -0.04030024 -0.01482240 0.04401134 0.04823681 -0.08010612 0.02962549 0.04561400 0.10346269 -0.20726140 -0.14479500 -0.11211549 -0.03295227 0.02750180 -0.10105638 -0.12730957 -0.19101634 -0.08899295 0.11129272 0.06580294 -0.14256339 0.21676374 0.14131254 -0.01800817 0.23205686 -0.19508721 0.01013901 0.01670622 -0.18769487 -0.04931119 0.01293983 -0.04592994 0.31640769 0.13303037 0.00327328 0.05165376 -0.15850983 -0.20279568",
+  )
+
+  private def pcaTransformSql: String = {
+    val m = pcaMeanStr.split(" ")
+    val cols = pcaCompStrs.zipWithIndex.map { case (cs, ci) =>
+      val terms = cs.split(" ").zipWithIndex.map { case (w, i) =>
+        s"(ve[${i + 1}] - ${m(i)}) * $w"
+      }.mkString(" + ")
+      s"round($terms, 6) AS pc$ci"
+    }.mkString(",\n       ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings)
+       |SELECT vec_id,
+       |       $cols
+       |FROM v ORDER BY vec_id""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
     "ivf_knn_full_probe" -> Q(
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
@@ -346,6 +380,27 @@ object AnnQueries {
           orthonormal && descending && bounded && informative)
       }.toSeq.toDF("component", "variance_ratio", "check_passed")
         .orderBy(col("component"))
+    },
+
+    // PCA transform under a FULL hash oracle via pinned parameters (the
+    // pinned-parameter replay trick): power iteration is not
+    // SQL-reproducible, but a FROZEN mean + component matrix is — DuckDB
+    // replays the centering and the 8 projection dot-products as explicit
+    // f64 arithmetic in the same fold order, so values are bit-identical
+    // before the final round. The trained-path spectral self-check
+    // (`pca_components`) stays beside this gate.
+    "pca_transform_fixed" -> Q(pcaTransformSql) { (s, dir) =>
+      val mean = pcaMeanStr.split(" ").map(_.toDouble)
+      val comps = pcaCompStrs.map(_.split(" ").map(_.toDouble))
+      val centered = zip_with(col("embedding").cast("array<double>"),
+        lit(mean), (x, m) => x - m)
+      val pcs = comps.zipWithIndex.map { case (c, ci) =>
+        round(aggregate(zip_with(centered, lit(c), (x, w) => x * w),
+          lit(0.0), (acc, x) => acc + x), 6).as(s"pc$ci")
+      }
+      Tables.load(s, dir, "embeddings")
+        .select((col("vec_id") +: pcs): _*)
+        .orderBy("vec_id")
     },
 
     // Sign-LSH ANN — full hash oracle since r5: the hyperplanes are

@@ -11,7 +11,66 @@ import graft.ops.Extras
   */
 object ExtrasQueries {
 
+  /** Pinned ALS factors for `cf_recommend_fixed`: implicit-ALS (rank 4)
+    * fitted offline on the SAME events-derived interaction matrix the
+    * trained `cf_recommend` entry uses, then FROZEN here quantized to
+    * multiples of 2⁻¹⁰. The quantization makes every factor product exact
+    * in BOTH f32 and f64 (≤22-bit mantissas), so the recommend dot
+    * product is bit-identical between Spark's float arrays and the
+    * oracle's decimal literals — no rounding semantics participate.
+    */
+  private val cfU0Str = "-1.0673828125 0.515625 2.7275390625 -2.98828125"
+  private val cfItemStrs: Seq[(String, String)] = Seq(
+    "i0" -> "-0.060546875 0.029296875 0.154296875 -0.16796875",
+    "i1" -> "-0.060546875 0.029296875 0.154296875 -0.1689453125",
+    "i2" -> "-0.060546875 0.029296875 0.154296875 -0.1689453125",
+    "i3" -> "-0.060546875 0.029296875 0.154296875 -0.16796875",
+    "i4" -> "-0.060546875 0.029296875 0.154296875 -0.16796875",
+    "i5" -> "0.12890625 -0.1865234375 0.03515625 -0.046875",
+    "i6" -> "0.12890625 -0.1865234375 0.03515625 -0.046875",
+    "i7" -> "0.12890625 -0.1865234375 0.03515625 -0.046875",
+    "i8" -> "0.12890625 -0.1865234375 0.03515625 -0.046875",
+    "i9" -> "0.12890625 -0.1865234375 0.03515625 -0.046875")
+
+  private def cfFixedSql: String = {
+    val u = cfU0Str.split(" ")
+    val itemRows = cfItemStrs.map { case (it, fs) =>
+      val g = fs.split(" ")
+      s"('$it', ${g.mkString(", ")})"
+    }.mkString(",\n      ")
+    val dot = u.indices
+      .map(i => s"CAST(g${i + 1} AS DOUBLE) * CAST(${u(i)} AS DOUBLE)")
+      .mkString(" + ")
+    s"""WITH itf(item, g1, g2, g3, g4) AS (VALUES
+       |      $itemRows),
+       |scored AS (SELECT item, $dot AS cf_score FROM itf)
+       |SELECT item, round(cf_score, 6) AS cf_score
+       |FROM scored WHERE item NOT IN ('i0', 'i1')
+       |ORDER BY cf_score DESC, item LIMIT 5""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    // CF recommendation under a FULL hash oracle via pinned factors (the
+    // pinned-parameter replay trick): the ALS factorization is not
+    // SQL-reproducible, a frozen factor matrix is. The Spark side routes
+    // through the REAL CollaborativeFiltering.recommend path — pinned
+    // Model, dot-product scoring, seen-item exclusion, (score desc, item)
+    // ordering with real ties — and DuckDB replays the same dot products
+    // as exact arithmetic. The trained-path self-check (`cf_recommend`)
+    // stays beside this gate.
+    "cf_recommend_fixed" -> Q(cfFixedSql) { (s, dir) =>
+      import s.implicits._
+      import graft.ops.CollaborativeFiltering
+      val uf = Seq(("u0", cfU0Str.split(" ").map(_.toFloat).toSeq))
+        .toDF("user", "features")
+      val itf = cfItemStrs
+        .map { case (it, fs) => (it, fs.split(" ").map(_.toFloat).toSeq) }
+        .toDF("item", "features")
+      CollaborativeFiltering.recommend(
+        CollaborativeFiltering.Model(uf, itf, rank = 4), "u0", k = 5,
+        seen = Seq("i0", "i1"))
+        .select(col("item"), round(col("cf_score"), 6).as("cf_score"))
+    },
     // Field statistics (reference metadata.rs:606-640). The approximate
     // cardinality (HLL) is not SQL-reproducible, so the gate projects the
     // exact columns only; the approx path is spec-covered (ExtrasSpec).
