@@ -379,6 +379,30 @@ object Ivf {
   /** k-bounded (score, id)-sorted buffer — the per-partition mirror of
     * [[graft.functions.TopKAgg]]'s aggregation buffer.
     */
+  /** Per-cell prober set in struct-of-arrays form: the scoring kernels
+    * index these primitive arrays directly instead of destructuring a
+    * Tuple3 per (row × query) iteration.
+    */
+  private[graft] final class CellProbers(val qids: Array[Int],
+      val qvs: Array[Array[Float]], val qn2s: Array[Double])
+      extends Serializable {
+    def length: Int = qids.length
+  }
+
+  private[graft] def splitProbers(
+      xs: Seq[(Int, Array[Float], Double)]): CellProbers = {
+    val arr = xs.toArray
+    new CellProbers(arr.map(_._1), arr.map(_._2), arr.map(_._3))
+  }
+
+  /** HALF_UP decimal rounding of a distance — the kernels branch on a
+    * plain int scale instead of Option.foreach, whose var-capturing
+    * closure costs a DoubleRef allocation per scored row.
+    */
+  private[graft] def roundHalfUp(d: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
   private[graft] final class TopBuf(k: Int) {
     val scores = new Array[Double](k); val ids = new Array[Long](k)
     var n = 0
@@ -424,16 +448,16 @@ object Ivf {
     val cellsPer = new Array[Seq[Int]](qarr.length)
     java.util.stream.IntStream.range(0, qarr.length).parallel()
       .forEach(i => cellsPer(i) = probeCells(ix, qarr(i)._2, nprobe))
-    val byCell: Map[Int, Array[(Int, Array[Float], Double)]] =
+    val byCell: Map[Int, CellProbers] =
       qarr.indices.flatMap { i =>
         val (qid, qv) = qarr(i); val n2 = norm2(qv)
         cellsPer(i).map(c => (c, (qid, qv, n2)))
-      }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toArray }
+      }.groupBy(_._1).map { case (c, xs) => c -> splitProbers(xs.map(_._2)) }
     val probed = byCell.keys.toSeq
     val bc = spark.sparkContext.broadcast(byCell)
     val metric = ix.metric
     val kk = k
-    val rnd = roundTo
+    val rndScale = roundTo.getOrElse(-1)
     val partial = ix.assigned
       .filter(col("cell").isin(probed: _*))
       .select(col(idCol).cast("long"), col("cell").cast("int"),
@@ -449,10 +473,9 @@ object Ivf {
             val vn2 = if (needsNorm) norm2(v) else 0.0
             var j = 0
             while (j < probers.length) {
-              val (qid, qv, qn2) = probers(j)
-              var d = score(v, vn2, qv, qn2)
-              rnd.foreach(p => d = java.math.BigDecimal.valueOf(d)
-                .setScale(p, java.math.RoundingMode.HALF_UP).doubleValue())
+              var d = score(v, vn2, probers.qvs(j), probers.qn2s(j))
+              if (rndScale >= 0) d = roundHalfUp(d, rndScale)
+              val qid = probers.qids(j)
               var b = bufs.get(qid)
               if (b == null) { b = new TopBuf(kk); bufs.put(qid, b) }
               b.insert(d, id)
@@ -692,15 +715,15 @@ object Ivf {
     java.util.stream.IntStream.range(0, qarr.length).parallel()
       .forEach(i => cellsPer(i) =
         probeCells(px.centroids, px.metric, qarr(i)._2, nprobe))
-    val byCell: Map[Int, Array[(Int, Array[Float], Double)]] =
+    val byCell: Map[Int, CellProbers] =
       qarr.indices.flatMap { i =>
         val (qid, qv) = qarr(i); val n2 = norm2(qv)
         cellsPer(i).map(c => (c, (qid, qv, n2)))
-      }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toArray }
+      }.groupBy(_._1).map { case (c, xs) => c -> splitProbers(xs.map(_._2)) }
     val bc = spark.sparkContext.broadcast(byCell)
     val metric = px.metric
     val kk = k
-    val rnd = roundTo
+    val rndScale = roundTo.getOrElse(-1)
     val dims = px.dims
     val pred: Long => Boolean = payloadPred.orNull
     val partial = px.blocks.mapPartitions { it =>
@@ -713,20 +736,30 @@ object Ivf {
           require(pred == null || b.payload.length == b.ids.length,
             "payloadPred requires an index packed with payloadCol")
           val n = b.ids.length
+          val m = probers.length
+          // hoist the per-query buffers for this block: the inner loop
+          // indexes an aligned array instead of a HashMap per (row, query)
+          val qbufs = new Array[TopBuf](m)
+          var j0 = 0
+          while (j0 < m) {
+            val qid = probers.qids(j0)
+            var buf = bufs.get(qid)
+            if (buf == null) { buf = new TopBuf(kk); bufs.put(qid, buf) }
+            qbufs(j0) = buf; j0 += 1
+          }
+          val vecs = b.vecs; val ids = b.ids; val norms2 = b.norms2
           var i = 0
           while (i < n) {
             if (pred == null || pred(b.payload(i))) {
               val off = i * dims
-              val vn2 = if (needsNorm) b.norms2(i) else 0.0
+              val vn2 = if (needsNorm) norms2(i) else 0.0
+              val id = ids(i)
               var j = 0
-              while (j < probers.length) {
-                val (qid, qv, qn2) = probers(j)
-                var d = score(b.vecs, off, dims, qv, vn2, qn2)
-                rnd.foreach(p => d = java.math.BigDecimal.valueOf(d)
-                  .setScale(p, java.math.RoundingMode.HALF_UP).doubleValue())
-                var buf = bufs.get(qid)
-                if (buf == null) { buf = new TopBuf(kk); bufs.put(qid, buf) }
-                buf.insert(d, b.ids(i))
+              while (j < m) {
+                var d = score(vecs, off, dims, probers.qvs(j), vn2,
+                  probers.qn2s(j))
+                if (rndScale >= 0) d = roundHalfUp(d, rndScale)
+                qbufs(j).insert(d, id)
                 j += 1
               }
             }
