@@ -563,6 +563,40 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // CCNet-style LM perplexity scoring (Wenzek et al. 2019): add-one
+    // unigram LM over the corpus token stream, per-doc mean negative
+    // log-likelihood + perplexity. Fully SQL-replayable (the BM25 oracle
+    // established ln() parity); ppl derives from the UNROUNDED nll on
+    // both sides, then rounds.
+    "unigram_perplexity" -> Q(
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |           string_split_regex(lower(text), '[^a-z0-9]+'),
+        |           t -> len(t) > 1 AND t NOT IN ($stopList))) AS term
+        |  FROM documents),
+        |counts AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+        |tot AS (SELECT sum(c)::DOUBLE AS n, count(*)::DOUBLE AS v FROM counts),
+        |lm AS (SELECT term, ln((c + 1.0) / (t.n + t.v)) AS log_p
+        |       FROM counts CROSS JOIN tot t),
+        |s AS (SELECT toks.doc_id, count(*) AS n_tokens, avg(-lm.log_p) AS nll
+        |      FROM toks JOIN lm USING (term) GROUP BY toks.doc_id)
+        |SELECT d.doc_id,
+        |       coalesce(s.n_tokens, 0) AS n_tokens,
+        |       round(s.nll, 6) AS nll,
+        |       round(exp(s.nll), 4) AS ppl
+        |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+    ) { (s, dir) =>
+      import graft.pipeline.Perplexity
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val lm = Perplexity.unigramLm(docs, col("text"))
+      Perplexity.score(docs, col("doc_id"), col("text"), lm)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("nll"), 6).as("nll"), round(col("ppl"), 4).as("ppl"))
+        .orderBy(col("doc_id"))
+    },
+
     // Gopher/MassiveText quality-filter rule set (Rae et al. 2021 A1) —
     // one 0/1 column per rule so the gate checks each rule's semantics.
     "gopher_rules" -> Q(

@@ -98,6 +98,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(12L)._2 == 1L)
   }
 
+  test("unigram perplexity: repetitive docs score lower, unseen floor, " +
+      "quantile filter keeps the head") {
+    import graft.pipeline.Perplexity
+    val rng = new scala.util.Random(11)
+    // 30 docs of common vocabulary, 10 of rare scattered tokens — the
+    // rare-token docs must land in the high-perplexity tail
+    val docs = ((0L until 30L).map { i =>
+      (i, Seq.fill(30)(s"common${rng.nextInt(5)}").mkString(" "))
+    } ++ (30L until 40L).map { i =>
+      (i, Seq.tabulate(30)(j => s"rare${i}x$j").mkString(" "))
+    }).toDF("doc_id", "text")
+    val lm = Perplexity.unigramLm(docs, col("text"))
+    val scored = Perplexity.score(docs, col("doc_id"), col("text"), lm)
+    val ppl = scored.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ppl")).toMap
+    val commonMax = (0L until 30L).map(ppl).max
+    val rareMin = (30L until 40L).map(ppl).min
+    assert(rareMin > commonMax,
+      s"rare-token docs must out-perplex common docs: $rareMin <= $commonMax")
+    // CCNet head-cut: keeping q = 0.75 drops exactly the rare tail
+    val kept = Perplexity.filterByQuantile(scored, 0.75)
+      .select("doc_id").as[Long].collect().toSet
+    assert((0L until 30L).forall(kept), "all common docs kept")
+    assert((30L until 40L).count(kept) <= 1, "rare tail dropped")
+    // unseen-token floor: a fresh doc scores at the floor, not null
+    val fresh = Seq((99L, "neverseen tokens entirely")).toDF("doc_id", "text")
+    val floor = math.log(1.0 / 1e9)
+    val f = Perplexity.score(fresh, col("doc_id"), col("text"), lm,
+      unseenLogP = floor).collect()(0)
+    assert(math.abs(f.getAs[Double]("nll") - (-floor)) < 1e-9)
+  }
+
   test("quality classifier learns a separable token signal") {
     import graft.pipeline.QualityClassifier
     val rng = new scala.util.Random(7)
