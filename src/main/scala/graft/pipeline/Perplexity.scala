@@ -69,6 +69,60 @@ object Perplexity {
         col("nll"), exp(col("nll")).as("ppl"))
   }
 
+  /** Ordered token stream (doc, pos, term) — the shared input of the
+    * n-gram models; one compiled tokenize pass, no shuffle.
+    */
+  def tokenStream(docs: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    docs.select(idCol.as("__doc_id"),
+      posexplode(graft.text.Tokenizer.tokens(textCol, stemming = false))
+        .as(Seq("pos", "term")))
+
+  /** Interpolated-bigram scoring, one step closer to CCNet's KenLM:
+    * `p(tᵢ|tᵢ₋₁) = λ·c(tᵢ₋₁tᵢ)/c(tᵢ₋₁) + (1−λ)·p_uni(tᵢ)`; a document's
+    * first token (no predecessor) scores with the unigram term alone.
+    * The unigram interpolation floor means unseen bigrams never zero the
+    * probability — the standard Jelinek-Mercer fallback.
+    *
+    * Scale shape: the bigram table is one groupBy over lag-paired tokens
+    * (bounded by distinct bigrams, ≪ corpus at any natural-language
+    * vocabulary); pairing is a lag window partitioned by document —
+    * per-doc state, the same class as the chunking/windowed operators.
+    */
+  def scoreBigram(docs: DataFrame, idCol: Column, textCol: Column,
+                  lambda: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stream = tokenStream(docs, idCol, textCol)
+    val paired = stream.withColumn("prev",
+      lag(col("term"), 1).over(
+        Window.partitionBy(col("__doc_id")).orderBy(col("pos"))))
+    val uniC = stream.groupBy(col("term")).agg(count(lit(1)).as("c1"))
+    val totals = uniC.agg(sum(col("c1")).as("n"),
+      count(lit(1)).as("v")).collect()(0)
+    val denom = (totals.getLong(0) + totals.getLong(1)).toDouble
+    val uni = uniC.select(col("term"),
+      ((col("c1") + lit(1L)).cast("double") / lit(denom)).as("p_uni"),
+      col("c1"))
+    val biC = paired.filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("term")).agg(count(lit(1)).as("c2"))
+    val p = paired
+      .join(uni.select(col("term"), col("p_uni")), Seq("term"))
+      .join(uni.select(col("term").as("prev"), col("c1").as("c1_prev")),
+        Seq("prev"), "left")
+      .join(biC, Seq("prev", "term"), "left")
+      .withColumn("p",
+        when(col("prev").isNull, col("p_uni"))
+          .otherwise(lit(lambda) *
+            (coalesce(col("c2"), lit(0L)).cast("double") / col("c1_prev")) +
+            lit(1.0 - lambda) * col("p_uni")))
+    val scored = p.groupBy(col("__doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), avg(-log(col("p"))).as("nll"))
+    docs.select(idCol.as("__doc_id")).distinct()
+      .join(scored, Seq("__doc_id"), "left")
+      .select(col("__doc_id").as("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("nll"), exp(col("nll")).as("ppl"))
+  }
+
   /** The CCNet keep-rule: documents with perplexity at or below the given
     * quantile of the corpus distribution (the published pipeline keeps
     * the head/middle thirds; `q = 2.0/3` reproduces that cut).

@@ -597,6 +597,52 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Interpolated-bigram perplexity (one step toward CCNet's KenLM):
+    // p(t|prev) = 0.7·c(prev,t)/c(prev) + 0.3·p_uni(t); first token
+    // scores unigram-only. DuckDB replays the lag-window pairing and both
+    // count tables. (The λ literals differ between engines by one ulp of
+    // 0.3 — relative 2e-16, invisible at the 6-decimal contract.)
+    "bigram_perplexity" -> Q(
+      s"""WITH w AS (
+        |  SELECT doc_id, list_filter(
+        |           string_split_regex(lower(text), '[^a-z0-9]+'),
+        |           t -> len(t) > 1 AND t NOT IN ($stopList)) AS arr
+        |  FROM documents),
+        |toks AS (SELECT doc_id, generate_subscripts(arr, 1) AS pos,
+        |                unnest(arr) AS term FROM w),
+        |paired AS (SELECT doc_id, pos, term,
+        |                  lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |           FROM toks),
+        |uc AS (SELECT term, count(*) AS c1 FROM toks GROUP BY term),
+        |tot AS (SELECT sum(c1)::DOUBLE AS n, count(*)::DOUBLE AS v FROM uc),
+        |uni AS (SELECT term, (c1 + 1.0) / (t.n + t.v) AS p_uni
+        |        FROM uc CROSS JOIN tot t),
+        |bc AS (SELECT prev, term, count(*) AS c2 FROM paired
+        |       WHERE prev IS NOT NULL GROUP BY prev, term),
+        |p AS (SELECT pr.doc_id,
+        |             CASE WHEN pr.prev IS NULL THEN u.p_uni
+        |                  ELSE 0.7 * (coalesce(b.c2, 0)::DOUBLE / u2.c1::DOUBLE)
+        |                       + (1.0 - 0.7) * u.p_uni END AS p
+        |      FROM paired pr
+        |      JOIN uni u ON pr.term = u.term
+        |      LEFT JOIN uc u2 ON pr.prev = u2.term
+        |      LEFT JOIN bc b ON pr.prev = b.prev AND pr.term = b.term),
+        |s AS (SELECT doc_id, count(*) AS n_tokens, avg(-ln(p)) AS nll
+        |      FROM p GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
+        |       round(s.nll, 6) AS nll, round(exp(s.nll), 4) AS ppl
+        |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+    ) { (s, dir) =>
+      import graft.pipeline.Perplexity
+      Perplexity.scoreBigram(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("text")),
+        col("doc_id"), col("text"), lambda = 0.7)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("nll"), 6).as("nll"), round(col("ppl"), 4).as("ppl"))
+        .orderBy(col("doc_id"))
+    },
+
     // Gopher/MassiveText quality-filter rule set (Rae et al. 2021 A1) —
     // one 0/1 column per rule so the gate checks each rule's semantics.
     "gopher_rules" -> Q(

@@ -130,6 +130,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(f.getAs[Double]("nll") - (-floor)) < 1e-9)
   }
 
+  test("bigram perplexity is order-sensitive where unigram is not") {
+    import graft.pipeline.Perplexity
+    val phrase = Seq("alpha", "beta", "gamma", "delta")
+    // 20 docs repeat the phrase IN ORDER; doc 99 carries the same token
+    // multiset in a scrambled order — identical unigram stats by
+    // construction, broken bigram transitions
+    val ordered = (0L until 20L)
+      .map(i => (i, Seq.fill(10)(phrase).flatten.mkString(" ")))
+    val scrambled = Seq((99L,
+      Seq.fill(10)(Seq("alpha", "gamma", "beta", "delta")).flatten
+        .mkString(" ")))
+    val docs = (ordered ++ scrambled).toDF("doc_id", "text")
+    val lm = Perplexity.unigramLm(docs, col("text"))
+    val uniPpl = Perplexity.score(docs, col("doc_id"), col("text"), lm)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ppl"))
+      .toMap
+    assert(math.abs(uniPpl(0L) - uniPpl(99L)) < 1e-9,
+      "unigram ppl must be order-blind for an identical token multiset")
+    val biPpl = Perplexity.scoreBigram(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ppl"))
+      .toMap
+    assert(biPpl(99L) > biPpl(0L) * 1.2,
+      s"scrambled doc must out-perplex ordered: ${biPpl(99L)} vs ${biPpl(0L)}")
+  }
+
   test("quality classifier learns a separable token signal") {
     import graft.pipeline.QualityClassifier
     val rng = new scala.util.Random(7)
