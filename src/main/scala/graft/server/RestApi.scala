@@ -58,7 +58,20 @@ class RestApi(spark: SparkSession) {
     */
   final case class Coll(name: String, dims: Int, metric: String,
                         @volatile var df: DataFrame,
-                        @volatile var deleted: Long = 0L)
+                        @volatile var deleted: Long = 0L,
+                        @volatile var ann: AnnState = null)
+
+  /** Driver-resident ANN serving state for one collection: a LocalServe
+    * snapshot (the in-process point-query tier — zero Spark jobs per
+    * search) plus the surrogate-id ↔ string-id mapping. SNAPSHOT
+    * semantics, like the reference's in-memory index segments: any
+    * mutation invalidates it (`ann = null`) and a client rebuilds via
+    * `POST /collections/{c}/index`; rows whose TTL expires after the
+    * build are served until the next rebuild.
+    */
+  final case class AnnState(li: graft.ann.LocalServe.LocalIndex,
+                            ids: Array[String], numCells: Int,
+                            nprobe: Int, rows: Long)
 
   private val collections = mutable.LinkedHashMap.empty[String, Coll]
   private val mapper = new ObjectMapper()
@@ -119,6 +132,9 @@ class RestApi(spark: SparkSession) {
           insert(c, arr(mapper.readTree(body).get("vectors")), upsertMode = true)
         case ("POST", List("collections", c, "vectors", "delete-batch")) =>
           deleteVectors(c, arr(mapper.readTree(body).get("ids")).map(_.asText()))
+        case ("POST", List("collections", c, "index")) => buildIndex(c, body)
+        case ("GET", List("collections", c, "index")) => indexStatus(c)
+        case ("DELETE", List("collections", c, "index")) => dropIndex(c)
         case ("POST", List("collections", c, "search")) => search(c, body)
         case ("POST", List("collections", c, "search", "batch")) =>
           batchSearch(c, body)
@@ -259,6 +275,7 @@ class RestApi(spark: SparkSession) {
       }
       c.df = c.df.filter(!col("id").isin(ids: _*)).unionByName(incoming)
         .localCheckpoint(false) // keep the lineage O(1) across mutations
+      c.ann = null // ANN snapshot is stale after any mutation
     }
     ok(obj(_.put(if (upsertMode) "upserted" else "inserted",
       dedupedRows.size)))
@@ -271,6 +288,7 @@ class RestApi(spark: SparkSession) {
       if (n == 0 && ids.size == 1)
         throw ApiException(404, s"Vector not found: ${ids.head}", "NOT_FOUND")
       c.df = c.df.filter(!col("id").isin(ids: _*)).localCheckpoint(false)
+      c.ann = null // ANN snapshot is stale after any mutation
       c.deleted += n
       ok(obj(_.put("deleted", n)))
     }
@@ -338,9 +356,98 @@ class RestApi(spark: SparkSession) {
     c.df.filter(col("ttl_expires_at").isNull ||
       col("ttl_expires_at") > nowEpochS())
 
+  /** Build the driver-resident ANN serving tier over the collection's
+    * live snapshot: assign a dense surrogate id (string ids must become
+    * longs for the packed arrays — the single-partition window is a
+    * one-off build pass over a registry-sized, `maxRows`-guarded
+    * collection), fit IVF centroids, collect into a LocalServe snapshot.
+    * After this, `{"mode":"ann"}` searches answer in-process with zero
+    * Spark jobs — the reference's in-memory serving model.
+    */
+  private def buildIndex(name: String, body: String): (Int, String) = {
+    val c = coll(name)
+    val req = if (body == null || body.isBlank) mapper.createObjectNode()
+              else mapper.readTree(body)
+    val numCells = boundedInt(req, "num_cells", default = 16, max = 4096)
+    val nprobe = boundedInt(req, "nprobe",
+      default = math.max(1, numCells / 4), max = numCells)
+    import org.apache.spark.sql.expressions.Window
+    val snap = liveRows(c).select(col("id"), col("vector"))
+      .withColumn("__sid",
+        row_number().over(Window.orderBy(col("id"))).cast("long") - 1)
+      .localCheckpoint(false) // one stable snapshot feeds build + mapping
+    val ix = graft.ann.Ivf.build(snap, col("vector"), numCells, c.metric)
+    val li = graft.ann.LocalServe.fromIndex(ix, "__sid", "vector")
+    val ids = snap.orderBy(col("__sid")).select("id").collect()
+      .map(_.getString(0))
+    synchronized {
+      c.ann = AnnState(li, ids, numCells, nprobe, ids.length.toLong)
+    }
+    ok(obj { o =>
+      o.put("indexed", ids.length); o.put("num_cells", numCells)
+      o.put("nprobe", nprobe)
+    })
+  }
+
+  private def indexStatus(name: String): (Int, String) = {
+    val a = coll(name).ann
+    ok(obj { o =>
+      o.put("built", a != null)
+      if (a != null) {
+        o.put("rows", a.rows); o.put("num_cells", a.numCells)
+        o.put("nprobe", a.nprobe)
+      }
+    })
+  }
+
+  private def dropIndex(name: String): (Int, String) = {
+    val c = coll(name)
+    synchronized { c.ann = null }
+    ok(obj(_.put("dropped", true)))
+  }
+
+  /** `{"mode":"ann"}` search: answered from the LocalServe snapshot
+    * in-process. Results carry id + distance (fetch metadata via
+    * `GET /vectors/{id}` when needed — the snapshot holds vectors, not
+    * metadata); filters and cursors stay on the exact path.
+    */
+  private def annSearch(c: Coll, req: JsonNode): (Int, String) = {
+    val ann = c.ann
+    if (ann == null)
+      throw ApiException(409, "no ANN index for this collection — " +
+        "POST /collections/{name}/index (mutations invalidate it)",
+        "NO_INDEX")
+    val qv = arr(require(req, "vector")).map(_.floatValue()).toArray
+    val k = boundedInt(req, "k", default = 10, max = 1000)
+    val nprobe = boundedInt(req, "nprobe", default = ann.nprobe,
+      max = ann.numCells)
+    if (Option(req.get("distance")).filterNot(_.isNull)
+        .exists(_.asText() != c.metric))
+      throw ApiException(400,
+        s"ann mode serves the index metric '${c.metric}'",
+        "INVALID_DISTANCE")
+    if (req.has("filter") && !req.get("filter").isNull)
+      throw ApiException(400,
+        "ann mode does not support filters; use exact mode", "INVALID_FILTER")
+    val hits = graft.ann.LocalServe.search(ann.li, qv, k, nprobe)
+    ok(obj { o =>
+      o.put("mode", "ann"); o.put("nprobe", nprobe)
+      val rs = o.putArray("results")
+      hits.foreach { case (sid, d) =>
+        val r = rs.addObject()
+        r.put("id", ann.ids(sid.toInt)); r.put("distance", d)
+      }
+    })
+  }
+
   private def search(name: String, body: String): (Int, String) = {
     val c = coll(name)
     val req = mapper.readTree(body)
+    val mode = Option(req.get("mode")).filterNot(_.isNull).map(_.asText())
+      .getOrElse("exact")
+    if (mode == "ann") return annSearch(c, req)
+    if (mode != "exact")
+      throw ApiException(400, s"unknown search mode: $mode", "INVALID_MODE")
     val qv = arr(require(req, "vector")).map(_.floatValue()).toArray
     val k = boundedInt(req, "k", default = 10, max = 1000)
     val metric = Option(req.get("distance")).filterNot(_.isNull)

@@ -375,6 +375,56 @@ class RestApiSpec extends SparkSpec {
       .forall(id => id.stripPrefix("r").toInt >= 5), "expired rows excluded")
   }
 
+  test("ann serving tier: build, full-probe parity with exact search, " +
+      "mutation invalidation") {
+    val a = api
+    (0 until 40).foreach { i =>
+      insert(a, s"v$i", Seq(math.sin(i), math.cos(i), math.sin(i * 2)))
+    }
+    // no index yet → 409 NO_INDEX
+    val (no, noBody) = a.handle("POST", "/collections/docs/search",
+      """{"vector":[1,0,0],"k":5,"mode":"ann"}""")
+    assert(no == 409 &&
+      mapper.readTree(noBody).get("code").asText() == "NO_INDEX")
+    // build
+    val (bs, bBody) = a.handle("POST", "/collections/docs/index",
+      """{"num_cells":4}""")
+    assert(bs == 200, bBody)
+    assert(mapper.readTree(bBody).get("indexed").asInt() == 40)
+    val (_, st) = a.handle("GET", "/collections/docs/index", "")
+    assert(mapper.readTree(st).get("built").asBoolean())
+    // full probe == exact search ids, in order
+    def ids(body: String): Seq[String] = {
+      val rs = mapper.readTree(body).get("results")
+      (0 until rs.size()).map(i => rs.get(i).get("id").asText())
+    }
+    val (_, ex) = a.handle("POST", "/collections/docs/search",
+      """{"vector":[1,0,0],"k":5}""")
+    val (as, ab) = a.handle("POST", "/collections/docs/search",
+      """{"vector":[1,0,0],"k":5,"mode":"ann","nprobe":4}""")
+    assert(as == 200, ab)
+    assert(ids(ab) == ids(ex), s"ann=${ids(ab)} exact=${ids(ex)}")
+    assert(mapper.readTree(ab).get("mode").asText() == "ann")
+    // guards: filter and foreign metric are exact-path features
+    assert(a.handle("POST", "/collections/docs/search",
+      """{"vector":[1,0,0],"mode":"ann","filter":{"x":1}}""")._1 == 400)
+    assert(a.handle("POST", "/collections/docs/search",
+      """{"vector":[1,0,0],"mode":"ann","distance":"euclidean"}""")._1 == 400)
+    assert(a.handle("POST", "/collections/docs/search",
+      """{"vector":[1,0,0],"mode":"nope"}""")._1 == 400)
+    // mutation invalidates the snapshot
+    insert(a, "fresh", Seq(0.5, 0.5, 0))
+    val (inv, invBody) = a.handle("POST", "/collections/docs/search",
+      """{"vector":[1,0,0],"k":5,"mode":"ann"}""")
+    assert(inv == 409 &&
+      mapper.readTree(invBody).get("code").asText() == "NO_INDEX")
+    assert(!mapper.readTree(
+      a.handle("GET", "/collections/docs/index", "")._2)
+      .get("built").asBoolean())
+    // drop route idempotent
+    assert(a.handle("DELETE", "/collections/docs/index", "")._1 == 200)
+  }
+
   test("live HTTP round-trip through the JDK host") {
     val a = api
     insert(a, "v1", Seq(1, 0, 0))
