@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The SIMD serving kernels (graft.ann.VectorSimd) use the Java 17
+// incubator vector module. Java compiles first so scalac reads the
+// classfile (primitive-only signatures) and never has to resolve the
+// incubator types itself.
+compileOrder := CompileOrder.JavaThenScala
+javacOptions ++= Seq("--add-modules", "jdk.incubator.vector")
 // The driver parses Bench's final JSON line from the LAST ~2000 chars of
 // stdout; sbt's "[success] Total time ..." trailer eats ~70 chars of that
 // window, so suppress it (exit codes still signal failure).
@@ -31,6 +37,9 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // SIMD serving kernels; when absent at runtime graft.ann.Simd
+  // falls back to the scalar kernels per JVM.
+  "--add-modules", "jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // Session artifact isolation (Spark 4) routes executor class lookups

@@ -276,6 +276,37 @@ object BaselineBench {
       out("packed256_batch2000_exact_qps") = 1000.0 / ms
     }
 
+    // ---- SIMD serving kernels over the packed layout -------------------
+    // f32 lane-accumulated scoring (graft.ann.VectorSimd) — the numerics
+    // the reference's own SIMD engine computes (its simd_basic.rs f32
+    // horizontal reduce); recall measured against the exact f64 top-10,
+    // and configs only become the comparison row at recall ≥ 0.95.
+    // nprobe = 256 is the SIMD brute-force bound (full scan per batch).
+    {
+      val px = packedCache(256)
+      out("simd_available") = if (graft.ann.Simd.available) 1.0 else 0.0
+      for (nprobe <- Seq(4, 8, 256)) {
+        val recalls = qr.zip(exactTops).map { case (q, exact) =>
+          val ids = Ivf.batchSearchPacked(px, Seq((0, q)), 10, nprobe, "id",
+              simd = true)
+            .select("id").collect().map(_.getLong(0)).toSet
+          exact.intersect(ids).size / 10.0
+        }
+        out(s"simd256_batch_nprobe${nprobe}_recall_at_10") =
+          recalls.sum / recalls.length
+        def sb(qs: Seq[(Int, Array[Float])]): Unit =
+          Ivf.batchSearchPacked(px, qs, 10, nprobe, "id", simd = true)
+            .collect()
+        sb(q100.take(10)) // warm
+        val ms100 = best(runs)(sb(q100)) / 100.0
+        out(s"simd256_batch100_nprobe${nprobe}_qps") = 1000.0 / ms100
+        val sruns = if (nprobe >= 256) 1 else math.max(1, runs - 1)
+        val ms2000 = best(sruns)(sb(q2000)) / 2000.0
+        out(s"simd256_batch2000_nprobe${nprobe}_ms_per_query") = ms2000
+        out(s"simd256_batch2000_nprobe${nprobe}_qps") = 1000.0 / ms2000
+      }
+    }
+
     // ---- driver-local serving: in-process single-query latency ---------
     // the reference's ~300 QPS single-search row is an in-process probe
     // with no scheduler in the loop; this is the like-for-like mode (see
@@ -297,6 +328,20 @@ object BaselineBench {
       } / lq.length
       out("single_search_local_ms_per_query") = perMs
       out("single_search_local_qps") = 1000.0 / perMs
+      // simd point-query serving: same snapshot, f32 kernel
+      val simdRecalls = qr.zip(exactTops).map { case (q, exact) =>
+        val ids = LocalServe.search(li, q, 10, nprobe = 8, simd = true)
+          .map(_._1).toSet
+        exact.intersect(ids).size / 10.0
+      }
+      out("single_search_local_simd_recall_at_10") =
+        simdRecalls.sum / simdRecalls.length
+      lq.foreach(q => LocalServe.search(li, q, 10, 8, simd = true)) // warm
+      val sMs = best(runs) {
+        lq.foreach(q => LocalServe.search(li, q, 10, 8, simd = true))
+      } / lq.length
+      out("single_search_local_simd_ms_per_query") = sMs
+      out("single_search_local_simd_qps") = 1000.0 / sMs
     }
 
     // ---- filtered ANN over the packed payload ------------------------
@@ -405,7 +450,7 @@ object BaselineBench {
         // clears the reference's published band (≥ 0.95) — a fast
         // low-recall config is not a comparable number
         val eligible = out.keys.filter(_.matches(
-          "(ivf\\d+|rbq|fused\\d+|packed\\d+)_batch_nprobe\\d+_recall_at_10"))
+          "(ivf\\d+|rbq|fused\\d+|packed\\d+|simd\\d+)_batch_nprobe\\d+_recall_at_10"))
           .filter(out(_) >= 0.95)
           .map(_.replace("_batch_nprobe", "_batch2000_nprobe")
             .replace("_recall_at_10", "_qps"))
@@ -428,8 +473,16 @@ object BaselineBench {
         (eligible.map(out).toSeq :+ out("filtered_batch100_qps")).max
       }),
       // in-process serving mode (LocalServe) — the fair peer of the
-      // reference's in-process single-search row; recall reported beside it
-      ("single_search_local_qps", 300.0, out("single_search_local_qps")))
+      // reference's in-process single-search row; recall reported beside
+      // it; the simd kernel counts when its measured recall clears 0.95
+      ("single_search_local_qps", 300.0, {
+        val simdOk = out.getOrElse("single_search_local_simd_recall_at_10",
+          0.0) >= 0.95
+        if (simdOk)
+          math.max(out("single_search_local_qps"),
+            out("single_search_local_simd_qps"))
+        else out("single_search_local_qps")
+      }))
     def f(d: Double): String =
       if (d >= 100) f"$d%.1f" else f"$d%.4f"
     val ratios = refRows.map { case (k, ref, got) =>

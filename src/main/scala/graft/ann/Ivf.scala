@@ -689,6 +689,19 @@ object Ivf {
       case other => throw new IllegalArgumentException(s"unknown metric $other")
     }
 
+  /** Kernel selection for the serving paths: the scalar f64 kernel is
+    * the default (bit-identical to the join/fused paths — the oracle
+    * contract); `simd = true` swaps in the f32 [[VectorSimd]] kernel
+    * when the vector module resolves in the CURRENT JVM, else falls
+    * back to scalar. Called inside task closures so each executor JVM
+    * makes its own (cached-per-JVM) decision.
+    */
+  private[graft] def pickFlatKernel(metric: String, simd: Boolean)
+      : (Array[Float], Int, Int, Array[Float], Double, Double) => Double =
+    if (simd && Simd.available)
+      Simd.flatKernel(metric).getOrElse(flatScoreKernel(metric))
+    else flatScoreKernel(metric)
+
   /** Batched ANN over a [[PackedIndex]]: [[batchSearchFused]]'s exact
     * semantics (same probe algebra, kernels, tie order) with zero per-batch
     * decode — the loop reads flat primitive floats straight from the block
@@ -702,11 +715,19 @@ object Ivf {
     * dims-length dot product per excluded row. Requires the index to have
     * been packed with `payloadCol`.
     */
+  /** `simd = true` (serving opt-in): score with the f32 SIMD kernel
+    * ([[VectorSimd]], ~8× the scalar f64 kernel at 384 dims) — top-k is
+    * then selected by f32-accumulated distances, so ties/last-ulp ranks
+    * can differ from the exact kernel; recall stays ~1.0 (AnnSpec floor)
+    * and it is what the reference's own SIMD engine computes. Oracle-
+    * gated paths keep the default exact kernel.
+    */
   def batchSearchPacked(px: PackedIndex, queries: Seq[(Int, Array[Float])],
                         k: Int, nprobe: Int, idCol: String = "id",
                         roundTo: Option[Int] = None,
                         maxDriverMergeRows: Long = 4000000L,
-                        payloadPred: Option[Long => Boolean] = None): DataFrame = {
+                        payloadPred: Option[Long => Boolean] = None,
+                        simd: Boolean = false): DataFrame = {
     import graft.functions.TopKAgg
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
@@ -726,8 +747,9 @@ object Ivf {
     val rndScale = roundTo.getOrElse(-1)
     val dims = px.dims
     val pred: Long => Boolean = payloadPred.orNull
+    val useSimd = simd
     val partial = px.blocks.mapPartitions { it =>
-      val score = flatScoreKernel(metric)
+      val score = pickFlatKernel(metric, useSimd)
       val needsNorm = metric == "cosine"
       val bufs = new java.util.HashMap[Int, TopBuf]()
       it.foreach { b =>

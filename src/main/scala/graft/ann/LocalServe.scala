@@ -20,7 +20,9 @@ import org.apache.spark.sql.functions._
   * Results are bit-identical to [[Ivf.search]] at the same (k, nprobe):
   * the same probe algebra ([[Ivf.probeCells]]), the same flat kernels
   * ([[Ivf.flatScoreKernel]]), the same (distance, id) tie order
-  * (LocalServeSpec asserts equality row by row).
+  * (LocalServeSpec asserts equality row by row). With `simd = true` the
+  * f32 [[VectorSimd]] kernel scores instead — recall-contracted rather
+  * than bit-identical, like [[Ivf.batchSearchPacked]]'s simd mode.
   */
 object LocalServe {
 
@@ -99,9 +101,10 @@ object LocalServe {
     */
   def search(li: LocalIndex, query: Array[Float], k: Int,
              nprobe: Int,
-             payloadPred: Option[Long => Boolean] = None): Array[(Long, Double)] = {
+             payloadPred: Option[Long => Boolean] = None,
+             simd: Boolean = false): Array[(Long, Double)] = {
     val cells = Ivf.probeCells(li.centroids, li.metric, query, nprobe)
-    val score = Ivf.flatScoreKernel(li.metric)
+    val score = Ivf.pickFlatKernel(li.metric, simd)
     val needsNorm = li.metric == "cosine"
     val qn2 = if (needsNorm) Ivf.norm2(query) else 0.0
     val pred: Long => Boolean = payloadPred.orNull

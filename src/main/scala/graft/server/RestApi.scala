@@ -429,7 +429,12 @@ class RestApi(spark: SparkSession) {
     if (req.has("filter") && !req.get("filter").isNull)
       throw ApiException(400,
         "ann mode does not support filters; use exact mode", "INVALID_FILTER")
-    val hits = graft.ann.LocalServe.search(ann.li, qv, k, nprobe)
+    // {"kernel":"simd"} opts into the f32 SIMD scoring kernel
+    // (recall-contracted, not bit-identical — see Ivf.batchSearchPacked);
+    // silently scalar when the vector module is absent in this JVM.
+    val simd = Option(req.get("kernel")).filterNot(_.isNull)
+      .exists(_.asText() == "simd")
+    val hits = graft.ann.LocalServe.search(ann.li, qv, k, nprobe, simd = simd)
     ok(obj { o =>
       o.put("mode", "ann"); o.put("nprobe", nprobe)
       val rs = o.putArray("results")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ann.{Ivf, Lsh}
+import graft.ann.{Ivf, LocalServe, Lsh}
 import graft.functions.Distances
 
 /** Recall harness for the ANN layer (mirrors the reference's
@@ -329,5 +329,73 @@ class IvfStorageSpec extends SparkSpec {
     val pred = Some((p: Long) => p < 5)
     assert(rows(loaded, pred) == rows(px, pred))
     loaded.unpersist(); px.unpersist()
+  }
+
+  test("SIMD kernels resolve in forked JVMs and agree with scalar") {
+    // build.sbt forks every JVM with --add-modules jdk.incubator.vector;
+    // if this regresses, the simd serving mode silently degrades to
+    // scalar — fail loudly here instead.
+    assert(graft.ann.Simd.available,
+      "jdk.incubator.vector did not resolve — check build.sbt javaOptions")
+    val rnd = new scala.util.Random(7)
+    val dims = 384
+    val vs = Array.fill(16 * dims)(rnd.nextFloat() - 0.5f)
+    val q = Array.fill(dims)(rnd.nextFloat() - 0.5f)
+    val qn2 = Ivf.norm2(q)
+    for (metric <- Seq("cosine", "cosine_normalized", "dot", "euclidean",
+        "sq_euclidean", "manhattan", "chebyshev", "hamming")) {
+      val scalar = Ivf.flatScoreKernel(metric)
+      val simd = graft.ann.Simd.flatKernel(metric).get
+      (0 until 16).foreach { i =>
+        val off = i * dims
+        var vn2 = 0.0
+        var j = 0
+        while (j < dims) { vn2 += vs(off + j).toDouble * vs(off + j); j += 1 }
+        val s = scalar(vs, off, dims, q, vn2, qn2)
+        val f = simd(vs, off, dims, q, vn2, qn2)
+        if (metric == "hamming") assert(f == s)
+        else assert(math.abs(f - s) <= 1e-4 * math.max(1.0, math.abs(s)),
+          s"metric=$metric row=$i scalar=$s simd=$f")
+      }
+    }
+    // zero-vector convention (cosine): both kernels pin the distance to 1
+    val zeros = new Array[Float](dims)
+    assert(graft.ann.Simd.flatKernel("cosine").get(
+      zeros, 0, dims, q, 0.0, qn2) == 1.0)
+  }
+
+  test("packed simd serving mode keeps recall 1.0 on the fixture") {
+    val emb = sf("embeddings")
+    val queries = emb.filter(col("vec_id") < 5).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray).zipWithIndex.map(_.swap).toSeq
+    val ix = Ivf.build(emb, col("embedding"), numCells = 8)
+    val px = Ivf.pack(ix, "vec_id", "embedding")
+    val got = Ivf.batchSearchPacked(px, queries, 10, nprobe = 8, "vec_id",
+        simd = true)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).groupBy(_._1)
+    px.unpersist()
+    queries.foreach { case (qid, qv) =>
+      val exact = emb.withColumn("distance",
+          Distances.cosine(col("embedding"), lit(qv)))
+        .orderBy(col("distance").asc, col("vec_id").asc).limit(10)
+        .select(col("vec_id").cast("long")).as[Long].collect().toSet
+      val ids = got(qid).map(_._2).toSet
+      val recall = ids.intersect(exact).size / 10.0
+      assert(recall >= 0.9, s"query=$qid recall=$recall")
+    }
+  }
+
+  test("LocalServe simd mode matches its exact mode's id set") {
+    val emb = sf("embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val ix = Ivf.build(emb, col("embedding"), numCells = 8)
+    val li = LocalServe.fromIndex(ix, "vec_id", "embedding")
+    val exactIds = LocalServe.search(li, query, 10, nprobe = 8).map(_._1).toSet
+    val simdIds = LocalServe.search(li, query, 10, nprobe = 8, simd = true)
+      .map(_._1).toSet
+    val recall = simdIds.intersect(exactIds).size / 10.0
+    assert(recall >= 0.9, s"recall=$recall")
   }
 }

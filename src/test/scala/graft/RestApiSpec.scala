@@ -405,6 +405,11 @@ class RestApiSpec extends SparkSpec {
     assert(as == 200, ab)
     assert(ids(ab) == ids(ex), s"ann=${ids(ab)} exact=${ids(ex)}")
     assert(mapper.readTree(ab).get("mode").asText() == "ann")
+    // simd kernel opt-in serves the same ids at full probe
+    val (ss, sb) = a.handle("POST", "/collections/docs/search",
+      """{"vector":[1,0,0],"k":5,"mode":"ann","nprobe":4,"kernel":"simd"}""")
+    assert(ss == 200, sb)
+    assert(ids(sb).toSet == ids(ex).toSet, s"simd=${ids(sb)} exact=${ids(ex)}")
     // guards: filter and foreign metric are exact-path features
     assert(a.handle("POST", "/collections/docs/search",
       """{"vector":[1,0,0],"mode":"ann","filter":{"x":1}}""")._1 == 400)

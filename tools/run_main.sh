@@ -11,6 +11,7 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens=java.base/$p=ALL-UNNAMED"
 done
 exec java $OPENS \
+  --add-modules jdk.incubator.vector \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Dspark.sql.artifact.isolation.enabled=false \
