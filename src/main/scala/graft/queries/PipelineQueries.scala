@@ -643,6 +643,50 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // DSIR importance-weighted data selection (Xie et al. 2023): hashed
+    // uni+bigram bucket LM ratio of target (lang='en') vs raw, per-doc
+    // mean log-ratio, deterministic top-50. The oracle replays the
+    // bucket hashing through XxHash64Sql (the minhash parity machinery)
+    // and both count tables; ordering is by the 6-decimal rounded
+    // weight with doc_id ties on both sides.
+    "dsir_select" -> Q(
+      s"""WITH w AS (
+        |  SELECT doc_id, lang, list_filter(
+        |           string_split_regex(lower(text), '[^a-z0-9]+'),
+        |           t -> len(t) > 1 AND t NOT IN ($stopList)) AS arr
+        |  FROM documents),
+        |toks AS (SELECT doc_id, lang, generate_subscripts(arr, 1) AS pos,
+        |                unnest(arr) AS term FROM w),
+        |big AS (SELECT doc_id, lang, prev || ' ' || term AS term
+        |        FROM (SELECT doc_id, lang, pos, term,
+        |                     lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |              FROM toks)
+        |        WHERE prev IS NOT NULL),
+        |feats AS (SELECT doc_id, lang, term FROM toks
+        |          UNION ALL SELECT doc_id, lang, term FROM big),
+        |hx AS ${XxHash64Sql.wrap("SELECT doc_id, lang, term FROM feats", "term")},
+        |fb AS (SELECT doc_id, lang,
+        |              ((__xxh % 8192) + 8192) % 8192 AS bucket FROM hx),
+        |bc AS (SELECT bucket, count(*) AS cr,
+        |              sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+        |       FROM fb GROUP BY bucket),
+        |tot AS (SELECT sum(cr)::DOUBLE AS nr, sum(ct)::DOUBLE AS nt FROM bc),
+        |lr AS (SELECT bucket,
+        |              ln((ct + 1.0) / (t.nt + 8192.0))
+        |              - ln((cr + 1.0) / (t.nr + 8192.0)) AS logr
+        |       FROM bc CROSS JOIN tot t),
+        |s AS (SELECT fb.doc_id, count(*) AS n_feats, avg(lr.logr) AS wt
+        |      FROM fb JOIN lr USING (bucket) GROUP BY fb.doc_id)
+        |SELECT doc_id, n_feats, round(wt, 6) AS weight
+        |FROM s ORDER BY round(wt, 6) DESC, doc_id LIMIT 50""".stripMargin
+    ) { (s, dir) =>
+      import graft.pipeline.Dsir
+      val docs = Tables.load(s, dir, "documents")
+      Dsir.selectTop(
+        Dsir.score(docs, col("doc_id"), col("text"), col("lang") === "en"),
+        50)
+    },
+
     // Gopher/MassiveText quality-filter rule set (Rae et al. 2021 A1) —
     // one 0/1 column per rule so the gate checks each rule's semantics.
     "gopher_rules" -> Q(

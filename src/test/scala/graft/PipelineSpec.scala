@@ -453,4 +453,29 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
     assert(got == Seq((1L, 2L)))
   }
+
+  test("DSIR selects the documents that look like the target domain") {
+    import graft.pipeline.Dsir
+    // two vocabularies: target docs talk about one thing, raw noise about
+    // another; a held-out doc in target vocabulary must outrank the noise
+    val target = (0L until 20L).map(i =>
+      (i, "solar panels convert sunlight into electric power daily", true))
+    val noise = (20L until 40L).map(i =>
+      (i, "ancient pottery shards litter the desert excavation site", false))
+    val probeT = Seq((40L, "electric power from sunlight and solar panels", false))
+    val probeN = Seq((41L, "desert pottery excavation uncovered ancient shards", false))
+    val docs = (target ++ noise ++ probeT ++ probeN).toDF("doc_id", "text", "is_tgt")
+    val scored = Dsir.score(docs, col("doc_id"), col("text"), col("is_tgt"),
+        buckets = 1024)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored(40L) > scored(41L),
+      s"target-vocab probe ${scored(40L)} should outrank noise probe ${scored(41L)}")
+    // and the probe scores land near their cohorts
+    assert(scored(40L) > 0 && scored(41L) < 0)
+    // selectTop keeps the n highest, deterministically
+    val top = Dsir.selectTop(
+      Dsir.score(docs, col("doc_id"), col("text"), col("is_tgt"), 1024), 21)
+      .select("doc_id").as[Long].collect().toSet
+    assert(top.contains(40L) && !top.contains(41L))
+  }
 }
