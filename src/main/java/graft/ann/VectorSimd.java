@@ -55,6 +55,92 @@ public final class VectorSimd {
     return s;
   }
 
+  /** Query-blocked f32 dot products: one row vector against m queries,
+   * blocked 4 at a time so each row chunk is LOADED once per 4 queries
+   * (the per-pair kernel re-loads it per query) and the 4 independent
+   * accumulator chains cover FMA latency across queries. Each query's
+   * sum has ONE accumulator chain, so per-query results are NOT
+   * bit-identical to {@link #dot} (which uses 2 chains) — both are f32
+   * serving numerics under the same recall contract. Results land in
+   * {@code out[0..m)} (caller-reused, allocation-free).
+   */
+  public static void dotBlock(float[] vs, int off, int dims,
+                              float[][] qs, int m, float[] out) {
+    int j = 0;
+    int step = SF.length();
+    for (; j + 4 <= m; j += 4) {
+      float[] q0 = qs[j], q1 = qs[j + 1], q2 = qs[j + 2], q3 = qs[j + 3];
+      FloatVector a0 = FloatVector.zero(SF), a1 = FloatVector.zero(SF),
+          a2 = FloatVector.zero(SF), a3 = FloatVector.zero(SF);
+      int i = 0;
+      for (; i <= dims - step; i += step) {
+        FloatVector v = FloatVector.fromArray(SF, vs, off + i);
+        a0 = v.fma(FloatVector.fromArray(SF, q0, i), a0);
+        a1 = v.fma(FloatVector.fromArray(SF, q1, i), a1);
+        a2 = v.fma(FloatVector.fromArray(SF, q2, i), a2);
+        a3 = v.fma(FloatVector.fromArray(SF, q3, i), a3);
+      }
+      float s0 = a0.reduceLanes(VectorOperators.ADD);
+      float s1 = a1.reduceLanes(VectorOperators.ADD);
+      float s2 = a2.reduceLanes(VectorOperators.ADD);
+      float s3 = a3.reduceLanes(VectorOperators.ADD);
+      for (; i < dims; i++) {
+        float v = vs[off + i];
+        s0 += v * q0[i];
+        s1 += v * q1[i];
+        s2 += v * q2[i];
+        s3 += v * q3[i];
+      }
+      out[j] = s0;
+      out[j + 1] = s1;
+      out[j + 2] = s2;
+      out[j + 3] = s3;
+    }
+    for (; j < m; j++) out[j] = dot(vs, off, dims, qs[j]);
+  }
+
+  /** Query-blocked f32 squared euclidean — same blocking contract as
+   * {@link #dotBlock}. */
+  public static void sqEuclideanBlock(float[] vs, int off, int dims,
+                                      float[][] qs, int m, float[] out) {
+    int j = 0;
+    int step = SF.length();
+    for (; j + 4 <= m; j += 4) {
+      float[] q0 = qs[j], q1 = qs[j + 1], q2 = qs[j + 2], q3 = qs[j + 3];
+      FloatVector a0 = FloatVector.zero(SF), a1 = FloatVector.zero(SF),
+          a2 = FloatVector.zero(SF), a3 = FloatVector.zero(SF);
+      int i = 0;
+      for (; i <= dims - step; i += step) {
+        FloatVector v = FloatVector.fromArray(SF, vs, off + i);
+        FloatVector d0 = v.sub(FloatVector.fromArray(SF, q0, i));
+        FloatVector d1 = v.sub(FloatVector.fromArray(SF, q1, i));
+        FloatVector d2 = v.sub(FloatVector.fromArray(SF, q2, i));
+        FloatVector d3 = v.sub(FloatVector.fromArray(SF, q3, i));
+        a0 = d0.fma(d0, a0);
+        a1 = d1.fma(d1, a1);
+        a2 = d2.fma(d2, a2);
+        a3 = d3.fma(d3, a3);
+      }
+      float s0 = a0.reduceLanes(VectorOperators.ADD);
+      float s1 = a1.reduceLanes(VectorOperators.ADD);
+      float s2 = a2.reduceLanes(VectorOperators.ADD);
+      float s3 = a3.reduceLanes(VectorOperators.ADD);
+      for (; i < dims; i++) {
+        float v = vs[off + i];
+        float d0 = v - q0[i], d1 = v - q1[i], d2 = v - q2[i], d3 = v - q3[i];
+        s0 += d0 * d0;
+        s1 += d1 * d1;
+        s2 += d2 * d2;
+        s3 += d3 * d3;
+      }
+      out[j] = s0;
+      out[j + 1] = s1;
+      out[j + 2] = s2;
+      out[j + 3] = s3;
+    }
+    for (; j < m; j++) out[j] = sqEuclidean(vs, off, dims, qs[j]);
+  }
+
   /** f32 squared euclidean distance. */
   public static float sqEuclidean(float[] vs, int off, int dims, float[] q) {
     int i = 0;

@@ -374,6 +374,22 @@ object BaselineBench {
         out(s"filtered_packed_batch100_nprobe${nprobe}_qps") = 1000.0 / ms100
         val ms2000 = best(math.max(1, runs - 1))(fp(q2000)) / 2000.0
         out(s"filtered_packed_batch2000_nprobe${nprobe}_qps") = 1000.0 / ms2000
+        // simd kernel under the same payload predicate
+        val sRecalls = qr.zip(exactF).map { case (q, exact) =>
+          val ids = Ivf.batchSearchPacked(pxf, Seq((0, q)), 10, nprobe,
+              "id", payloadPred = Some(fpred), simd = true)
+            .select("id").collect().map(_.getLong(0)).toSet
+          if (exact.isEmpty) 1.0
+          else exact.intersect(ids).size.toDouble / exact.size
+        }
+        out(s"filtered_simd_nprobe${nprobe}_recall_at_10") =
+          sRecalls.sum / sRecalls.length
+        def fps(qs: Seq[(Int, Array[Float])]): Unit =
+          Ivf.batchSearchPacked(pxf, qs, 10, nprobe, "id",
+            payloadPred = Some(fpred), simd = true).collect()
+        fps(q100.take(10)) // warm
+        val sMs2000 = best(math.max(1, runs - 1))(fps(q2000)) / 2000.0
+        out(s"filtered_simd_batch2000_nprobe${nprobe}_qps") = 1000.0 / sMs2000
       }
       pxf.unpersist()
     }
@@ -464,10 +480,9 @@ object BaselineBench {
         // recall vs the exact filtered top-10 clears 0.95 (the reference's
         // filtered search is approximate as well)
         val eligible = out.keys
-          .filter(_.matches("filtered_packed_nprobe\\d+_recall_at_10"))
+          .filter(_.matches("filtered_(packed|simd)_nprobe\\d+_recall_at_10"))
           .filter(out(_) >= 0.95)
-          .map(_.replace("filtered_packed_nprobe",
-              "filtered_packed_batch2000_nprobe")
+          .map(_.replace("_nprobe", "_batch2000_nprobe")
             .replace("_recall_at_10", "_qps"))
           .filter(out.contains)
         (eligible.map(out).toSeq :+ out("filtered_batch100_qps")).max

@@ -750,8 +750,24 @@ object Ivf {
     val useSimd = simd
     val partial = px.blocks.mapPartitions { it =>
       val score = pickFlatKernel(metric, useSimd)
+      // query-blocked SIMD (dot/euclidean families): one row load feeds
+      // 4 probers' accumulator chains — the raw sums land in a reused
+      // scratch array and the metric transform runs per prober after
+      // 0 = per-pair kernel; 1-3 dot family (cosine/cos_norm/dot);
+      // 4-5 euclidean family — a plain int so the hot loop never
+      // branches on a string
+      val blockKind =
+        if (useSimd && Simd.available) metric match {
+          case "cosine" => 1
+          case "cosine_normalized" => 2
+          case "dot" => 3
+          case "euclidean" => 4
+          case "sq_euclidean" => 5
+          case _ => 0
+        } else 0
       val needsNorm = metric == "cosine"
       val bufs = new java.util.HashMap[Int, TopBuf]()
+      var scratch = Array.emptyFloatArray
       it.foreach { b =>
         val probers = bc.value.getOrElse(b.cell, null)
         if (probers != null) {
@@ -769,6 +785,7 @@ object Ivf {
             if (buf == null) { buf = new TopBuf(kk); bufs.put(qid, buf) }
             qbufs(j0) = buf; j0 += 1
           }
+          if (blockKind != 0 && scratch.length < m) scratch = new Array[Float](m)
           val vecs = b.vecs; val ids = b.ids; val norms2 = b.norms2
           var i = 0
           while (i < n) {
@@ -776,13 +793,37 @@ object Ivf {
               val off = i * dims
               val vn2 = if (needsNorm) norms2(i) else 0.0
               val id = ids(i)
-              var j = 0
-              while (j < m) {
-                var d = score(vecs, off, dims, probers.qvs(j), vn2,
-                  probers.qn2s(j))
-                if (rndScale >= 0) d = roundHalfUp(d, rndScale)
-                qbufs(j).insert(d, id)
-                j += 1
+              if (blockKind != 0) {
+                if (blockKind <= 3)
+                  VectorSimd.dotBlock(vecs, off, dims, probers.qvs, m, scratch)
+                else
+                  VectorSimd.sqEuclideanBlock(vecs, off, dims, probers.qvs,
+                    m, scratch)
+                var j = 0
+                while (j < m) {
+                  val s = scratch(j).toDouble
+                  var d =
+                    if (blockKind == 1) {
+                      val qn2 = probers.qn2s(j)
+                      if (vn2 == 0.0 || qn2 == 0.0) 1.0
+                      else 1.0 - s / (math.sqrt(vn2) * math.sqrt(qn2))
+                    } else if (blockKind == 2) 1.0 - s
+                    else if (blockKind == 3) -s
+                    else if (blockKind == 4) math.sqrt(s)
+                    else s // sq_euclidean
+                  if (rndScale >= 0) d = roundHalfUp(d, rndScale)
+                  qbufs(j).insert(d, id)
+                  j += 1
+                }
+              } else {
+                var j = 0
+                while (j < m) {
+                  var d = score(vecs, off, dims, probers.qvs(j), vn2,
+                    probers.qn2s(j))
+                  if (rndScale >= 0) d = roundHalfUp(d, rndScale)
+                  qbufs(j).insert(d, id)
+                  j += 1
+                }
               }
             }
             i += 1

@@ -28,7 +28,11 @@ object LocalServe {
 
   /** Per-cell flat arrays, driver-resident. `cellPayload` holds one long
     * attribute per row when built with `payloadCol` (for filtered point
-    * queries), empty otherwise.
+    * queries), empty otherwise. `tombstones` marks logically-deleted ids
+    * ([[remove]]); the structure is copy-on-write — [[addBatch]] /
+    * [[remove]] return a NEW index sharing every untouched cell array,
+    * so an in-flight [[search]] on the old snapshot never races a
+    * mutation.
     */
   final class LocalIndex(
       val centroids: Array[Array[Float]],
@@ -37,7 +41,13 @@ object LocalServe {
       val cellIds: Array[Array[Long]],      // cell -> ids
       val cellVecs: Array[Array[Float]],    // cell -> row-major flat vectors
       val cellNorms2: Array[Array[Double]], // cell -> per-row ||v||² (cosine)
-      val cellPayload: Array[Array[Long]])  // cell -> per-row filter attr
+      val cellPayload: Array[Array[Long]],  // cell -> per-row filter attr
+      val tombstones: java.util.HashSet[java.lang.Long] =
+        new java.util.HashSet[java.lang.Long]()) {
+    /** Live row count (inserted minus tombstoned). */
+    def liveCount: Long =
+      cellIds.iterator.map(_.length.toLong).sum - tombstones.size()
+  }
 
   /** Materialize a driver-local snapshot of an IVF index. One distributed
     * pass; refuses collections beyond `maxRows` (the driver-memory guard —
@@ -89,6 +99,68 @@ object LocalServe {
     new LocalIndex(ix.centroids, ix.metric, dims, ids, vecs, norms2, payload)
   }
 
+  /** Incremental insert — the serve-under-writes path (the reference's
+    * in-memory index takes inserts without a rebuild; this is the same
+    * contract for the snapshot tier). Each vector lands in its nearest
+    * centroid's cell; every touched cell's arrays are copied ONCE per
+    * batch (grouped), untouched cells are shared, so the returned index
+    * is safe to publish while searches run against the old one. An id
+    * that already exists must be tombstoned first ([[remove]]) — this
+    * appends blindly, exactly like the engine's insert (dedup is the
+    * caller's policy, as on the REST layer).
+    *
+    * Centroids do NOT move (same as the reference's segment inserts):
+    * after heavy drift a rebuild re-balances; `liveCount` vs build size
+    * tells the caller when.
+    */
+  def addBatch(li: LocalIndex,
+               rows: Seq[(Long, Array[Float], Long)]): LocalIndex = {
+    require(rows.forall(_._2.length == li.dims),
+      s"addBatch: vector dims must equal index dims ${li.dims}")
+    // payload tracking continues only when the built index carries it
+    // (an EMPTY payload-built index is indistinguishable from a
+    // non-payload one — build the payload snapshot from non-empty data)
+    val hasPayload = li.cellPayload.exists(_.nonEmpty)
+    val byCell = rows.groupBy { case (_, v, _) =>
+      Ivf.probeCells(li.centroids, li.metric, v, 1).head
+    }
+    val ids = li.cellIds.clone()
+    val vecs = li.cellVecs.clone()
+    val norms2 = li.cellNorms2.clone()
+    val payload = li.cellPayload.clone()
+    byCell.foreach { case (c, add) =>
+      val n0 = ids(c).length
+      val n1 = n0 + add.size
+      ids(c) = java.util.Arrays.copyOf(ids(c), n1)
+      vecs(c) = java.util.Arrays.copyOf(vecs(c), n1 * li.dims)
+      if (li.metric == "cosine")
+        norms2(c) = java.util.Arrays.copyOf(norms2(c), n1)
+      if (hasPayload)
+        payload(c) = java.util.Arrays.copyOf(payload(c), n1)
+      add.zipWithIndex.foreach { case ((id, v, pay), k) =>
+        val i = n0 + k
+        ids(c)(i) = id
+        System.arraycopy(v, 0, vecs(c), i * li.dims, li.dims)
+        if (li.metric == "cosine") norms2(c)(i) = Ivf.norm2(v)
+        if (hasPayload) payload(c)(i) = pay
+      }
+    }
+    val tomb = new java.util.HashSet[java.lang.Long](li.tombstones)
+    rows.foreach(r => tomb.remove(Long.box(r._1))) // re-insert revives
+    new LocalIndex(li.centroids, li.metric, li.dims, ids, vecs, norms2,
+      payload, tomb)
+  }
+
+  /** Logical delete: tombstone ids (cheap, no array surgery); searches
+    * skip them. Copy-on-write like [[addBatch]].
+    */
+  def remove(li: LocalIndex, ids: Seq[Long]): LocalIndex = {
+    val tomb = new java.util.HashSet[java.lang.Long](li.tombstones)
+    ids.foreach(id => tomb.add(Long.box(id)))
+    new LocalIndex(li.centroids, li.metric, li.dims, li.cellIds,
+      li.cellVecs, li.cellNorms2, li.cellPayload, tomb)
+  }
+
   /** In-process ANN top-k: probe nprobe cells, exact top-k within —
     * [[Ivf.search]]'s semantics with zero Spark jobs. Returns (id,
     * distance) sorted by (distance, id) ascending.
@@ -113,6 +185,10 @@ object LocalServe {
       val n = li.cellIds(c).length
       (0 until n by chunk).map(from => (c, from, math.min(from + chunk, n)))
     }.toArray
+    // tombstone check only when deletions exist — the common no-delete
+    // scan stays branch-free
+    val tomb =
+      if (li.tombstones.isEmpty) null else li.tombstones
     val bufs = new Array[Ivf.TopBuf](tasks.length)
     java.util.stream.IntStream.range(0, tasks.length).parallel().forEach { t =>
       val (c, from, until) = tasks(t)
@@ -125,7 +201,8 @@ object LocalServe {
       val buf = new Ivf.TopBuf(k)
       var i = from
       while (i < until) {
-        if (pred == null || pred(payload(i))) {
+        if ((pred == null || pred(payload(i))) &&
+            (tomb == null || !tomb.contains(ids(i)))) {
           val vn2 = if (needsNorm) norms2(i) else 0.0
           buf.insert(score(vecs, i * li.dims, li.dims, query, vn2, qn2), ids(i))
         }

@@ -63,15 +63,54 @@ class RestApi(spark: SparkSession) {
 
   /** Driver-resident ANN serving state for one collection: a LocalServe
     * snapshot (the in-process point-query tier — zero Spark jobs per
-    * search) plus the surrogate-id ↔ string-id mapping. SNAPSHOT
-    * semantics, like the reference's in-memory index segments: any
-    * mutation invalidates it (`ann = null`) and a client rebuilds via
-    * `POST /collections/{c}/index`; rows whose TTL expires after the
-    * build are served until the next rebuild.
+    * search) plus the surrogate-id ↔ string-id mapping. Mutations keep
+    * the snapshot LIVE — inserts append into their nearest cell
+    * (copy-on-write, `LocalServe.addBatch`), deletes/replacements
+    * tombstone (`LocalServe.remove`), the same serve-under-writes
+    * contract as the reference's in-memory segments. Centroids do not
+    * move on insert, so after heavy drift `POST /collections/{c}/index`
+    * re-balances; rows whose TTL expires after the build are served
+    * until the next rebuild.
     */
   final case class AnnState(li: graft.ann.LocalServe.LocalIndex,
                             ids: Array[String], numCells: Int,
-                            nprobe: Int, rows: Long)
+                            nprobe: Int, rows: Long,
+                            idToSid: java.util.HashMap[String, Integer]) {
+    /** Inserts append, replaced ids tombstone first; returns the next
+      * published state (copy-on-write snapshot + updated mappings).
+      */
+    def withUpserts(rows0: Seq[(String, Array[Float])]): AnnState = {
+      val replaced = rows0.flatMap { case (id, _) =>
+        Option(idToSid.get(id)).map(_.longValue())
+      }
+      val li1 = if (replaced.nonEmpty)
+        graft.ann.LocalServe.remove(li, replaced) else li
+      var next = ids.length
+      val newIds = java.util.Arrays.copyOf(ids, ids.length + rows0.size)
+      val map = new java.util.HashMap[String, Integer](idToSid)
+      val adds = rows0.map { case (id, v) =>
+        val sid = next; next += 1
+        newIds(sid) = id
+        map.put(id, Int.box(sid))
+        (sid.toLong, v, 0L)
+      }
+      AnnState(graft.ann.LocalServe.addBatch(li1, adds), newIds,
+        numCells, nprobe, rows + rows0.size - replaced.size, map)
+    }
+
+    /** Tombstones deleted ids; unknown ids are no-ops. */
+    def withDeletes(deleted: Seq[String]): AnnState = {
+      val sids = deleted.flatMap(id =>
+        Option(idToSid.get(id)).map(_.longValue()))
+      if (sids.isEmpty) this
+      else {
+        val map = new java.util.HashMap[String, Integer](idToSid)
+        deleted.foreach(map.remove(_))
+        AnnState(graft.ann.LocalServe.remove(li, sids), ids, numCells,
+          nprobe, rows - sids.size, map)
+      }
+    }
+  }
 
   private val collections = mutable.LinkedHashMap.empty[String, Coll]
   private val mapper = new ObjectMapper()
@@ -275,7 +314,15 @@ class RestApi(spark: SparkSession) {
       }
       c.df = c.df.filter(!col("id").isin(ids: _*)).unionByName(incoming)
         .localCheckpoint(false) // keep the lineage O(1) across mutations
-      c.ann = null // ANN snapshot is stale after any mutation
+      // keep the ANN snapshot live: appended rows enter their nearest
+      // cell, replaced ids tombstone (LocalServe copy-on-write). Rows
+      // carrying a TTL fall back to invalidation — the snapshot has no
+      // expiry clock, so serving them past expiry would be wrong.
+      if (c.ann != null) {
+        if (dedupedRows.exists(_.get(3) != null)) c.ann = null
+        else c.ann = c.ann.withUpserts(dedupedRows.map(r =>
+          (r.getString(0), r.getSeq[Float](1).toArray)))
+      }
     }
     ok(obj(_.put(if (upsertMode) "upserted" else "inserted",
       dedupedRows.size)))
@@ -288,7 +335,7 @@ class RestApi(spark: SparkSession) {
       if (n == 0 && ids.size == 1)
         throw ApiException(404, s"Vector not found: ${ids.head}", "NOT_FOUND")
       c.df = c.df.filter(!col("id").isin(ids: _*)).localCheckpoint(false)
-      c.ann = null // ANN snapshot is stale after any mutation
+      if (c.ann != null) c.ann = c.ann.withDeletes(ids)
       c.deleted += n
       ok(obj(_.put("deleted", n)))
     }
@@ -381,7 +428,9 @@ class RestApi(spark: SparkSession) {
     val ids = snap.orderBy(col("__sid")).select("id").collect()
       .map(_.getString(0))
     synchronized {
-      c.ann = AnnState(li, ids, numCells, nprobe, ids.length.toLong)
+      val map = new java.util.HashMap[String, Integer](ids.length * 2)
+      ids.zipWithIndex.foreach { case (id, sid) => map.put(id, Int.box(sid)) }
+      c.ann = AnnState(li, ids, numCells, nprobe, ids.length.toLong, map)
     }
     ok(obj { o =>
       o.put("indexed", ids.length); o.put("num_cells", numCells)

@@ -362,6 +362,26 @@ class IvfStorageSpec extends SparkSpec {
     val zeros = new Array[Float](dims)
     assert(graft.ann.Simd.flatKernel("cosine").get(
       zeros, 0, dims, q, 0.0, qn2) == 1.0)
+    // query-blocked kernels agree with the per-pair f32 kernels for
+    // every m (exercises the 4-blocked body AND the <4 tail)
+    for (m <- 1 to 6) {
+      val qs = Array.fill(m)(Array.fill(dims)(rnd.nextFloat() - 0.5f))
+      val outD = new Array[Float](m)
+      val outE = new Array[Float](m)
+      (0 until 4).foreach { i =>
+        val off = i * dims
+        graft.ann.VectorSimd.dotBlock(vs, off, dims, qs, m, outD)
+        graft.ann.VectorSimd.sqEuclideanBlock(vs, off, dims, qs, m, outE)
+        (0 until m).foreach { j =>
+          val d = graft.ann.VectorSimd.dot(vs, off, dims, qs(j))
+          val e = graft.ann.VectorSimd.sqEuclidean(vs, off, dims, qs(j))
+          assert(math.abs(outD(j) - d) <= 1e-3f * math.max(1f, math.abs(d)),
+            s"dotBlock m=$m row=$i q=$j: ${outD(j)} vs $d")
+          assert(math.abs(outE(j) - e) <= 1e-3f * math.max(1f, e),
+            s"sqEuclideanBlock m=$m row=$i q=$j: ${outE(j)} vs $e")
+        }
+      }
+    }
   }
 
   test("packed simd serving mode keeps recall 1.0 on the fixture") {
@@ -369,20 +389,65 @@ class IvfStorageSpec extends SparkSpec {
     val queries = emb.filter(col("vec_id") < 5).orderBy("vec_id")
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray).zipWithIndex.map(_.swap).toSeq
+    // cosine + euclidean + manhattan: exercises the query-blocked dot
+    // family, the blocked euclidean family, and the per-pair fallback
+    for (metric <- Seq("cosine", "euclidean", "manhattan")) {
+      val ix = Ivf.build(emb, col("embedding"), numCells = 8, metric)
+      val px = Ivf.pack(ix, "vec_id", "embedding")
+      val got = Ivf.batchSearchPacked(px, queries, 10, nprobe = 8, "vec_id",
+          simd = true)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).groupBy(_._1)
+      px.unpersist()
+      val dist = graft.functions.Distances
+      queries.foreach { case (qid, qv) =>
+        val dcol = metric match {
+          case "cosine" => dist.cosine(col("embedding"), lit(qv))
+          case "euclidean" => dist.euclidean(col("embedding"), lit(qv))
+          case _ => dist.manhattan(col("embedding"), lit(qv))
+        }
+        val exact = emb.withColumn("distance", dcol)
+          .orderBy(col("distance").asc, col("vec_id").asc).limit(10)
+          .select(col("vec_id").cast("long")).as[Long].collect().toSet
+        val ids = got(qid).map(_._2).toSet
+        val recall = ids.intersect(exact).size / 10.0
+        assert(recall >= 0.9, s"metric=$metric query=$qid recall=$recall")
+      }
+    }
+  }
+
+  test("LocalServe serve-under-writes: addBatch, remove, copy-on-write") {
+    val emb = sf("embeddings")
+    val dims = emb.select("embedding").head.getSeq[Float](0).length
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
     val ix = Ivf.build(emb, col("embedding"), numCells = 8)
-    val px = Ivf.pack(ix, "vec_id", "embedding")
-    val got = Ivf.batchSearchPacked(px, queries, 10, nprobe = 8, "vec_id",
-        simd = true)
-      .collect().map(r => (r.getInt(0), r.getLong(1))).groupBy(_._1)
-    px.unpersist()
-    queries.foreach { case (qid, qv) =>
-      val exact = emb.withColumn("distance",
-          Distances.cosine(col("embedding"), lit(qv)))
-        .orderBy(col("distance").asc, col("vec_id").asc).limit(10)
-        .select(col("vec_id").cast("long")).as[Long].collect().toSet
-      val ids = got(qid).map(_._2).toSet
-      val recall = ids.intersect(exact).size / 10.0
-      assert(recall >= 0.9, s"query=$qid recall=$recall")
+    val li0 = LocalServe.fromIndex(ix, "vec_id", "embedding")
+    val before = LocalServe.search(li0, query, 5, nprobe = 8)
+    // insert a vector AT the query point: it must serve first, and the
+    // OLD snapshot must not see it (copy-on-write isolation)
+    val newId = 999999L
+    val li1 = LocalServe.addBatch(li0, Seq((newId, query.clone(), 0L)))
+    assert(li1.liveCount == li0.liveCount + 1)
+    // the new vector IS the query, so it ties vec_id 0 at distance 0
+    // and (distance, id) order puts it second
+    val after = LocalServe.search(li1, query, 5, nprobe = 8)
+    assert(after.take(2).map(_._1).contains(newId) &&
+      after(1)._2 == 0.0, s"got ${after.toSeq}")
+    assert(LocalServe.search(li0, query, 5, nprobe = 8).toSeq == before.toSeq)
+    // tombstone it: result set returns to the original
+    val li2 = LocalServe.remove(li1, Seq(newId))
+    assert(li2.liveCount == li0.liveCount)
+    assert(LocalServe.search(li2, query, 5, nprobe = 8).toSeq == before.toSeq)
+    // and the li1 snapshot still serves it (immutability both ways)
+    assert(LocalServe.search(li1, query, 5, nprobe = 8)
+      .take(2).map(_._1).contains(newId))
+    // re-insert revives through the tombstone
+    val li3 = LocalServe.addBatch(li2, Seq((newId, query.clone(), 0L)))
+    assert(LocalServe.search(li3, query, 5, nprobe = 8)
+      .take(2).map(_._1).contains(newId))
+    // dims guard
+    intercept[IllegalArgumentException] {
+      LocalServe.addBatch(li0, Seq((1L, new Array[Float](dims + 1), 0L)))
     }
   }
 

@@ -376,7 +376,7 @@ class RestApiSpec extends SparkSpec {
   }
 
   test("ann serving tier: build, full-probe parity with exact search, " +
-      "mutation invalidation") {
+      "serve-under-writes") {
     val a = api
     (0 until 40).foreach { i =>
       insert(a, s"v$i", Seq(math.sin(i), math.cos(i), math.sin(i * 2)))
@@ -417,15 +417,38 @@ class RestApiSpec extends SparkSpec {
       """{"vector":[1,0,0],"mode":"ann","distance":"euclidean"}""")._1 == 400)
     assert(a.handle("POST", "/collections/docs/search",
       """{"vector":[1,0,0],"mode":"nope"}""")._1 == 400)
-    // mutation invalidates the snapshot
+    // serve-under-writes: an insert lands in the live snapshot — a
+    // query AT the fresh vector must return it first, no rebuild
     insert(a, "fresh", Seq(0.5, 0.5, 0))
+    val (lv, lvBody) = a.handle("POST", "/collections/docs/search",
+      """{"vector":[0.5,0.5,0],"k":3,"mode":"ann","nprobe":4}""")
+    assert(lv == 200, lvBody)
+    assert(ids(lvBody).head == "fresh", s"got ${ids(lvBody)}")
+    // replacement: upsert moves the id to the new position
+    assert(a.handle("POST", "/collections/docs/vectors/upsert",
+      """{"id":"fresh","vector":[-1,0,0]}""")._1 == 200)
+    val (_, mv) = a.handle("POST", "/collections/docs/search",
+      """{"vector":[-1,0,0],"k":3,"mode":"ann","nprobe":4}""")
+    assert(ids(mv).head == "fresh")
+    val (_, old) = a.handle("POST", "/collections/docs/search",
+      """{"vector":[0.5,0.5,0],"k":3,"mode":"ann","nprobe":4}""")
+    assert(ids(old).head != "fresh", "stale position must not serve")
+    // delete tombstones out of the snapshot
+    assert(a.handle("DELETE", "/collections/docs/vectors/fresh", "")._1 == 200)
+    val (_, gone) = a.handle("POST", "/collections/docs/search",
+      """{"vector":[-1,0,0],"k":5,"mode":"ann","nprobe":4}""")
+    assert(!ids(gone).contains("fresh"))
+    // status stays built and tracks the live count
+    val st2 = mapper.readTree(
+      a.handle("GET", "/collections/docs/index", "")._2)
+    assert(st2.get("built").asBoolean && st2.get("rows").asLong == 40L)
+    // a TTL insert has no expiry clock in the snapshot → invalidates
+    assert(a.handle("POST", "/collections/docs/vectors",
+      """{"id":"ttl1","vector":[0,0,1],"ttl_seconds":60}""")._1 == 200)
     val (inv, invBody) = a.handle("POST", "/collections/docs/search",
       """{"vector":[1,0,0],"k":5,"mode":"ann"}""")
     assert(inv == 409 &&
       mapper.readTree(invBody).get("code").asText() == "NO_INDEX")
-    assert(!mapper.readTree(
-      a.handle("GET", "/collections/docs/index", "")._2)
-      .get("built").asBoolean())
     // drop route idempotent
     assert(a.handle("DELETE", "/collections/docs/index", "")._1 == 200)
   }
