@@ -57,4 +57,50 @@ object Contamination {
     corpus.join(flagged.select(col("doc_id").as("__flagged_id")),
         idCol === col("__flagged_id"), "left_anti")
   }
+
+  /** FUZZY decontamination: corpus documents whose MinHash-estimated
+    * Jaccard against any benchmark document clears `threshold` — the
+    * near-duplicate form of eval leakage that verbatim n-gram overlap
+    * misses (paraphrased or lightly-edited benchmark copies). Same
+    * banding scheme as [[Dedup.minhashLsh]], but the band join is
+    * CROSS-SET (corpus × benchmark), so the candidate count is bounded
+    * by benchmark-bucket collisions, never corpus×corpus. Returns
+    * (doc_id, bench_id, est_jaccard) — a doc may pair with several
+    * benchmark rows; callers dropping contaminated docs anti-join on
+    * doc_id.
+    *
+    * 100 TB shape: the benchmark side is eval-set-sized, so its band
+    * keys broadcast; the corpus side streams one signature pass + a
+    * map-side band join — no corpus shuffle beyond the per-doc groupBy.
+    */
+  def flagFuzzy(corpus: DataFrame, idCol: Column, textCol: Column,
+                benchmark: DataFrame, benchIdCol: Column,
+                benchTextCol: Column, n: Int = 3, k: Int = 64,
+                bands: Int = 16, threshold: Double = 0.5,
+                seed: Long = 42L): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    def sigs(df: DataFrame, id: Column, text: Column, name: String) =
+      df.select(id.as(name),
+        Dedup.minhashSignature(Dedup.shingles(text, n), k, seed).as(s"sig_$name"))
+    def bandKeys(s: DataFrame, name: String) =
+      s.select(col(name), posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            slice(col(s"sig_$name"), b * lit(r) + lit(1), lit(r)), b)))))
+        .toDF(name, "band", "bucket")
+    val cs = sigs(corpus, idCol, textCol, "doc_id").persist()
+    val bs = sigs(benchmark, benchIdCol, benchTextCol, "bench_id").persist()
+    val cand = bandKeys(cs, "doc_id")
+      .join(broadcast(bandKeys(bs, "bench_id")), Seq("band", "bucket"))
+      .select(col("doc_id"), col("bench_id")).distinct()
+    cand
+      .join(cs, "doc_id").join(broadcast(bs), "bench_id")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_doc_id"), col("sig_bench_id"),
+          (x, y) => x === y), x => x)).cast("double") / k)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_id"), col("bench_id"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
 }

@@ -158,6 +158,65 @@ object SamplingQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Fuzzy decontamination: MinHash-estimated Jaccard of corpus docs vs
+    // a planted benchmark set (20 verbatim copies at bench_id = doc_id +
+    // 10000) — the near-duplicate leakage form that verbatim n-gram
+    // overlap misses. CROSS-SET banding (corpus × bench), 64 perms, 16
+    // bands × 4; the oracle replays signatures for both sides through
+    // the XxHash64Sql machinery and joins raw signature slices (the
+    // engine's band-bucket join hashes those same slices).
+    "contamination_fuzzy" -> Q(
+      s"""WITH allrows AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 20),
+        |toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |                     x -> length(x) > 0) AS tk
+        |  FROM allrows),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_transform(range(0, len(tk) - 2),
+        |                i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) END)) AS s
+        |  FROM toks),
+        |hx AS ${XxHash64Sql.wrap("SELECT doc_id, s FROM sh", "s")},
+        |hs AS (SELECT doc_id, list(__xxh) AS hl FROM hx GROUP BY doc_id),
+        |sigs AS (
+        |  SELECT doc_id,
+        |         list_transform(${XxHash64Sql.minhashParamsSql(64, 42L)},
+        |           pr -> list_min(list_transform(hl,
+        |             x -> ((x % 2147483647 + 2147483647) % 2147483647 * pr[1] + pr[2]) % 2147483647))) AS sig
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, bb, sig[4*bb+1] AS s1, sig[4*bb+2] AS s2,
+        |         sig[4*bb+3] AS s3, sig[4*bb+4] AS s4
+        |  FROM sigs, range(16) r(bb)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS bench_id
+        |  FROM bands a JOIN bands b
+        |    ON a.bb = b.bb AND a.s1 = b.s1 AND a.s2 = b.s2
+        |   AND a.s3 = b.s3 AND a.s4 = b.s4
+        |   AND a.doc_id < 10000 AND b.doc_id >= 10000),
+        |est AS (
+        |  SELECT cand.doc_id AS doc_id, cand.bench_id AS bench_id,
+        |         len(list_filter(range(0, 64), i -> sa.sig[i+1] = sb.sig[i+1])) / 64.0 AS ej
+        |  FROM cand JOIN sigs sa ON sa.doc_id = cand.doc_id
+        |            JOIN sigs sb ON sb.doc_id = cand.bench_id)
+        |SELECT doc_id, bench_id, round(ej, 6) AS est_jaccard
+        |FROM est WHERE ej >= 0.5 ORDER BY doc_id, bench_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Contamination.flagFuzzy(
+          docs, col("doc_id"), col("text"),
+          docs.filter(col("doc_id") < 20)
+            .select((col("doc_id") + 10000).as("bid"), col("text")),
+          col("bid"), col("text"),
+          n = 3, k = 64, bands = 16, threshold = 0.5)
+        .orderBy(col("doc_id"), col("bench_id"))
+    },
+
     // Corpus mix report: the per-(source, lang) data-mixing ledger —
     // docs, tokens, token share, mean quality — that a training run's
     // sampling weights are planned against.

@@ -150,4 +150,29 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("fuzzy decontamination flags near-duplicates, not verbatim-only") {
+    // corpus doc 1 is a one-word edit of the benchmark doc (high Jaccard,
+    // zero shared 8-grams after the edit point density) — the case the
+    // verbatim flag misses; doc 2 is unrelated
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about solar panels and power generation"),
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),
+    ).toDF("bid", "text")
+    val got = Contamination.flagFuzzy(corpus, col("doc_id"), col("text"),
+        bench, col("bid"), col("text"), n = 3, k = 64, bands = 16,
+        threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSet == Set(1L), s"got ${got.toSeq}")
+    assert(got.head._2 == 100L && got.head._3 > 0.5)
+    // the cross-set band join must broadcast the benchmark side
+    val plan = Contamination.flagFuzzy(corpus, col("doc_id"), col("text"),
+        bench, col("bid"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
