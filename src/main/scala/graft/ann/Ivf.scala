@@ -508,12 +508,132 @@ object Ivf {
                                payload: Array[Long] = Array.emptyLongArray)
 
   /** The JVM-resident serving form of an [[Index]]: per-cell flat blocks
-    * persisted DESERIALIZED across the cluster.
+    * persisted DESERIALIZED across the cluster. A cell may own several
+    * blocks — the base segment from [[pack]] plus delta segments from
+    * [[addToPacked]] (the kernel probes every block of a probed cell, so
+    * segmentation is invisible to results). `tombstones` marks
+    * logically-deleted ids ([[removeFromPacked]]); [[compactPacked]]
+    * merges segments and physically drops them.
     */
   final case class PackedIndex(centroids: Array[Array[Float]], metric: String,
                                dims: Int,
-                               blocks: org.apache.spark.rdd.RDD[PackedBlock]) {
+                               blocks: org.apache.spark.rdd.RDD[PackedBlock],
+                               tombstones: Set[Long] = Set.empty) {
     def unpersist(): Unit = blocks.unpersist()
+  }
+
+  /** Serve-under-writes for the DISTRIBUTED packed tier: a write batch
+    * becomes per-cell DELTA segments unioned onto the block RDD — the
+    * base segments are never touched (segment model, like any LSM-ish
+    * serving engine). Assignment runs on the driver (a serving write
+    * batch is small against the collection); re-inserted ids revive
+    * through the tombstone set. Payload continuity follows the base
+    * index: a payload-packed index takes the batch's payload longs, a
+    * non-payload one ignores them.
+    */
+  def addToPacked(px: PackedIndex,
+                  rows: Seq[(Long, Array[Float], Long)]): PackedIndex = {
+    import org.apache.spark.storage.StorageLevel
+    require(rows.forall(_._2.length == px.dims),
+      s"addToPacked: vector dims must equal index dims ${px.dims}")
+    // an id-level tombstone cannot distinguish the old physical copy
+    // from a re-inserted one — clearing it would resurrect both. The
+    // serving model is surrogate-id appends (RestApi.AnnState replaces
+    // by tombstoning the old surrogate and appending a fresh one);
+    // re-using a tombstoned id needs a compaction first.
+    require(rows.forall(r => !px.tombstones.contains(r._1)),
+      "addToPacked: id is tombstoned — compactPacked first, or append " +
+        "under a fresh surrogate id (the replace model RestApi uses)")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val hasPayload = px.blocks.take(1).headOption.exists(_.payload.nonEmpty)
+    val needsNorm = px.metric == "cosine"
+    val dims = px.dims
+    val delta = rows.groupBy { case (_, v, _) =>
+      probeCells(px.centroids, px.metric, v, 1).head
+    }.map { case (cell, add) =>
+      val ids = add.map(_._1).toArray
+      val vecs = new Array[Float](add.size * dims)
+      val norms2 =
+        if (needsNorm) new Array[Double](add.size) else Array.emptyDoubleArray
+      add.zipWithIndex.foreach { case ((_, v, _), i) =>
+        System.arraycopy(v, 0, vecs, i * dims, dims)
+        if (needsNorm) norms2(i) = norm2(v)
+      }
+      val pay =
+        if (hasPayload) add.map(_._3).toArray else Array.emptyLongArray
+      PackedBlock(cell, ids, vecs, norms2, pay)
+    }.toSeq
+    val deltaRdd = spark.sparkContext
+      .parallelize(delta, math.max(1, math.min(delta.size, 8)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    deltaRdd.count()
+    px.copy(blocks = px.blocks.union(deltaRdd))
+  }
+
+  /** Logical delete on the packed tier: tombstoned ids are skipped by
+    * the scan kernel; [[compactPacked]] (or [[writePacked]], a durable
+    * compaction point) drops them physically.
+    */
+  def removeFromPacked(px: PackedIndex, ids: Seq[Long]): PackedIndex =
+    px.copy(tombstones = px.tombstones ++ ids)
+
+  private def filterBlock(b: PackedBlock, tomb: Set[Long],
+                          dims: Int): PackedBlock = {
+    val keep = b.ids.indices.filterNot(i => tomb.contains(b.ids(i)))
+    if (keep.size == b.ids.length) b
+    else {
+      val ids = keep.map(b.ids).toArray
+      val vecs = new Array[Float](keep.size * dims)
+      keep.zipWithIndex.foreach { case (src, dst) =>
+        System.arraycopy(b.vecs, src * dims, vecs, dst * dims, dims)
+      }
+      val norms2 =
+        if (b.norms2.isEmpty) b.norms2 else keep.map(b.norms2).toArray
+      val pay =
+        if (b.payload.isEmpty) b.payload else keep.map(b.payload).toArray
+      PackedBlock(b.cell, ids, vecs, norms2, pay)
+    }
+  }
+
+  /** Segment merge: coalesce every cell's base + delta segments into one
+    * block and physically drop tombstoned rows. One bounded shuffle
+    * keyed by cell (the block count, not the row count, is the shuffle
+    * cardinality). Search results are identical before and after
+    * (spec-asserted) — compaction only changes the layout.
+    */
+  def compactPacked(px: PackedIndex): PackedIndex = {
+    import org.apache.spark.storage.StorageLevel
+    val tomb = px.tombstones
+    val dims = px.dims
+    val merged = px.blocks.keyBy(_.cell).groupByKey()
+      .map { case (cell, bs0) =>
+        val bs = bs0.map(filterBlock(_, tomb, dims)).toSeq
+        if (bs.size == 1) bs.head
+        else {
+          val n = bs.map(_.ids.length).sum
+          val ids = new Array[Long](n)
+          val vecs = new Array[Float](n * dims)
+          val hasNorm = bs.exists(_.norms2.nonEmpty)
+          val norms2 =
+            if (hasNorm) new Array[Double](n) else Array.emptyDoubleArray
+          val hasPay = bs.exists(_.payload.nonEmpty)
+          val pay = if (hasPay) new Array[Long](n) else Array.emptyLongArray
+          var at = 0
+          bs.foreach { b =>
+            System.arraycopy(b.ids, 0, ids, at, b.ids.length)
+            System.arraycopy(b.vecs, 0, vecs, at * dims,
+              b.ids.length * dims)
+            if (hasNorm)
+              System.arraycopy(b.norms2, 0, norms2, at, b.ids.length)
+            if (hasPay)
+              System.arraycopy(b.payload, 0, pay, at, b.ids.length)
+            at += b.ids.length
+          }
+          PackedBlock(cell, ids, vecs, norms2, pay)
+        }
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    merged.count()
+    PackedIndex(px.centroids, px.metric, px.dims, merged, Set.empty)
   }
 
   /** Decode once, serve many: [[batchSearchFused]] still pays a full
@@ -600,7 +720,13 @@ object Ivf {
       .map { case (c, i) => (i, c.toSeq, px.metric, px.dims) }.toSeq
       .toDF("cell", "centroid", "metric", "dims")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    px.blocks.map(b => (b.cell, b.ids, b.vecs, b.norms2, b.payload))
+    // a durable write is a compaction point: tombstoned rows drop here
+    // (delta segments persist as extra rows — loadPacked serves them
+    // identically, and a later compactPacked merges the layout)
+    val tomb = px.tombstones
+    val dims = px.dims
+    px.blocks.map(filterBlock(_, tomb, dims)).filter(_.ids.nonEmpty)
+      .map(b => (b.cell, b.ids, b.vecs, b.norms2, b.payload))
       .toDF("cell", "ids", "vecs", "norms2", "payload")
       .write.mode("overwrite").parquet(s"$path/blocks")
   }
@@ -746,6 +872,7 @@ object Ivf {
     val kk = k
     val rndScale = roundTo.getOrElse(-1)
     val dims = px.dims
+    val tomb = px.tombstones
     val pred: Long => Boolean = payloadPred.orNull
     val useSimd = simd
     val partial = px.blocks.mapPartitions { it =>
@@ -768,6 +895,8 @@ object Ivf {
       val needsNorm = metric == "cosine"
       val bufs = new java.util.HashMap[Int, TopBuf]()
       var scratch = Array.emptyFloatArray
+      // tombstone check only when deletions exist (null = branch-free)
+      val tombSet = if (tomb.isEmpty) null else tomb
       it.foreach { b =>
         val probers = bc.value.getOrElse(b.cell, null)
         if (probers != null) {
@@ -789,7 +918,8 @@ object Ivf {
           val vecs = b.vecs; val ids = b.ids; val norms2 = b.norms2
           var i = 0
           while (i < n) {
-            if (pred == null || pred(b.payload(i))) {
+            if ((pred == null || pred(b.payload(i))) &&
+                (tombSet == null || !tombSet.contains(ids(i)))) {
               val off = i * dims
               val vn2 = if (needsNorm) norms2(i) else 0.0
               val id = ids(i)

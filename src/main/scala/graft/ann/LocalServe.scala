@@ -104,10 +104,11 @@ object LocalServe {
     * contract for the snapshot tier). Each vector lands in its nearest
     * centroid's cell; every touched cell's arrays are copied ONCE per
     * batch (grouped), untouched cells are shared, so the returned index
-    * is safe to publish while searches run against the old one. An id
-    * that already exists must be tombstoned first ([[remove]]) — this
+    * is safe to publish while searches run against the old one. This
     * appends blindly, exactly like the engine's insert (dedup is the
-    * caller's policy, as on the REST layer).
+    * caller's policy); replacing a live id = [[remove]] the old id +
+    * append under a FRESH surrogate (re-using a tombstoned id is
+    * rejected — see the require below).
     *
     * Centroids do NOT move (same as the reference's segment inserts):
     * after heavy drift a rebuild re-balances; `liveCount` vs build size
@@ -117,6 +118,13 @@ object LocalServe {
                rows: Seq[(Long, Array[Float], Long)]): LocalIndex = {
     require(rows.forall(_._2.length == li.dims),
       s"addBatch: vector dims must equal index dims ${li.dims}")
+    // clearing a tombstone would resurrect the OLD physical copy along
+    // with the new one (an id-level tombstone cannot tell them apart).
+    // Replace = tombstone the old id + append under a FRESH surrogate
+    // (exactly what RestApi.AnnState.withUpserts does).
+    require(rows.forall(r => !li.tombstones.contains(Long.box(r._1))),
+      "addBatch: id is tombstoned — rebuild the snapshot, or append " +
+        "under a fresh surrogate id (the replace model RestApi uses)")
     // payload tracking continues only when the built index carries it
     // (an EMPTY payload-built index is indistinguishable from a
     // non-payload one — build the payload snapshot from non-empty data)
@@ -145,10 +153,8 @@ object LocalServe {
         if (hasPayload) payload(c)(i) = pay
       }
     }
-    val tomb = new java.util.HashSet[java.lang.Long](li.tombstones)
-    rows.foreach(r => tomb.remove(Long.box(r._1))) // re-insert revives
     new LocalIndex(li.centroids, li.metric, li.dims, ids, vecs, norms2,
-      payload, tomb)
+      payload, li.tombstones)
   }
 
   /** Logical delete: tombstone ids (cheap, no array surgery); searches

@@ -331,6 +331,54 @@ class IvfStorageSpec extends SparkSpec {
     loaded.unpersist(); px.unpersist()
   }
 
+  test("packed delta segments: add, tombstone, compact, persist") {
+    val emb = sf("embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val ix = Ivf.build(emb, col("embedding"), numCells = 4)
+    val px = Ivf.pack(ix, "vec_id", "embedding")
+    def top(p: Ivf.PackedIndex) =
+      Ivf.batchSearchPacked(p, Seq((0, query)), 5, nprobe = 4, "vec_id",
+          roundTo = Some(6))
+        .orderBy("distance", "vec_id")
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val before = top(px)
+    // delta insert: the new vector IS the query → distance 0, ties the
+    // original vec 0 and lands second by id order
+    val newId = 777777L
+    val px1 = Ivf.addToPacked(px, Seq((newId, query.clone(), 0L)))
+    val after = top(px1)
+    assert(after.take(2).map(_._1).contains(newId) && after(1)._2 == 0.0,
+      s"got $after")
+    // the base index is untouched (segments, not mutation)
+    assert(top(px) == before)
+    // tombstone removes it from results; compaction preserves results
+    val px2 = Ivf.removeFromPacked(px1, Seq(newId))
+    assert(top(px2) == before)
+    val px3 = Ivf.compactPacked(px2)
+    assert(top(px3) == before)
+    assert(px3.tombstones.isEmpty)
+    // compacting WITH the live delta keeps it, one block per cell
+    val px4 = Ivf.compactPacked(px1)
+    assert(top(px4) == after)
+    assert(px4.blocks.map(_.cell).collect().toSeq.sorted ==
+      px4.blocks.map(_.cell).distinct().collect().toSeq.sorted)
+    // durable write is a compaction point: tombstoned rows do not land
+    val dir = java.nio.file.Files.createTempDirectory("graft-delta").toString
+    Ivf.writePacked(px2, dir)
+    val lpx = Ivf.loadPacked(spark, dir)
+    assert(top(lpx) == before)
+    assert(!lpx.blocks.flatMap(_.ids).collect().contains(newId))
+    // re-using a tombstoned id is rejected (fresh-surrogate model);
+    // after compaction the id is free again
+    intercept[IllegalArgumentException] {
+      Ivf.addToPacked(px2, Seq((newId, query.clone(), 0L)))
+    }
+    val px5 = Ivf.addToPacked(px3, Seq((newId, query.clone(), 0L)))
+    assert(top(px5) == after)
+    Seq(px, px3, px4, lpx).foreach(_.unpersist())
+  }
+
   test("SIMD kernels resolve in forked JVMs and agree with scalar") {
     // build.sbt forks every JVM with --add-modules jdk.incubator.vector;
     // if this regresses, the simd serving mode silently degrades to
@@ -441,10 +489,16 @@ class IvfStorageSpec extends SparkSpec {
     // and the li1 snapshot still serves it (immutability both ways)
     assert(LocalServe.search(li1, query, 5, nprobe = 8)
       .take(2).map(_._1).contains(newId))
-    // re-insert revives through the tombstone
-    val li3 = LocalServe.addBatch(li2, Seq((newId, query.clone(), 0L)))
+    // re-using a tombstoned id is rejected (an id-level tombstone can't
+    // tell the old physical copy from the new one — replace = fresh
+    // surrogate id, the REST model)
+    intercept[IllegalArgumentException] {
+      LocalServe.addBatch(li2, Seq((newId, query.clone(), 0L)))
+    }
+    // ...but a fresh surrogate serves immediately
+    val li3 = LocalServe.addBatch(li2, Seq((newId + 1, query.clone(), 0L)))
     assert(LocalServe.search(li3, query, 5, nprobe = 8)
-      .take(2).map(_._1).contains(newId))
+      .take(2).map(_._1).contains(newId + 1))
     // dims guard
     intercept[IllegalArgumentException] {
       LocalServe.addBatch(li0, Seq((1L, new Array[Float](dims + 1), 0L)))
