@@ -342,6 +342,17 @@ object BaselineBench {
       } / lq.length
       out("single_search_local_simd_ms_per_query") = sMs
       out("single_search_local_simd_qps") = 1000.0 / sMs
+      // serve-under-writes: a 1000-row write batch into the live 1M-row
+      // snapshot (copy-on-write cell appends, no rebuild)
+      val wrows = queryVecs(1000).zipWithIndex.map { case (v, i) =>
+        ((2000000 + i).toLong, v, 0L)
+      }
+      val (li2, addMs) = timeMs(LocalServe.addBatch(li, wrows))
+      out("ann_live_upsert_1000_ms") = addMs
+      out("ann_live_upsert_ops_per_s") = 1000.0 / (addMs / 1000.0)
+      // and the written rows serve immediately
+      val hit = LocalServe.search(li2, wrows.head._2, 1, 8)
+      require(hit.head._1 == wrows.head._1, "live write must serve")
     }
 
     // ---- filtered ANN over the packed payload ------------------------
@@ -409,6 +420,20 @@ object BaselineBench {
       // evidence the loaded layout serves (row identity is spec-asserted)
       Ivf.batchSearchPacked(lpx, q100.take(10), 10, 4, "id").collect()
       lpx.unpersist()
+    }
+
+    // ---- delta segments on the distributed packed tier -----------------
+    {
+      val px = packedCache(256)
+      val wrows = queryVecs(1000).zipWithIndex.map { case (v, i) =>
+        ((3000000 + i).toLong, v, 0L)
+      }
+      val (dpx, dms) = timeMs(Ivf.addToPacked(px, wrows))
+      out("packed_delta_add_1000_ms") = dms
+      Ivf.batchSearchPacked(dpx, q100.take(10), 10, 4, "id").collect()
+      val (cpx, cms) = timeMs(Ivf.compactPacked(dpx))
+      out("packed_compact_ms") = cms
+      cpx.unpersist()
     }
 
     packedCache.values.foreach(_.unpersist())

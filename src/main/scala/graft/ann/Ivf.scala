@@ -875,7 +875,12 @@ object Ivf {
     val tomb = px.tombstones
     val pred: Long => Boolean = payloadPred.orNull
     val useSimd = simd
-    val partial = px.blocks.mapPartitions { it =>
+    // the per-partition scan: one pass over this partition's blocks into
+    // k-bounded per-query TopBufs (shared by both finish strategies).
+    // A function VAL, not a def — a nested def would lift into a closure
+    // class holding the whole enclosing frame (including the
+    // non-serializable RDD); the lambda captures only what it reads.
+    val scanPartition: Iterator[PackedBlock] => java.util.HashMap[Int, TopBuf] = { it =>
       val score = pickFlatKernel(metric, useSimd)
       // query-blocked SIMD (dot/euclidean families): one row load feeds
       // 4 probers' accumulator chains — the raw sums land in a reused
@@ -960,30 +965,55 @@ object Ivf {
           }
         }
       }
-      import scala.jdk.CollectionConverters._
-      bufs.entrySet().iterator().asScala.flatMap { e =>
-        val b = e.getValue
-        (0 until b.n).iterator
-          .map(i => (e.getKey.intValue(), b.scores(i), b.ids(i)))
-      }
+      bufs
     }
     // Finish: partials are k-bounded (≤ |partitions|·|queries|·k rows).
     // When that bound is driver-sized, merging the per-partition TopBufs
     // on the driver skips an entire exchange + aggregate stage — at
     // batch-serving shapes that stage costs more than the scan itself.
-    // Beyond the bound (cluster-scale fan-in) the bounded top-k aggregate
-    // keeps the reduction distributed. Both finishes pick the identical
-    // canonical k-smallest-(distance, id) set per query.
+    // Each partition ships ONE packed primitive-array triple instead of
+    // |queries|·k boxed tuples (the tuple deserialization was a
+    // measurable slice of the batch at 2000×10×32 partials). Beyond the
+    // bound (cluster-scale fan-in) the bounded top-k aggregate keeps the
+    // reduction distributed. Both finishes pick the identical canonical
+    // k-smallest-(distance, id) set per query.
     val estPartials =
       px.blocks.getNumPartitions.toLong * qarr.length.toLong * kk
     if (estPartials <= maxDriverMergeRows) {
-      val merged = new java.util.HashMap[Int, TopBuf]()
-      partial.collect().foreach { case (qid, d, id) =>
-        var b = merged.get(qid)
-        if (b == null) { b = new TopBuf(kk); merged.put(qid, b) }
-        b.insert(d, id)
-      }
       import scala.jdk.CollectionConverters._
+      val parts = px.blocks.mapPartitions { it =>
+        val bufs = scanPartition(it)
+        if (bufs.isEmpty) Iterator.empty
+        else {
+          var total = 0
+          bufs.values().iterator().asScala.foreach(total += _.n)
+          val qids = new Array[Int](total)
+          val scores = new Array[Double](total)
+          val pids = new Array[Long](total)
+          var at = 0
+          bufs.entrySet().iterator().asScala.foreach { e =>
+            val b = e.getValue
+            var i = 0
+            while (i < b.n) {
+              qids(at) = e.getKey.intValue()
+              scores(at) = b.scores(i)
+              pids(at) = b.ids(i)
+              at += 1; i += 1
+            }
+          }
+          Iterator.single((qids, scores, pids))
+        }
+      }.collect()
+      val merged = new java.util.HashMap[Int, TopBuf]()
+      parts.foreach { case (qids, scores, pids) =>
+        var i = 0
+        while (i < qids.length) {
+          var b = merged.get(qids(i))
+          if (b == null) { b = new TopBuf(kk); merged.put(qids(i), b) }
+          b.insert(scores(i), pids(i))
+          i += 1
+        }
+      }
       val rows = merged.entrySet().iterator().asScala.flatMap { e =>
         val b = e.getValue
         (0 until b.n).iterator
@@ -991,6 +1021,14 @@ object Ivf {
       }.toSeq
       rows.toDF("query_id", idCol, "distance")
     } else {
+      import scala.jdk.CollectionConverters._
+      val partial = px.blocks.mapPartitions { it =>
+        scanPartition(it).entrySet().iterator().asScala.flatMap { e =>
+          val b = e.getValue
+          (0 until b.n).iterator
+            .map(i => (e.getKey.intValue(), b.scores(i), b.ids(i)))
+        }
+      }
       partial.toDF("query_id", "__d", "__id")
         .groupBy(col("query_id"))
         .agg(TopKAgg.topKF(kk)(col("__d"), col("__id")).as("__top"))
