@@ -23,7 +23,7 @@ object SparkEntry {
       MemoryGraphQueries.defs ++ CrdtQueries.defs ++ HookQueries.defs ++
       AnalyticsDashQueries.defs ++ AnomalyQueries.defs ++ DriftQueries.defs ++
       PrewarmQueries.defs ++ SamplingQueries.defs ++
-      LanguageSurfaceQueries.defs
+      LanguageSurfaceQueries.defs ++ EnterpriseQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
