@@ -70,6 +70,7 @@ object Cli {
   private def usage: String =
     """usage: graft.Cli <command> [args]
       |  sql      --collection name=path ... (-e QUERY | -f FILE | stdin) [--json]
+      |  explore  --collection name=path ... (interactive explorer; stdin commands)
       |  diff     SOURCE TARGET [--threshold T] [--summary] [--json]
       |  merge    SOURCE TARGET --out OUT [--base BASE]
       |           [--strategy source-wins|target-wins] [--diff-report]
@@ -103,6 +104,7 @@ object Cli {
     val parsed = parseArgs(args.tail)
     try args.head match {
       case "sql"             => sqlCmd(spark, parsed, out, in)
+      case "explore"         => exploreCmd(spark, parsed, out, in)
       case "diff"            => diffCmd(spark, parsed, out)
       case "merge"           => mergeCmd(spark, parsed, out)
       case "evaluate"        => evaluateCmd(spark, parsed, out)
@@ -126,6 +128,24 @@ object Cli {
   }
 
   // ------------------------------------------------------------------ sql
+
+  /** Interactive explorer (reference tui.rs / visual_explorer.rs): the
+    * collection specs parse exactly like `sql`'s, the command loop lives
+    * in [[Explorer.repl]].
+    */
+  private def exploreCmd(spark: SparkSession, a: ParsedArgs,
+                         out: String => Unit,
+                         in: () => Iterator[String]): Int = {
+    val colls = a.options.getOrElse("collection", Nil).map { spec =>
+      spec.split("=", 2) match {
+        case Array(name, path) => name -> path
+        case _ => throw new IllegalArgumentException(
+          s"--collection expects name=path, got: $spec")
+      }
+    }.toMap
+    if (colls.isEmpty) { out("explore needs at least one --collection name=path"); 1 }
+    else Explorer.repl(spark, colls, out, in)
+  }
 
   private def sqlCmd(spark: SparkSession, a: ParsedArgs,
                      out: String => Unit, in: () => Iterator[String]): Int = {
