@@ -131,6 +131,50 @@ class AclSpec extends SparkSpec {
     assert(e.rowLevelFilters(bob).isEmpty)
   }
 
+  test("randomized differential: compiled predicate == evaluate under arbitrary policies") {
+    val rnd = new scala.util.Random(42)
+    val langs = Seq("en", "de", "es")
+    val sources = Seq("src0", "src1", "src7")
+    val actions: Seq[AclAction] = Seq(Search, Read)
+    def randPrincipal() = rnd.nextInt(4) match {
+      case 0 => PrincipalMatcher.Any
+      case 1 => PrincipalMatcher.UserId(if (rnd.nextBoolean()) "alice" else "bob")
+      case 2 => PrincipalMatcher.Role(if (rnd.nextBoolean()) "analyst" else "admin")
+      case _ => PrincipalMatcher.Attribute("team", if (rnd.nextBoolean()) "ml" else "ops")
+    }
+    def randResource() = rnd.nextInt(4) match {
+      case 0 => ResourceMatcher.Any
+      case 1 => ResourceMatcher.VectorId(rnd.nextInt(4).toString +
+        (if (rnd.nextBoolean()) "*" else ""))
+      case 2 => ResourceMatcher.MetadataField("lang", langs(rnd.nextInt(3)))
+      case _ => ResourceMatcher.MetadataField("source", sources(rnd.nextInt(3)))
+    }
+    val rows = (0 until 60).map(i =>
+      (i.toString, sources(rnd.nextInt(3)), langs(rnd.nextInt(3))))
+    val df = rows.toDF("id", "source", "lang")
+    (0 until 20).foreach { trial =>
+      val e = if (rnd.nextBoolean()) AclEngine() else AclEngine.allowByDefault()
+      (0 until 1 + rnd.nextInt(6)).foreach { i =>
+        e.addPolicy(AclPolicy(s"p$i", randPrincipal(), randResource(),
+          if (rnd.nextBoolean()) Allow else Deny,
+          Set(actions(rnd.nextInt(2))), priority = rnd.nextInt(4)))
+      }
+      val ctx = RequestContext(
+        if (rnd.nextBoolean()) "alice" else "bob",
+        if (rnd.nextBoolean()) Seq("analyst") else Seq.empty,
+        if (rnd.nextBoolean()) Map("team" -> "ml") else Map.empty)
+      val action = actions(rnd.nextInt(2))
+      val got = df.filter(e.searchPredicate(ctx, action, col("id")))
+        .select("id").as[String].collect().toSet
+      val want = rows.filter { case (id, src, lang) =>
+        e.evaluate(ctx, action, id,
+          Map("source" -> src, "lang" -> lang)).allowed
+      }.map(_._1).toSet
+      assert(got == want,
+        s"trial $trial: compiled=$got evaluate=$want policies=${e.listPolicies}")
+    }
+  }
+
   test("compiled predicate reaches the parquet scan (pushdown)") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("aclpush").toString
