@@ -343,8 +343,12 @@ object BaselineBench {
       out("single_search_local_simd_ms_per_query") = sMs
       out("single_search_local_simd_qps") = 1000.0 / sMs
       // serve-under-writes: a 1000-row write batch into the live 1M-row
-      // snapshot (copy-on-write cell appends, no rebuild)
-      val wrows = queryVecs(1000).zipWithIndex.map { case (v, i) =>
+      // snapshot (copy-on-write cell appends, no rebuild). The vectors
+      // are PERTURBED copies of base rows — reusing them verbatim made
+      // the self-serve check a 0-distance TIE with the original row,
+      // which the top-k legitimately breaks toward the older entry.
+      val wrows = queryVecs(1000).zipWithIndex.map { case (v0, i) =>
+        val v = v0.clone(); v(0) += 1.0f
         ((2000000 + i).toLong, v, 0L)
       }
       val (li2, addMs) = timeMs(LocalServe.addBatch(li, wrows))

@@ -48,6 +48,44 @@ object Anomaly {
       .select(col("src"), col("dst"), col("distance"))
   }
 
+  /** IVF-blocked k-NN edges with RAW distances — the scale form of
+    * [[exactKnnEdges]] (same candidate recipe as
+    * `SemanticGraph.buildBlocked`, kept separate because that surface
+    * emits clamped similarities while LOF's reachability algebra needs
+    * the metric distance itself). Candidate pairs come from shared
+    * probed IVF cells (bounded rows×nprobe join input, never all-pairs);
+    * at `nprobe = numCells` the candidate set is complete, so
+    * full-probe blocked edges are row-identical to the exact ones
+    * (spec-asserted) — the recall/cost dial is `nprobe`.
+    */
+  def blockedKnnEdges(df: DataFrame, idCol: Column, vecCol: Column, k: Int,
+                      metric: String = "euclidean", numCells: Int = 16,
+                      nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    import graft.ann.Ivf
+    val base = df.select(idCol.as("id"), vecCol.as("__v"))
+    val ix = Ivf.build(base, col("__v"), numCells, metric, seed)
+    val assigned = base.withColumn("cell",
+      explode(Ivf.probeCellsOf(col("__v"), ix.centroids, metric, nprobe)))
+    val a = assigned.select(col("cell"), col("id").as("src"),
+      col("__v").as("__va"))
+    val b = assigned.select(col("cell"), col("id").as("dst"),
+      col("__v").as("__vb"))
+    val pairs = a.join(b, Seq("cell")).filter(col("src") =!= col("dst"))
+      .withColumn("__d", Distances.distance(metric, col("__va"), col("__vb")))
+      .groupBy(col("src"), col("dst")).agg(min(col("__d")).as("distance"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("distance").asc, col("dst").asc)
+    pairs.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("src"), col("dst"), col("distance"))
+  }
+
+  /** LOF beyond `maxExactRows`: the same algebra over blocked edges. */
+  def lofBlocked(df: DataFrame, idCol: Column, vecCol: Column, k: Int,
+                 metric: String = "euclidean", numCells: Int = 16,
+                 nprobe: Int = 4, seed: Long = 42L): DataFrame =
+    lofFromEdges(blockedKnnEdges(df, idCol, vecCol, k, metric, numCells,
+      nprobe, seed))
+
   /** LOF scores (id, lof_score) from a k-NN edge list (anomaly.rs:87-131). */
   def lofFromEdges(edges: DataFrame): DataFrame = {
     val kd = edges.groupBy(col("src").as("id")).agg(max(col("distance")).as("kdist"))

@@ -170,6 +170,7 @@ object Tenancy {
         }
         val df = initial.getOrElse(manager.spark.emptyDataFrame)
         val n = initial.map(_.count()).getOrElse(0L)
+        if (n > 0) checkVectorQuota(n) // seeded rows count like inserts
         collections.put(name, (df, dims, n))
         vectors += n
         storageBytes += n * storageEstimate(dims)

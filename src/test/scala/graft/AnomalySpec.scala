@@ -49,6 +49,44 @@ class AnomalySpec extends SparkSpec {
     assert(Seq(0L, 1L, 2L).forall(i => scores(i) == 1.0))
   }
 
+  test("blocked edges at full probe == exact edges; lofBlocked == lof") {
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 80).map(i => (i.toLong,
+      Seq(rnd.nextFloat() * (1 + i % 3), rnd.nextFloat() * (1 + i % 2)))) ++
+      Seq((900L, Seq(8f, 8f)))
+    val df = pts.toDF("id", "vec")
+    val exact = Anomaly.exactKnnEdges(df, col("id"), col("vec"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blockedFull = Anomaly.blockedKnnEdges(df, col("id"), col("vec"),
+        k = 4, numCells = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blockedFull == exact,
+      "full-probe blocked candidate set must be complete")
+    val lofExact = Anomaly.lof(df, col("id"), col("vec"), k = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lofBlk = Anomaly.lofBlocked(df, col("id"), col("vec"), k = 4,
+        numCells = 8, nprobe = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(lofExact.keySet == lofBlk.keySet)
+    lofExact.foreach { case (id, s) =>
+      assert(math.abs(s - lofBlk(id)) < 1e-9, s"id $id: $s vs ${lofBlk(id)}")
+    }
+    // pruned probe still finds the planted outlier on top
+    val pruned = Anomaly.lofBlocked(df, col("id"), col("vec"), k = 4,
+        numCells = 8, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pruned(900L) == pruned.values.max)
+  }
+
+  test("blockedKnnEdges plans equi-joins only (no cartesian, no BNLJ)") {
+    val df = (0 until 50).map(i => (i.toLong, Seq(i.toFloat, 1f)))
+      .toDF("id", "vec")
+    val plan = Anomaly.blockedKnnEdges(df, col("id"), col("vec"), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("exactKnnEdges refuses unbounded all-pairs") {
     val big = (0 until 50).map(i => (i.toLong, Seq(i.toFloat))).toDF("id", "vec")
     intercept[IllegalArgumentException](
