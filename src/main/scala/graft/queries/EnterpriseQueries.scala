@@ -48,6 +48,33 @@ object EnterpriseQueries {
     RequestContext("alice", roles = Seq("analyst"),
       attributes = Map("team" -> "ml"))
 
+  /** SQL for the deterministic uniform chain of `Privacy.uniform01` at a
+    * given (possibly negative) `seed % m` remainder — the same Lehmer +
+    * squaring steps as the Spark column, expressed as one scalar
+    * expression over `vec_id`. The first mod is double-wrapped because
+    * DuckDB's `%` is sign-preserving while Spark's `pmod` is not.
+    */
+  private def unifSql(seedRem: Long): String = {
+    val m = 2147483647L
+    val s0 = s"((((vec_id % $m) * 48271 + $seedRem) % $m + $m) % $m)"
+    val s1 = s"((($s0 + 1) * 48271) % $m)"
+    val sq = s"((($s1 * $s1 + $s1)) % $m)"
+    val s2 = s"((($sq + 1) * 48271) % $m)"
+    s"((CAST($s2 AS DOUBLE) + 0.5) / $m.0)"
+  }
+
+  /** Gaussian dp gate constants — computed once so the Spark config and
+    * the embedded SQL literals cannot drift apart.
+    */
+  private val gaussEps = 2.0
+  private val gaussDelta = 1e-5
+  private val gaussSens = 0.05
+  private val gaussSeed = 11L
+  private val gaussSigma =
+    gaussSens * math.sqrt(2.0 * math.log(1.25 / gaussDelta)) / gaussEps
+  private val gaussSeedB =
+    (gaussSeed + 0x9e3779b97f4a7c15L) % 2147483647L // sign-preserving, as in Scala
+
   val defs: Map[String, Q] = Map(
     // ACL-enforced search (vector_acl.rs:259-357): the priority-ordered
     // first-match policy walk compiled to a CASE chain, applied before
@@ -180,6 +207,48 @@ object EnterpriseQueries {
       registry.privateSearch("embeddings", "driver-session",
           emb.crossJoin(broadcast(qv)), col("embedding"), col("qv"),
           k = 10, seed = 7, idCol = "vec_id", roundTo = Some(6))
+        .select(col("vec_id"),
+          round(col("noisy_distance"), 6).as("noisy_distance"))
+    },
+
+    // The GAUSSIAN mechanism end-to-end (privacy.rs:197-207 Box-Muller):
+    // two decorrelated deterministic uniforms -> z = sqrt(-2 ln u1) *
+    // cos(2*pi*u2) * sigma. Sigma and the second seed are computed ONCE
+    // in Scala and embedded as exact double/integer literals, so the
+    // config and the oracle cannot drift.
+    "dp_search_gaussian" -> Q(
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT vec_id,
+         |         round(1 - list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6) AS d
+         |  FROM embeddings, q
+         |),
+         |unif AS (
+         |  SELECT vec_id, d,
+         |         ${unifSql(gaussSeed % 2147483647L)} AS u1,
+         |         ${unifSql(gaussSeedB)} AS u2
+         |  FROM scored
+         |),
+         |gz AS (
+         |  SELECT vec_id, d,
+         |         round(sqrt(-2.0 * ln(u1)) * cos(6.283185307179586 * u2) * $gaussSigma, 6) AS noise
+         |  FROM unif
+         |)
+         |SELECT vec_id, round(greatest(0.0, d + noise), 6) AS noisy_distance
+         |FROM gz
+         |ORDER BY greatest(0.0, d + noise), vec_id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val registry = new Privacy.PrivacyPolicyRegistry
+      registry.register(Privacy.CollectionPrivacyPolicy("embeddings",
+        Privacy.PrivacyConfig(epsilon = gaussEps, delta = gaussDelta,
+          sensitivity = gaussSens,
+          mechanism = Privacy.NoiseMechanism.Gaussian)))
+      registry.privateSearch("embeddings", "driver-session",
+          emb.crossJoin(broadcast(qv)), col("embedding"), col("qv"),
+          k = 10, seed = gaussSeed, idCol = "vec_id", roundTo = Some(6))
         .select(col("vec_id"),
           round(col("noisy_distance"), 6).as("noisy_distance"))
     })
