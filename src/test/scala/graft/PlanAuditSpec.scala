@@ -45,7 +45,10 @@ class PlanAuditSpec extends SparkSpec {
     // scans, the interchange fingerprint is union+aggregate, and the
     // fusion fold emits a driver-local frame
     "ivf_pruned_fixed", "ivf_stored_search", "export_import_all",
-    "adaptive_fusion")
+    "adaptive_fusion",
+    // round-9 enterprise gates: tenant usage/gdpr are grouped
+    // aggregations, blocked LOF is equi-joins over shared-cell candidates
+    "tenant_usage", "gdpr_delete", "lof_blocked_full_probe")
 
   // allowed a bounded broadcast nested loop — a 1-ROW broadcast frame
   // (BM25's (n, avgdl) corpus stats, the dedup gates' planted-pair count,
@@ -61,7 +64,9 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast query-vector frame feeding the bounded top-k aggregate
     "batch_knn_bulk",
     // 1-row broadcast corpus-total frame for the token-share column
-    "corpus_mix_report")
+    "corpus_mix_report",
+    // 1-row broadcast query-vector frames (round-9 enterprise gates)
+    "acl_search", "dp_search", "dp_search_gaussian")
 
   for (name <- strictQueries)
     test(s"$name plans no cartesian and no nested-loop join") {
