@@ -326,6 +326,48 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(multi == 500L, s"multi-assign recovered $multi of 500")
   }
 
+  test("ACL-secured search over 200k rows filters scan-side") {
+    import graft.ops.Acl, Acl._, Acl.AclAction._, Acl.Effect._
+    val data = spark.range(200000).select(
+      col("id").cast("string").as("id"),
+      concat(lit("t"), pmod(col("id"), lit(50)).cast("string")).as("tenant"),
+      array(pmod(col("id") * 7L, lit(100)).cast("float"),
+        pmod(col("id") * 13L, lit(100)).cast("float")).as("vec"))
+      .repartition(8)
+    val e = AclEngine()
+      .addPolicy(AclPolicy("deny-t3", PrincipalMatcher.Any,
+        ResourceMatcher.MetadataField("tenant", "t3"), Deny, Set(Search),
+        priority = 10))
+      .addPolicy(AclPolicy("allow-mine", PrincipalMatcher.Attribute(
+        "tenant_id", "t3"), ResourceMatcher.MetadataField("tenant", "t3"),
+        Allow, Set(Search), priority = 5))
+      .addPolicy(AclPolicy("allow-public", PrincipalMatcher.Any,
+        ResourceMatcher.MetadataField("tenant", "t7"), Allow, Set(Search)))
+    val ctx = RequestContext("svc", attributes = Map("tenant_id" -> "t9"))
+    // svc sees only t7 (public); t3 denied at higher priority than its
+    // tenant-scoped allow (which anyway doesn't match svc)
+    val res = e.securedSearch(data, ctx, col("vec"),
+      lit(Array(1f, 1f)), k = 20)
+    val tenants = res.select("tenant").distinct().as[String].collect()
+    assert(tenants.toSeq == Seq("t7"), tenants.mkString(","))
+    assert(res.count() == 20)
+  }
+
+  test("tenant usage over 500k rows x 1000 tenants is one grouped pass") {
+    val lake = spark.range(500000).select(
+      concat(lit("t"), pmod(col("id"), lit(1000)).cast("string"))
+        .as("tenant"),
+      array(lit(1f), lit(2f), lit(3f), lit(4f)).as("vec"))
+      .repartition(8)
+    val usage = graft.ops.Tenancy.usageByTenant(lake, "tenant", "vec")
+    assert(usage.count() == 1000)
+    val t42 = usage.filter(col("tenant_id") === "t42").head()
+    assert(t42.getLong(1) == 500L)
+    assert(t42.getLong(2) == 500L * graft.ops.Tenancy.storageEstimate(4))
+    val plan = usage.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("scalable sequence packing at 100k rows matches the window form") {
     val big = spark.range(100000).select(col("id"),
       (pmod(col("id") * 40503L, lit(211)) + 1).cast("int").as("n_tok"))
