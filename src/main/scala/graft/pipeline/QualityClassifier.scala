@@ -80,14 +80,25 @@ object QualityClassifier {
     require(vocab.length == weights.length,
       s"vocab(${vocab.length}) and weights(${weights.length}) must align")
     val toks = graft.text.Tokenizer.tokens(textCol, stemming = false)
-    val counts = vocab.map(t =>
-      size(filter(toks, tok => tok === lit(t))).cast("double"))
+    // ONE tf pass for the whole vocabulary: a per-term HOF filter would
+    // re-evaluate the tokenizer and walk the token array once per vocab
+    // entry (the repo's documented 100×-slower shape); materializing the
+    // tf vector as its own column makes the fold read attribute lookups
+    val idx = vocab.zipWithIndex.toMap
+    val tfU = udf { (ts: Seq[String]) =>
+      val out = new Array[Double](idx.size)
+      ts.foreach(t => idx.get(t).foreach(i => out(i) += 1.0))
+      out
+    }
     // left-fold in vocab order: the same association order as the SQL
     // replay's `intercept + w1*tf1 + w2*tf2 + …`, so z is bit-identical
-    val z = weights.zip(counts).foldLeft(lit(intercept): Column) {
-      case (acc, (w, c)) => acc + lit(w) * c
+    // (counts are exact small integers either way)
+    val z = weights.zipWithIndex.foldLeft(lit(intercept): Column) {
+      case (acc, (w, i)) => acc + lit(w) * col("__qc_tf")(i)
     }
-    corpus.withColumn("quality_margin", z)
+    corpus.withColumn("__qc_tf", tfU(toks))
+      .withColumn("quality_margin", z)
+      .drop("__qc_tf")
       .withColumn("quality_prob",
         lit(1.0) / (lit(1.0) + exp(-col("quality_margin"))))
       // threshold on the sign of the exact margin, not the probability —
