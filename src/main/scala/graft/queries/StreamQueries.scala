@@ -64,6 +64,50 @@ object StreamQueries {
       Streams.replay(asLog(s, dir)).orderBy(col("id"))
     },
 
+    // Streaming LWW-register convergence, batch-checked: the SAME
+    // flatMapGroupsWithState arbitration that serves the change stream
+    // (streaming/StatefulLww.scala) converges the events-derived op-log
+    // in batch mode, and DuckDB replays max-HLC-rank-per-key as a
+    // window. logical = event_id keeps every rank unique, so the strict
+    // takeover and row_number agree without tie semantics in play.
+    "lww_converge" -> Q(
+      s"""WITH log AS (
+         |  SELECT CAST(user_id % 40 AS VARCHAR) AS id,
+         |         CAST(floor(epoch(ts)) AS BIGINT) AS physical,
+         |         event_id AS logical,
+         |         'r' || CAST(user_id % 5 AS VARCHAR) AS replica,
+         |         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'add' END AS op,
+         |         event_type AS payload
+         |  FROM events
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY id ORDER BY physical DESC, logical DESC, replica DESC) AS rn
+         |  FROM log
+         |)
+         |SELECT id, physical, logical, replica,
+         |       CAST(CASE WHEN op <> 'delete' THEN 1 ELSE 0 END AS BIGINT) AS alive,
+         |       payload
+         |FROM ranked WHERE rn = 1 ORDER BY id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val ops = Tables.load(s, dir, "events").select(
+        pmod(col("user_id"), lit(40L)).cast("string").as("id"),
+        unix_timestamp(col("ts")).as("physical"),
+        col("event_id").as("logical"),
+        concat(lit("r"), pmod(col("user_id"), lit(5L)).cast("string"))
+          .as("replica"),
+        when(col("event_type") === "error", "delete").otherwise("add")
+          .as("op"),
+        col("event_type").as("payload"))
+        .as[graft.streaming.StatefulLww.Op]
+      graft.streaming.StatefulLww.changes(ops)
+        .toDF()
+        .select(col("id"), col("physical"), col("logical"), col("replica"),
+          col("alive").cast("long").as("alive"), col("payload"))
+        .orderBy(col("id"))
+    },
+
     // Debezium envelope parse: envelopes constructed identically on both
     // sides, parsed with from_json vs json_extract.
     "debezium_parse" -> Q(
