@@ -118,6 +118,15 @@ object Filter {
   private def parseFieldCondition(field: String, v: JValue): Filter = v match {
     case JObj(ops) if ops.nonEmpty && ops.forall(_._1.startsWith("$")) =>
       val conds = ops.map { case (op, opv) =>
+        // the array cap applies to VALUE arrays ($in/$nin/$all…) too,
+        // not just $and/$or operand lists — an unbounded $in would
+        // otherwise build an arbitrarily large isin from hostile input
+        opv match {
+          case JArr(vs) if vs.length > MaxArraySize =>
+            throw new IllegalArgumentException(
+              s"$op array too large (${vs.length} elements, max $MaxArraySize)")
+          case _ => ()
+        }
         Condition(field, FilterOp.parse(op), opv): Filter
       }
       if (conds.length == 1) conds.head else And(conds)

@@ -343,10 +343,24 @@ object Parser {
       while (tryKw("and")) l = AndExpr(l, unary())
       l
     }
-    private def unary(): Expression =
-      if (tryKw("not")) NotExpr(unary())
-      else if (tryOp("(")) { val e = expr(); eatOp(")"); e }
-      else predicate()
+    /** `unary := NOT unary | '(' expr ')' | predicate` recurses, so a
+      * hostile `(((((…` or `NOT NOT NOT …` input must hit a LIMIT, not
+      * the JVM stack (the filter parser's depth-32 guard, applied to
+      * the expression grammar — StackOverflowError is an Error a caller
+      * can't usefully catch; ParseError is the contract).
+      */
+    private var exprDepth = 0
+    private val maxExprDepth = 64
+    private def unary(): Expression = {
+      exprDepth += 1
+      if (exprDepth > maxExprDepth)
+        throw ParseError(s"expression nesting deeper than $maxExprDepth")
+      try {
+        if (tryKw("not")) NotExpr(unary())
+        else if (tryOp("(")) { val e = expr(); eatOp(")"); e }
+        else predicate()
+      } finally exprDepth -= 1
+    }
 
     private def predicate(): Expression = {
       val colName = ident()
