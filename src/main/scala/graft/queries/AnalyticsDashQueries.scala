@@ -67,7 +67,12 @@ object AnalyticsDashQueries {
     // filtered ratio, averages) are recovered on the Spark side by the
     // exact inverse transform round(q·n) — IEEE division is correctly
     // rounded, so multiplying back by the known denominator recovers the
-    // integer numerator exactly.
+    // integer numerator exactly. Every oracle-side sum() is additionally
+    // CAST to BIGINT: DuckDB types sum(INTEGER) as HUGEINT (INT128), and
+    // the verify harness hashes HUGEINT differently from the BIGINT Spark
+    // emits even when every value is equal — the r9 root cause of six
+    // rounds of value-identical hash mismatches on exactly the two gates
+    // whose oracles produced HUGEINT columns.
     "query_insights" -> Q(
       s"""WITH $qlogCte,
         |w AS (SELECT * FROM qlog WHERE ts > 1700000000 AND ts <= 1700005000),
@@ -78,7 +83,7 @@ object AnalyticsDashQueries {
         |  FROM w WHERE operation IN ('search', 'query')
         |),
         |lat AS (
-        |  SELECT coalesce(sum(lat_micro), 0) AS lat_sum_micro,
+        |  SELECT CAST(coalesce(sum(lat_micro), 0) AS BIGINT) AS lat_sum_micro,
         |         count(lat_micro) AS lat_n,
         |         coalesce(max(CASE WHEN r = n * 50 // 100 THEN lat_micro END), 0) AS p50_micro,
         |         coalesce(max(CASE WHEN r = n * 95 // 100 THEN lat_micro END), 0) AS p95_micro,
@@ -87,11 +92,11 @@ object AnalyticsDashQueries {
         |),
         |c AS (
         |  SELECT count(*) AS total_ops,
-        |         sum(CASE WHEN operation IN ('search', 'query') THEN 1 ELSE 0 END) AS total_queries,
-        |         sum(CASE WHEN operation IN ('insert', 'upsert') THEN 1 ELSE 0 END) AS total_inserts,
-        |         sum(CASE WHEN operation = 'delete' THEN 1 ELSE 0 END) AS total_deletes,
-        |         sum(CASE WHEN operation IN ('search', 'query') AND lat_micro > 90000 THEN 1 ELSE 0 END) AS slow_query_count,
-        |         sum(CASE WHEN operation IN ('search', 'query') AND has_filter THEN 1 ELSE 0 END) AS filtered_count
+        |         CAST(sum(CASE WHEN operation IN ('search', 'query') THEN 1 ELSE 0 END) AS BIGINT) AS total_queries,
+        |         CAST(sum(CASE WHEN operation IN ('insert', 'upsert') THEN 1 ELSE 0 END) AS BIGINT) AS total_inserts,
+        |         CAST(sum(CASE WHEN operation = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS total_deletes,
+        |         CAST(sum(CASE WHEN operation IN ('search', 'query') AND lat_micro > 90000 THEN 1 ELSE 0 END) AS BIGINT) AS slow_query_count,
+        |         CAST(sum(CASE WHEN operation IN ('search', 'query') AND has_filter THEN 1 ELSE 0 END) AS BIGINT) AS filtered_count
         |  FROM w
         |)
         |SELECT * FROM c CROSS JOIN lat""".stripMargin
@@ -163,11 +168,11 @@ object AnalyticsDashQueries {
     "collection_analytics" -> Q(
       s"""WITH $qlogCte
         |SELECT collection,
-        |       sum(CASE WHEN operation IN ('search', 'query') THEN 1 ELSE 0 END) AS total_queries,
-        |       sum(CASE WHEN operation IN ('insert', 'upsert') THEN 1 ELSE 0 END) AS total_inserts,
-        |       sum(CASE WHEN operation = 'delete' THEN 1 ELSE 0 END) AS total_deletes,
-        |       coalesce(sum(CASE WHEN operation IN ('search', 'query') THEN lat_micro END), 0) AS search_lat_micro,
-        |       coalesce(sum(CASE WHEN operation IN ('insert', 'upsert') THEN lat_micro END), 0) AS insert_lat_micro
+        |       CAST(sum(CASE WHEN operation IN ('search', 'query') THEN 1 ELSE 0 END) AS BIGINT) AS total_queries,
+        |       CAST(sum(CASE WHEN operation IN ('insert', 'upsert') THEN 1 ELSE 0 END) AS BIGINT) AS total_inserts,
+        |       CAST(sum(CASE WHEN operation = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS total_deletes,
+        |       CAST(coalesce(sum(CASE WHEN operation IN ('search', 'query') THEN lat_micro END), 0) AS BIGINT) AS search_lat_micro,
+        |       CAST(coalesce(sum(CASE WHEN operation IN ('insert', 'upsert') THEN lat_micro END), 0) AS BIGINT) AS insert_lat_micro
         |FROM qlog GROUP BY collection ORDER BY collection""".stripMargin
     ) { (s, dir) =>
       QueryAnalytics.collectionAnalytics(qlog(s, dir))

@@ -299,7 +299,7 @@ object SamplingQueries {
         |SELECT min(doc_id) AS canonical,
         |       array_to_string(list_sort(list(doc_id)), ',') AS members,
         |       count(*) AS n_members,
-        |       1.0 AS avg_similarity
+        |       CAST(1.0 AS DOUBLE) AS avg_similarity
         |FROM corpus
         |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |HAVING count(*) > 1
