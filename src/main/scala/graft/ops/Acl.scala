@@ -23,8 +23,17 @@ import org.apache.spark.sql.functions._
   * dropped from the projection, so the scan never reads them.
   *
   * The driver-side [[AclEngine.evaluate]] single-vector path (the get /
-  * write / delete gate) mirrors vector_acl.rs:259-341 exactly, including
-  * the bounded audit log.
+  * write / delete gate) mirrors vector_acl.rs:259-341, including the
+  * bounded audit log, with ONE deliberate divergence: the reference's
+  * evaluate loop stops collecting Deny-FieldName redactions at the first
+  * row-deciding policy match, so a field deny whose priority sorts BELOW
+  * the winning row policy is silently not redacted there. This engine
+  * applies every matching field deny regardless of where the row decision
+  * lands — strictly more restrictive (a field deny always redacts), and
+  * the only semantics that vectorize: in [[AclEngine.searchPredicate]]
+  * the winning row policy varies per row, so a winner-relative redaction
+  * set would need per-row projection. Divergence is spec-pinned in
+  * AclSpec ("field denies below the winning row policy still redact").
   */
 object Acl {
 

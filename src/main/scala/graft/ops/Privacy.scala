@@ -62,10 +62,24 @@ object Privacy {
     * wraparound anywhere) and an oracle replays it with plain `%`. The
     * +0.5 offset keeps the result strictly inside (0,1); u can land
     * exactly on 0.5, where the Laplace inverse CDF is correctly zero.
+    *
+    * The key is normalized to LONG explicitly before the chain: integral
+    * keys (numeric columns, or strings like "42") keep their numeric
+    * value, so the SQL oracle replays them with plain `%`; any other key
+    * (e.g. "v42" — string ids are first-class elsewhere in the engine) is
+    * hashed to a stable long with xxhash64. Without this, a string id
+    * would resolve via implicit string→double coercion (or fail outright
+    * under ANSI), silently breaking the exact-integer determinism the DP
+    * noise depends on.
     */
   def uniform01(id: Column, seed: Long): Column = {
     val m = 2147483647L
-    val s0 = pmod(pmod(id, lit(m)) * lit(48271L) + lit(seed % m), lit(m))
+    val asStr = id.cast("string")
+    // the rlike guard keeps the long cast off non-integral keys, so the
+    // branch is ANSI-safe (CaseWhen evaluates lazily)
+    val key = when(asStr.rlike("^-?[0-9]{1,18}$"), asStr.cast("long"))
+      .otherwise(pmod(xxhash64(asStr), lit(m)))
+    val s0 = pmod(pmod(key, lit(m)) * lit(48271L) + lit(seed % m), lit(m))
     val s1 = pmod((s0 + lit(1L)) * lit(48271L), lit(m))
     val sq = pmod(s1 * s1 + s1, lit(m))
     val s2 = pmod((sq + lit(1L)) * lit(48271L), lit(m))

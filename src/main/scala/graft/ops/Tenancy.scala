@@ -170,7 +170,7 @@ object Tenancy {
         }
         val df = initial.getOrElse(manager.spark.emptyDataFrame)
         val n = initial.map(_.count()).getOrElse(0L)
-        if (n > 0) checkVectorQuota(n) // seeded rows count like inserts
+        if (n > 0) checkVectorQuota(n, dims) // seeded rows count like inserts
         collections.put(name, (df, dims, n))
         vectors += n
         storageBytes += n * storageEstimate(dims)
@@ -197,17 +197,25 @@ object Tenancy {
     def hasCollection(name: String): Boolean =
       synchronized(collections.contains(name))
 
-    /** namespace.rs:426-437. */
-    def checkVectorQuota(toAdd: Long = 1): Unit = synchronized {
-      config.maxVectors.foreach { m =>
-        if (vectors + toAdd > m)
-          throw QuotaExceeded(s"Vector quota exceeded: $vectors+$toAdd/$m")
+    /** namespace.rs:426-437. Both limits are pre-emptive: the storage
+      * check projects the batch's byte delta (`toAdd · estimate(dims)`)
+      * rather than only testing the pre-insert total, so one large batch
+      * cannot overshoot `maxStorageBytes` from just under the line.
+      * `dims = 0` (unknown) still charges the 100-byte/row floor.
+      */
+    def checkVectorQuota(toAdd: Long = 1, dims: Int = 0): Unit =
+      synchronized {
+        config.maxVectors.foreach { m =>
+          if (vectors + toAdd > m)
+            throw QuotaExceeded(s"Vector quota exceeded: $vectors+$toAdd/$m")
+        }
+        config.maxStorageBytes.foreach { m =>
+          val projected = storageBytes + toAdd * storageEstimate(dims)
+          if (projected > m)
+            throw QuotaExceeded(
+              s"Storage quota exceeded: $storageBytes+${toAdd * storageEstimate(dims)}/$m")
+        }
       }
-      config.maxStorageBytes.foreach { m =>
-        if (storageBytes >= m)
-          throw QuotaExceeded(s"Storage quota exceeded: $storageBytes/$m")
-      }
-    }
 
     /** Quota-guarded batch insert (the bulk path — namespace.rs:495-531
       * per-row insert scaled to a DataFrame batch): delegates to the
@@ -218,8 +226,8 @@ object Tenancy {
         checkWriteAccess()
         checkRateLimit()
         val n = rows.count()
-        checkVectorQuota(n) // conservative: treats every row as new
         val (df, dims, oldCount) = collections(name)
+        checkVectorQuota(n, dims) // conservative: treats every row as new
         val merged =
           if (oldCount == 0) rows else Mutations.upsert(df, rows, idCol)
         val newCount = merged.count()

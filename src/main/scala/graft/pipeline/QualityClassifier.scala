@@ -71,8 +71,8 @@ object QualityClassifier {
     * order — so the result is reproducible in any engine (the
     * `quality_classifier_fixed` oracle replays it in SQL).
     *
-    * UDF-free and shuffle-free: tokenization is one compiled pass and each
-    * vocab count is a narrow array-filter over the per-row token array, so
+    * Shuffle-free: tokenization is one compiled pass and the whole-vocab
+    * tf vector is one narrow UDF pass over the per-row token array, so
     * scoring scales to a 100 TB corpus as a scan, like [[score]].
     */
   def scorePinned(corpus: DataFrame, textCol: Column, vocab: Seq[String],
@@ -83,12 +83,22 @@ object QualityClassifier {
     // ONE tf pass for the whole vocabulary: a per-term HOF filter would
     // re-evaluate the tokenizer and walk the token array once per vocab
     // entry (the repo's documented 100×-slower shape); materializing the
-    // tf vector as its own column makes the fold read attribute lookups
-    val idx = vocab.zipWithIndex.toMap
+    // tf vector as its own column makes the fold read attribute lookups.
+    // A term listed twice in the vocab counts at EVERY one of its indices
+    // (matching the SQL replay, where each w_i multiplies tf(term_i)).
+    val idx: Map[String, Seq[Int]] =
+      vocab.zipWithIndex.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    val nVocab = vocab.length
     val tfU = udf { (ts: Seq[String]) =>
-      val out = new Array[Double](idx.size)
-      ts.foreach(t => idx.get(t).foreach(i => out(i) += 1.0))
-      out
+      // Tokenizer.tokens yields null for null text; propagate null like
+      // the trained path (and the old per-term filter form) instead of
+      // NPE-ing the task
+      if (ts == null) null
+      else {
+        val out = new Array[Double](nVocab)
+        ts.foreach(t => idx.getOrElse(t, Nil).foreach(i => out(i) += 1.0))
+        out
+      }
     }
     // left-fold in vocab order: the same association order as the SQL
     // replay's `intercept + w1*tf1 + w2*tf2 + …`, so z is bit-identical

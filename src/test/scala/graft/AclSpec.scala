@@ -61,6 +61,19 @@ class AclSpec extends SparkSpec {
     assert(e.evaluate(bob, Search, "1", Map.empty).redactedFields.isEmpty)
   }
 
+  test("field denies below the winning row policy still redact " +
+      "(deliberate divergence from vector_acl.rs — see Acl scaladoc)") {
+    // The reference stops collecting Deny-FieldName redactions at the
+    // first row-deciding match, so its evaluate would NOT redact `text`
+    // here: redact-text (priority 0) sorts below the winning allow-en
+    // (priority 5). This engine redacts regardless of where the row
+    // decision lands — strictly more restrictive, and the only semantics
+    // that compile to one column-pruned projection in searchPredicate.
+    val d = engine().evaluate(alice, Search, "1", Map("lang" -> "en"))
+    assert(d.allowed && d.policyId.contains("allow-en"))
+    assert(d.redactedFields == Seq("text"))
+  }
+
   test("searchPredicate agrees with evaluate on every row") {
     val e = engine()
     val rows = Seq(

@@ -189,6 +189,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("UDF(__prob"), "probability must not go through a scala UDF")
   }
 
+  test("scorePinned: null text propagates null; duplicate vocab entries " +
+      "count at every index") {
+    import graft.pipeline.QualityClassifier
+    val docs = Seq((1L, "spam spam curated"), (2L, null: String))
+      .toDF("id", "text")
+    // "spam" listed twice: both weights must see tf(spam)=2 — the SQL
+    // replay `w1·tf(spam) + w2·tf(curated) + w3·tf(spam)` does
+    val scored = QualityClassifier.scorePinned(docs, col("text"),
+        vocab = Seq("spam", "curated", "spam"),
+        weights = Seq(-1.0, 3.0, -0.5), intercept = 0.25)
+      .select("id", "quality_margin", "quality_pred")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // 0.25 + (-1.0)*2 + 3.0*1 + (-0.5)*2 = 0.25
+    assert(math.abs(scored(1L).getDouble(1) - 0.25) < 1e-12)
+    assert(scored(1L).getLong(2) == 1L)
+    // null text: margin/pred are null, not a task-killing NPE
+    assert(scored(2L).isNullAt(1) && scored(2L).isNullAt(2))
+  }
+
   test("quality classifier: empty holdout returns 0.0, not an NPE") {
     import graft.pipeline.QualityClassifier
     val seed = Seq((1L, "good curated text", 1), (2L, "bad spam text", 0),

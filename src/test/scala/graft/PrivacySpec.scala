@@ -33,6 +33,30 @@ class PrivacySpec extends SparkSpec {
       math.abs(bins.getOrElse(b, 0) - 1000) < 200, s"bin $b: ${bins.get(b)}"))
   }
 
+  test("uniform01: string ids are first-class — integral strings match " +
+      "numeric ids, non-integral strings are deterministic and uniform") {
+    // "42" must produce the SAME uniform as 42L (the oracle replays
+    // integral keys with plain %), not a string→double coercion artifact
+    val numeric = ids.select(Privacy.uniform01(col("id"), seed = 7).as("u"))
+      .as[Double].collect()
+    val viaString = ids.select(
+      Privacy.uniform01(col("id").cast("string"), seed = 7).as("u"))
+      .as[Double].collect()
+    assert(numeric.sameElements(viaString))
+    // non-integral ids (the engine's "v42"-style string ids): in range,
+    // deterministic, seed-sensitive, not collapsed to one hash bucket
+    val sids = ids.select(concat(lit("v"), col("id")).as("sid"))
+    val u = sids.select(Privacy.uniform01(col("sid"), seed = 7).as("u"))
+      .as[Double].collect()
+    assert(u.forall(x => x > 0.0 && x < 1.0))
+    val u2 = sids.select(Privacy.uniform01(col("sid"), seed = 7).as("u"))
+      .as[Double].collect()
+    assert(u.sameElements(u2))
+    assert(u.distinct.length > u.length / 2, "string ids must spread")
+    val mean = u.sum / u.length
+    assert(math.abs(mean - 0.5) < 0.03, s"string-id uniform mean: $mean")
+  }
+
   test("Laplace noise: zero-centered, scale matches sensitivity/epsilon") {
     val mech = new PrivacyMechanism(PrivacyConfig(epsilon = 0.5,
       sensitivity = 2.0))

@@ -59,6 +59,25 @@ class TenancySpec extends SparkSpec {
     intercept[QuotaExceeded](ns.checkVectorQuota())
   }
 
+  test("storage quota is pre-emptive: a batch cannot overshoot maxStorageBytes") {
+    val mgr = new NamespaceManager(spark)
+    val perRow = Tenancy.storageEstimate(4)
+    // room for exactly 4 rows; the namespace is UNDER the byte quota
+    // after 3, so the old post-hoc check (storageBytes >= m) would have
+    // admitted an arbitrarily large 4th batch
+    val ns = mgr.createNamespace("t3", TenantConfig(
+      maxCollections = None, maxVectors = None,
+      maxStorageBytes = Some(perRow * 4), maxDimensions = None))
+    ns.createCollection("c", dims = 4)
+    ns.insertBatch("c", vecs(3))
+    intercept[QuotaExceeded](ns.insertBatch("c",
+      vecs(2).withColumn("id", concat(lit("w"), col("id")))))
+    assert(ns.collection("c").count() == 3)
+    // a batch that fits exactly still lands
+    ns.insertBatch("c", vecs(1).withColumn("id", concat(lit("w"), col("id"))))
+    assert(ns.collection("c").count() == 4)
+  }
+
   test("read-only namespace refuses writes; search still works") {
     val mgr = new NamespaceManager(spark)
     val ns = mgr.createNamespace("ro", TenantConfig.unlimited)
