@@ -138,17 +138,24 @@ object Crdt {
   def bucketed(entries: DataFrame, idCol: Column, hashCol: Column,
                bucketCount: Int): DataFrame = {
     val buckets = math.max(Integer.highestOneBit(math.max(bucketCount - 1, 1)) * 2, 2)
-    val n = entries.count()
-    val epb = n.max(1L) / buckets
-    val w = Window.partitionBy(lit(1)).orderBy(col("id"))
-    // the rank window is the reference's global entry sort — a narrow
-    // (id, hash) frame; at scale swap the rank for range partitioning
-    entries.select(idCol.cast("string").as("id"), hashCol.as("value_hash"))
-      .withColumn("__r", row_number().over(w) - 1)
+    // the reference's global entry sort, as a distributed exact rank
+    // (range partition + prefix shift — never a single-partition window);
+    // the rank's nCol also supplies n, so no separate count() job
+    val (ranked, cleanup) = DistributedRank.rankedByRange(
+      entries.select(idCol.cast("string").as("id"), hashCol.as("value_hash")),
+      keys = Nil, order = Seq(col("id").asc), rankCol = "__r", nCol = "__n")
+    val epb = floor(greatest(col("__n"), lit(1L)) / buckets).cast("long")
+    val out = ranked
       .withColumn("bucket",
-        if (epb == 0) lit(buckets - 1)
-        else least(col("__r") / epb, lit((buckets - 1).toLong)).cast("int"))
-      .drop("__r")
+        when(epb === 0, lit(buckets - 1))
+          .otherwise(least(col("__r") / epb, lit((buckets - 1).toLong))
+            .cast("int")))
+      .drop("__r", "__n")
+      // materialize before releasing the pinned ranked input; one extra
+      // distributed write, traded for never sorting the replica on one core
+      .localCheckpoint(true)
+    cleanup()
+    out
   }
 
   /** Per-bucket hashes (crdt.rs:978-988): within each bucket, ids in

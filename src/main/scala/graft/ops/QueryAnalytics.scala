@@ -26,8 +26,12 @@ import org.apache.spark.sql.functions._
   *   - slow-query suggestions (:389-412): complex filter (> 5 conditions)
   *     and high k (> 100).
   *
-  * Scale: everything shuffles on (collection[, operation, has_filter, k])
-  * — bounded keys; the percentile windows partition by the same keys.
+  * Scale: counters shuffle on (collection[, operation, has_filter, k]) —
+  * bounded keys. Percentile ranks (the reference's sorted-ring reads) are
+  * computed by [[rankedByRange]]: range-partition on the sort key, local
+  * rank, driver-side partition-prefix shift — never a
+  * `Window.partitionBy(lit(1))` single-partition sort, and a skewed
+  * pattern key splits across partitions instead of serializing on one.
   */
 object QueryAnalytics {
 
@@ -49,17 +53,28 @@ object QueryAnalytics {
   private def pct(latCol: String, rnk0: Column, n: Column, p: Int): Column =
     max(when(rnk0 === floor(n * p / 100), col(latCol)))
 
+  /** Delegates to [[DistributedRank.rankedByRange]] — exact per-group
+    * 0-based rank via range partitioning + driver-side prefix counts,
+    * never a `Window.partitionBy(lit(1))` single-partition sort. The
+    * reference computes the same rank by sorting its in-memory ring.
+    */
+  private def rankedByRange(df: DataFrame, keys: Seq[String],
+                            order: Seq[Column], rankCol: String, nCol: String,
+                            numPartitions: Int)
+      : (DataFrame, () => Unit) =
+    DistributedRank.rankedByRange(df, keys, order, rankCol, nCol,
+      numPartitions)
+
   /** One-row dashboard insights (analytics.rs:506-577) over the events
     * with `ts` in (now − windowSecs, now].
     */
   def insights(log: DataFrame, now: Long, windowSecs: Long,
-               slowThresholdMs: Double): DataFrame = {
+               slowThresholdMs: Double, rankPartitions: Int = 32): DataFrame = {
     val inWindow = log.filter(col("ts") > now - windowSecs && col("ts") <= now)
-    val search = inWindow.filter(col("operation").isin(searchOps: _*))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(lit(1))))
-      .withColumn("__r",
-        row_number().over(Window.partitionBy(lit(1))
-          .orderBy(col("latency_ms").asc, col("ts").asc)) - 1)
+    val (search, cleanup) = rankedByRange(
+      inWindow.filter(col("operation").isin(searchOps: _*)),
+      keys = Nil, order = Seq(col("latency_ms").asc, col("ts").asc),
+      rankCol = "__r", nCol = "__n", numPartitions = rankPartitions)
     val lat = search.agg(
       coalesce(avgFixed3(col("latency_ms")), lit(0.0)).as("avg_latency_ms"),
       coalesce(pct("latency_ms", col("__r"), col("__n"), 50), lit(0.0))
@@ -85,7 +100,10 @@ object QueryAnalytics {
           nullif(sum(when(col("operation").isin(searchOps: _*), 1L)
             .otherwise(0L)), lit(0L)),
         lit(0.0)).as("filtered_query_ratio"))
-    counters.crossJoin(lat)
+    // one row: materialize eagerly so the ranked input can be unpersisted
+    val out = counters.crossJoin(lat).localCheckpoint(true)
+    cleanup()
+    out
   }
 
   /** Slow-query log (analytics.rs:389-412, 580-589): events over the
@@ -111,20 +129,26 @@ object QueryAnalytics {
     * operation, has_filter, k); count/avg over every event, percentiles
     * over each pattern's most recent 1000.
     */
-  def patterns(log: DataFrame): DataFrame = {
-    val key = Seq(col("collection"), col("operation"), col("has_filter"), col("k"))
-    val keyW = Window.partitionBy(key: _*)
+  def patterns(log: DataFrame, rankPartitions: Int = 32): DataFrame = {
+    val keyNames = Seq("collection", "operation", "has_filter", "k")
+    val key = keyNames.map(col)
+    // recency rank per pattern: distributed exact rank — a pattern that
+    // dominates the log no longer serializes its rows on one partition
+    val (withRec, cleanRec) = rankedByRange(log, keyNames,
+      order = Seq(col("ts").desc), rankCol = "__rec0", nCol = "__ntot",
+      numPartitions = rankPartitions)
     val recent1000 = col("__recency") <= 1000
-    val ranked = log
-      .withColumn("__recency",
-        row_number().over(keyW.orderBy(col("ts").desc)))
-      .withColumn("__n",
-        sum(when(recent1000, 1L).otherwise(0L)).over(keyW))
-      .withColumn("__r",
-        row_number().over(keyW.orderBy(
-          when(recent1000, 0).otherwise(1).asc,
-          col("latency_ms").asc, col("ts").asc)) - 1)
-    ranked.groupBy(key: _*)
+    // recent-window size is min(total, 1000) by construction — no second
+    // per-key pass needed
+    val (ranked0, cleanRnk) = rankedByRange(
+      withRec.withColumn("__recency", col("__rec0") + 1)
+        .withColumn("__n", least(col("__ntot"), lit(1000L))),
+      keyNames,
+      order = Seq(when(recent1000, 0).otherwise(1).asc,
+        col("latency_ms").asc, col("ts").asc),
+      rankCol = "__r", nCol = "__ntot2", numPartitions = rankPartitions)
+    val ranked = ranked0
+    val out = ranked.groupBy(key: _*)
       .agg(
         count(lit(1)).as("count"),
         avgFixed3(col("latency_ms")).as("avg_latency_ms"),
@@ -136,6 +160,10 @@ object QueryAnalytics {
       .withColumn("typical_k", coalesce(col("k"), lit(10)))
       .withColumn("uses_filter", col("has_filter"))
       .drop("has_filter", "k")
+      // ≤ |patterns| rows: materialize, then release the ranked inputs
+      .localCheckpoint(true)
+    cleanRnk(); cleanRec()
+    out
   }
 
   def topPatterns(log: DataFrame, limit: Int): DataFrame =

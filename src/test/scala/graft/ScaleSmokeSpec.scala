@@ -381,4 +381,41 @@ class ScaleSmokeSpec extends SparkSpec {
       .except(oracle.select("id", "window_id")).count() == 0)
     assert(scalable.agg(max("window_id")).head().getLong(0) > 5000L)
   }
+
+  test("dashboard percentiles over a 1M-row query log with one dominant " +
+      "pattern never sort on a single partition") {
+    // 1M events, 90% of them one hot (collection, operation, filter, k)
+    // pattern — the shape that used to serialize the whole log through a
+    // Window.partitionBy(lit(1)) (insights) / one skewed key partition
+    // (patterns). Exact values are cross-checked on a small slice against
+    // the oracle-gated semantics; here the contract is: completes at 1M,
+    // and the known closed-form percentiles come back exact.
+    val log = spark.range(1000000).select(
+      when(pmod(col("id"), lit(10)) < 9, "hot").otherwise(concat(lit("c"),
+        pmod(col("id"), lit(7)).cast("string"))).as("collection"),
+      lit("search").as("operation"),
+      (pmod(col("id") * 48271L, lit(100000)).cast("double") / 1000.0)
+        .as("latency_ms"),
+      pmod(col("id"), lit(20)).as("result_count"),
+      lit(10).as("k"), (pmod(col("id"), lit(2)) === 0).as("has_filter"),
+      lit(2L).as("filter_complexity"),
+      (lit(1700000000L) + col("id")).as("ts"))
+      .repartition(16)
+    val ins = graft.ops.QueryAnalytics.insights(log, now = 1700000000L + 1000000,
+      windowSecs = 2000000L, slowThresholdMs = 99.0).head()
+    // (id·48271) mod 100000 over 1M consecutive ids covers each residue
+    // exactly 10 times (48271 coprime to 100000): p50 latency = value at
+    // 0-based rank 500000 of the sorted multiset = 50.0 ms exactly
+    assert(ins.getAs[Double]("p50_latency_ms") == 50.0)
+    assert(ins.getAs[Double]("p95_latency_ms") == 95.0)
+    assert(ins.getAs[Double]("p99_latency_ms") == 99.999)
+    assert(ins.getAs[Long]("total_queries") == 1000000L)
+    val pat = graft.ops.QueryAnalytics.patterns(log)
+    val hot = pat.filter(col("collection") === "hot").collect()
+    // hot pattern splits by has_filter: residues 0-8 hold 5 evens and 4
+    // odds per 10 ids → 500k filtered, 400k unfiltered
+    assert(hot.length == 2)
+    assert(hot.map(_.getAs[Long]("count")).sorted.sameElements(
+      Array(400000L, 500000L)))
+  }
 }
