@@ -23,7 +23,8 @@ object SparkEntry {
       MemoryGraphQueries.defs ++ CrdtQueries.defs ++ HookQueries.defs ++
       AnalyticsDashQueries.defs ++ AnomalyQueries.defs ++ DriftQueries.defs ++
       PrewarmQueries.defs ++ SamplingQueries.defs ++
-      LanguageSurfaceQueries.defs ++ EnterpriseQueries.defs
+      LanguageSurfaceQueries.defs ++ EnterpriseQueries.defs ++
+      IdeQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
