@@ -24,13 +24,22 @@ object Lexer {
   private val durationUnits = Map('s' -> 1L, 'm' -> 60L, 'h' -> 3600L,
     'd' -> 86400L, 'w' -> 604800L)
 
-  def tokenize(input: String): Vector[Tok] = {
-    val out = Vector.newBuilder[Tok]
+  def tokenize(input: String): Vector[Tok] =
+    tokenizeWithOffsets(input).map(_._1)
+
+  /** Tokens paired with their 0-based start offset in the input — the
+    * position substrate the language service's diagnostics build ranges
+    * from (TEof carries the input length). Same token stream as
+    * [[tokenize]] by construction.
+    */
+  def tokenizeWithOffsets(input: String): Vector[(Tok, Int)] = {
+    val out = Vector.newBuilder[(Tok, Int)]
     var i = 0
     val n = input.length
     def peek(off: Int = 0): Char = if (i + off < n) input.charAt(i + off) else '\u0000'
     while (i < n) {
       val c = input.charAt(i)
+      val t0 = i
       if (c.isWhitespace) i += 1
       else if (c == '\'' || c == '"') {
         val quote = c
@@ -43,13 +52,13 @@ object Lexer {
         }
         if (i >= n) throw LexError("Unterminated string literal", i)
         i += 1
-        out += TStr(sb.toString)
+        out += (TStr(sb.toString) -> t0)
       } else if (c == '$') {
         i += 1
         val start = i
         while (i < n && (input.charAt(i).isLetterOrDigit || input.charAt(i) == '_')) i += 1
         if (i == start) throw LexError("Empty parameter name", i)
-        out += TParam(input.substring(start, i))
+        out += (TParam(input.substring(start, i)) -> t0)
       } else if (c.isDigit || (c == '-' && peek(1).isDigit)) {
         val start = i
         if (c == '-') i += 1
@@ -67,33 +76,33 @@ object Lexer {
           (i + 1 >= n || !(input.charAt(i + 1).isLetterOrDigit || input.charAt(i + 1) == '_'))) {
           val unit = durationUnits(input.charAt(i).toLower)
           i += 1
-          out += TDuration(numStr.toLong * unit)
-        } else out += TNum(numStr.toDouble)
+          out += (TDuration(numStr.toLong * unit) -> t0)
+        } else out += (TNum(numStr.toDouble) -> t0)
       } else if (c.isLetter || c == '_') {
         val start = i
         while (i < n && (input.charAt(i).isLetterOrDigit || input.charAt(i) == '_' ||
           input.charAt(i) == '.')) i += 1
-        out += TIdent(input.substring(start, i))
+        out += (TIdent(input.substring(start, i)) -> t0)
       } else {
         c match {
-          case '=' => out += TOp("="); i += 1
-          case '!' if peek(1) == '=' => out += TOp("!="); i += 2
-          case '<' if peek(1) == '=' => out += TOp("<="); i += 2
-          case '<' if peek(1) == '>' => out += TOp("!="); i += 2
-          case '<' => out += TOp("<"); i += 1
-          case '>' if peek(1) == '=' => out += TOp(">="); i += 2
-          case '>' => out += TOp(">"); i += 1
-          case '*' => out += TOp("*"); i += 1
-          case ',' => out += TOp(","); i += 1
-          case '(' => out += TOp("("); i += 1
-          case ')' => out += TOp(")"); i += 1
-          case '[' => out += TOp("["); i += 1
-          case ']' => out += TOp("]"); i += 1
+          case '=' => out += (TOp("=") -> t0); i += 1
+          case '!' if peek(1) == '=' => out += (TOp("!=") -> t0); i += 2
+          case '<' if peek(1) == '=' => out += (TOp("<=") -> t0); i += 2
+          case '<' if peek(1) == '>' => out += (TOp("!=") -> t0); i += 2
+          case '<' => out += (TOp("<") -> t0); i += 1
+          case '>' if peek(1) == '=' => out += (TOp(">=") -> t0); i += 2
+          case '>' => out += (TOp(">") -> t0); i += 1
+          case '*' => out += (TOp("*") -> t0); i += 1
+          case ',' => out += (TOp(",") -> t0); i += 1
+          case '(' => out += (TOp("(") -> t0); i += 1
+          case ')' => out += (TOp(")") -> t0); i += 1
+          case '[' => out += (TOp("[") -> t0); i += 1
+          case ']' => out += (TOp("]") -> t0); i += 1
           case other => throw LexError(s"Unexpected character '$other'", i)
         }
       }
     }
-    out += TEof
+    out += (TEof -> n)
     out.result()
   }
 }

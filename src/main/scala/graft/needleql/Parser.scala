@@ -32,6 +32,24 @@ object Parser {
 
   def parse(input: String): Statement = new P(Lexer.tokenize(input)).statement()
 
+  /** Parse with error positions: Right(statement), or Left(message,
+    * 0-based character offset of the token the parser stopped at) — the
+    * substrate the language service's diagnostics build ranges from.
+    * Lex errors carry their own offset already.
+    */
+  def parseWithPos(input: String): Either[(String, Int), Statement] = {
+    val withOff =
+      try Lexer.tokenizeWithOffsets(input)
+      catch { case e: Lexer.LexError => return Left((e.msg, e.pos)) }
+    val p = new P(withOff.map(_._1))
+    try Right(p.statement())
+    catch {
+      case e: ParseError =>
+        val off = withOff(math.min(p.position, withOff.length - 1))._2
+        Left((e.msg, off))
+    }
+  }
+
   /** Parse a query (SELECT/SEARCH NEAR only), validated. */
   def parseQuery(input: String): Query = parse(input) match {
     case SelectStmt(q)     => q
@@ -41,6 +59,8 @@ object Parser {
 
   private final class P(toks: Vector[Tok]) {
     private var pos = 0
+    /** Token index the parser stopped at (for diagnostics positions). */
+    def position: Int = pos
     private def cur: Tok = toks(pos)
     private def advance(): Tok = { val t = cur; pos += 1; t }
     private def isKw(t: Tok, kw: String): Boolean = t match {
