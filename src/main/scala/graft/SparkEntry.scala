@@ -24,7 +24,7 @@ object SparkEntry {
       AnalyticsDashQueries.defs ++ AnomalyQueries.defs ++ DriftQueries.defs ++
       PrewarmQueries.defs ++ SamplingQueries.defs ++
       LanguageSurfaceQueries.defs ++ EnterpriseQueries.defs ++
-      IdeQueries.defs
+      IdeQueries.defs ++ GovernanceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

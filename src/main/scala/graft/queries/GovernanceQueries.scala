@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{Rbac, TypedSchema}
+import graft.ops.Rbac.{AccessToken, PolicyRule, RbacPolicy}
+import graft.ops.Rbac.Permission.Read
+import graft.ops.TypedSchema.{FieldDef, SchemaDefinition}
+import graft.ops.TypedSchema.FieldType.{IntT, Str}
+
+/** Oracle gates for the governance services (reference:
+  * src/services/collection/{collection_rbac,typed_schema}.rs): the
+  * RBAC compiled read predicate + field pruning, schema validation over
+  * planted defects, default filling, and the secondary-index stats.
+  */
+object GovernanceQueries {
+
+  val defs: Map[String, Q] = Map(
+    // RBAC read: token holds reader (lang='en', sees lang only) AND
+    // curator (source='src2', sees lang+source) → rows (lang='en' OR
+    // source='src2'), columns pruned to the union of visible fields.
+    "rbac_read" -> Q(
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE lang = 'en' OR source = 'src2'
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val e = new Rbac.PolicyEngine(() => 100L)
+      e.addPolicy(RbacPolicy("documents")
+        .addRule(PolicyRule("reader").allow(Read)
+          .withRowFilter("lang", "en").withVisibleFields(Seq("lang")))
+        .addRule(PolicyRule("curator").allow(Read)
+          .withRowFilter("source", "src2")
+          .withVisibleFields(Seq("lang", "source"))))
+      e.secureRead(
+          Tables.load(s, dir, "documents")
+            .select("doc_id", "lang", "source", "n_chars"),
+          "documents", AccessToken("u", Seq("reader", "curator")),
+          metadataCols = Seq("lang", "source", "n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Schema validation over planted defects: docs constructed with
+    // doc_id%5 = 0 → required "n" omitted, = 1 → "n" typed as string,
+    // = 2 → extra "x" under strict mode; the validator must recover
+    // exactly the planted (id, field, kind) set.
+    "schema_validate" -> Q(
+      """SELECT doc_id AS id,
+        |       CASE doc_id % 5 WHEN 0 THEN 'n' WHEN 1 THEN 'n'
+        |            ELSE 'x' END AS field,
+        |       CASE doc_id % 5 WHEN 0 THEN 'missing_required'
+        |            WHEN 1 THEN 'type_mismatch'
+        |            ELSE 'unknown_field' END AS kind
+        |FROM documents WHERE doc_id < 300 AND doc_id % 5 IN (0, 1, 2)
+        |ORDER BY id""".stripMargin
+    ) { (s, dir) =>
+      val schema = SchemaDefinition("documents")
+        .field("lang", Str, required = true)
+        .field("n", IntT, required = true)
+        .strict
+      val meta = concat(lit("{\"lang\":\""), col("lang"), lit("\""),
+        when(col("doc_id") % 5 === 0, lit(""))
+          .when(col("doc_id") % 5 === 1,
+            concat(lit(",\"n\":\""), col("n_chars"), lit("\"")))
+          .otherwise(concat(lit(",\"n\":"), col("n_chars"))),
+        when(col("doc_id") % 5 === 2, lit(",\"x\":1")).otherwise(lit("")),
+        lit("}"))
+      TypedSchema.validate(
+          Tables.load(s, dir, "documents").filter(col("doc_id") < 300)
+            .withColumn("__meta", meta),
+          col("doc_id"), col("__meta"), schema)
+        .orderBy(col("id"))
+    },
+
+    // Default filling: quality (0.5) lands only on rows missing it.
+    "schema_defaults" -> Q(
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 3 = 0
+        |            THEN '{"lang":"' || lang || '","quality":0.9}'
+        |            ELSE '{"lang":"' || lang || '","quality":0.5}'
+        |       END AS meta
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val schema = SchemaDefinition("documents", fields = Vector(
+        FieldDef("quality", TypedSchema.FieldType.FloatT,
+          required = false, default = Some("0.5"))))
+      val raw = when(col("doc_id") % 3 === 0,
+          concat(lit("{\"lang\":\""), col("lang"),
+            lit("\",\"quality\":0.9}")))
+        .otherwise(concat(lit("{\"lang\":\""), col("lang"), lit("\"}")))
+      Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          TypedSchema.applyDefaults(schema, raw).as("meta"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Secondary-index stats re-expressed: per-field entry + distinct
+    // counts (the reference walks its HashMap indexes; one aggregation
+    // per field here, unioned — both bounded by |fields|).
+    "schema_index_stats" -> Q(
+      """SELECT 'lang' AS field_name,
+        |       CAST(count(lang) AS BIGINT) AS entry_count,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS distinct_values
+        |FROM documents
+        |UNION ALL
+        |SELECT 'source', CAST(count(source) AS BIGINT),
+        |       CAST(count(DISTINCT source) AS BIGINT) FROM documents
+        |ORDER BY field_name""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      TypedSchema.indexStats(docs,
+          Map("lang" -> col("lang"), "source" -> col("source")))
+        .orderBy(col("field_name"))
+    },
+  )
+}
