@@ -94,6 +94,44 @@ object GovernanceQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Transactional commit (vector_transactions.rs): upsert + delete +
+    // insert + update in ONE transaction over a documents-derived
+    // collection; the oracle replays the committed end state. The
+    // all-or-nothing swap is spec-pinned (TransactionsSpec); this gate
+    // pins the applied-operation semantics.
+    "txn_commit" -> Q(
+      """WITH base AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS id,
+        |         [CAST(n_chars AS FLOAT), CAST(doc_id % 7 AS FLOAT)] AS vector,
+        |         source AS metadata
+        |  FROM documents WHERE doc_id < 50
+        |)
+        |SELECT * FROM (
+        |  SELECT id, vector, metadata FROM base
+        |  WHERE id NOT IN ('5', '10', '20')
+        |  UNION ALL SELECT '5', [CAST(1 AS FLOAT), CAST(2 AS FLOAT)], 'upserted'
+        |  UNION ALL SELECT '20', [CAST(3 AS FLOAT), CAST(4 AS FLOAT)], 'updated'
+        |  UNION ALL SELECT 'new1', [CAST(9 AS FLOAT), CAST(9 AS FLOAT)], NULL
+        |) ORDER BY id""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.Transactions._
+      import graft.ops.Transactions.TxOperation._
+      val m = new TransactionManager(s, now = () => 1L)
+      m.register("docs", Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id").cast("string").as("id"),
+          array(col("n_chars").cast("float"),
+            (col("doc_id") % 7).cast("float")).as("vector"),
+          col("source").as("metadata")))
+      val tx = m.begin()
+      m.addOperation(tx, Upsert("docs", "5", Array(1f, 2f), Some("upserted")))
+      m.addOperation(tx, Delete("docs", "10"))
+      m.addOperation(tx, Insert("docs", "new1", Array(9f, 9f), None))
+      m.addOperation(tx, Update("docs", "20", Array(3f, 4f), Some("updated")))
+      m.commit(tx)
+      m.collection("docs").orderBy(col("id"))
+    },
+
     // Secondary-index stats re-expressed: per-field entry + distinct
     // counts (the reference walks its HashMap indexes; one aggregation
     // per field here, unioned — both bounded by |fields|).
