@@ -40,6 +40,26 @@ object DistributedRank {
       .persist()
     val counts = parted
       .groupBy(col("__pid") +: keyCols: _*).count().collect()
+    if (keys.isEmpty) {
+      // global-rank fast path: the prefix offsets key on __pid alone, so
+      // they fold into LITERAL maps instead of a parallelize + broadcast
+      // join — two fewer jobs per call (matters for per-request surfaces
+      // like the dashboard insights read)
+      val sorted = counts.sortBy(_.getAs[Int]("__pid"))
+      val n = sorted.map(_.getAs[Long]("count")).sum
+      val offsets: Map[Int, Long] = sorted.map(_.getAs[Int]("__pid"))
+        .zip(sorted.scanLeft(0L)(_ + _.getAs[Long]("count"))).toMap
+      val offCol =
+        if (offsets.isEmpty) lit(0L)
+        else coalesce(element_at(typedLit(offsets), col("__pid")), lit(0L))
+      val localRank = row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(order: _*)) - 1
+      val out = parted
+        .withColumn(rankCol, offCol + localRank)
+        .withColumn(nCol, lit(n))
+        .drop("__pid")
+      return (out, () => { parted.unpersist(); () })
+    }
     // driver-side prefix scan per group: offset of a partition's slice of
     // the group = rows of that group in all earlier partitions
     val byGroup = counts.groupBy(r => keys.map(k => r.getAs[Any](k)))
