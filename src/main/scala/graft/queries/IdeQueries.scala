@@ -78,6 +78,35 @@ object IdeQueries {
         .orderBy(col("chunks").desc, col("language"))
     },
 
+    // RAG word-window chunking (rag_sdk.rs:238-251) replayed in SQL:
+    // chunkSize 20 / overlap 5 → step 15; ≤20-word docs stay whole; a
+    // window reaching the end stops the walk. The embed/ask stages are
+    // engine-local arithmetic pinned in RagSpec.
+    "rag_chunks" -> Q(
+      """WITH w AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS words,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE doc_id < 100
+        |)
+        |SELECT * FROM (
+        |  SELECT doc_id, 0 AS chunk_idx, text AS chunk FROM w WHERE n <= 20
+        |  UNION ALL
+        |  SELECT w.doc_id, CAST(g // 15 AS INT) AS chunk_idx,
+        |         array_to_string(words[g+1 : least(g+20, n)], ' ') AS chunk
+        |  FROM w CROSS JOIN generate_series(0, 1000, 15) AS gs(g)
+        |  WHERE n > 20 AND g < n AND (g = 0 OR g - 15 + 20 < n)
+        |) ORDER BY doc_id, chunk_idx""".stripMargin
+    ) { (s, dir) =>
+      graft.ops.Rag.index(
+          Tables.load(s, dir, "documents").filter(col("doc_id") < 100),
+          col("doc_id"), col("text"),
+          graft.ops.Rag.RagConfig(dims = 8, chunkSize = 20, chunkOverlap = 5))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("chunk_idx").cast("int").as("chunk_idx"),
+          col("text").as("chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     // Metadata-level collection diff (vscode_extension.rs:410-470):
     // old = docs 0-149 tagged by source; new = docs 50-199 with every
     // 7th source rewritten — added / removed / modified via one
