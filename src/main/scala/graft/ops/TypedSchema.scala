@@ -95,9 +95,12 @@ object TypedSchema {
     * required errors in schema order, then per-key errors in document
     * order — matching the reference's two loops.
     */
+  // one mapper per JVM (ObjectMapper is thread-safe for reads and
+  // heavyweight to build — never per row)
+  @transient private lazy val mapper = new ObjectMapper()
+
   def validateOne(schema: SchemaDefinition,
                   metadataJson: String): Seq[ValidationError] = {
-    val mapper = new ObjectMapper()
     val node = try mapper.readTree(
         if (metadataJson == null || metadataJson.isEmpty) "null"
         else metadataJson)
@@ -153,7 +156,6 @@ object TypedSchema {
       case f if f.default.isDefined => f.name -> f.default.get
     }
     val u = udf { (json: String) =>
-      val mapper = new ObjectMapper()
       val node = try mapper.readTree(
           if (json == null || json.isEmpty) "{}" else json)
         catch { case _: Exception => mapper.createObjectNode() }
