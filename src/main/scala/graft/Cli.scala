@@ -71,6 +71,8 @@ object Cli {
     """usage: graft.Cli <command> [args]
       |  sql      --collection name=path ... (-e QUERY | -f FILE | stdin) [--json]
       |  explore  --collection name=path ... (interactive explorer; stdin commands)
+      |  web      --collection name=path ... [--port P] [--api-port P]
+      |           (dashboard + REST server; blocks until stdin closes)
       |  diff     SOURCE TARGET [--threshold T] [--summary] [--json]
       |  merge    SOURCE TARGET --out OUT [--base BASE]
       |           [--strategy source-wins|target-wins] [--diff-report]
@@ -104,6 +106,7 @@ object Cli {
     val parsed = parseArgs(args.tail)
     try args.head match {
       case "sql"             => sqlCmd(spark, parsed, out, in)
+      case "web"             => webCmd(spark, parsed, out, in)
       case "explore"         => exploreCmd(spark, parsed, out, in)
       case "diff"            => diffCmd(spark, parsed, out)
       case "merge"           => mergeCmd(spark, parsed, out)
@@ -145,6 +148,43 @@ object Cli {
     }.toMap
     if (colls.isEmpty) { out("explore needs at least one --collection name=path"); 1 }
     else Explorer.repl(spark, colls, out, in)
+  }
+
+  /** Serve the web dashboard + REST API over parquet collections: the
+    * REST server owns the data (its bounded-read handlers), the
+    * dashboard reads through it, and a NeedleSession over the same
+    * tables backs the /playground route. Blocks until stdin closes
+    * (EOF) so `graft.Cli web ... < /dev/null` exits immediately in
+    * scripts while an interactive run stays up.
+    */
+  private def webCmd(spark: SparkSession, a: ParsedArgs,
+                     out: String => Unit, in: () => Iterator[String]): Int = {
+    val api = new graft.server.RestApi(spark)
+    val ql = new NeedleSession(spark)
+    a.options.getOrElse("collection", Nil).foreach { spec =>
+      val Array(name, path) = spec.split("=", 2) match {
+        case ok @ Array(_, _) => ok
+        case _ => throw new IllegalArgumentException(
+          s"--collection expects name=path, got: $spec")
+      }
+      val df = spark.read.parquet(path)
+      val dims = df.select(vecCol(a)).head()
+        .getSeq[Any](0).length
+      api.register(name, df.withColumnRenamed(idCol(a), "id")
+        .withColumnRenamed(vecCol(a), "vector"), dims)
+      ql.register(name, CollectionDef(df, idCol = idCol(a),
+        vectorCol = vecCol(a)))
+    }
+    val apiPort = a.options.get("api-port").map(_.last.toInt).getOrElse(0)
+    val uiPort = a.options.get("port").map(_.last.toInt).getOrElse(0)
+    val apiServer = api.serve(apiPort)
+    val ui = new graft.server.WebUi(api, ql = Some(ql))
+    val uiServer = ui.serve(uiPort)
+    out(s"REST API on http://127.0.0.1:${apiServer.getAddress.getPort}")
+    out(s"dashboard on http://127.0.0.1:${uiServer.getAddress.getPort}")
+    in().foreach(_ => ()) // block until EOF
+    uiServer.stop(0); apiServer.stop(0)
+    0
   }
 
   private def sqlCmd(spark: SparkSession, a: ParsedArgs,

@@ -73,6 +73,19 @@ class CliSpec extends SparkSpec {
     assert(out.head.contains("\"v00\""), out.head)
   }
 
+  test("web: serves the dashboard and REST API over a parquet " +
+      "collection, exits on EOF") {
+    val lines = Seq.newBuilder[String]
+    // in() is empty → the server starts, prints both addresses, stops
+    val code = Cli.run(spark, Seq("web",
+      "--collection", s"docs=$dataDir/a.parquet"),
+      out = lines += _, in = () => Iterator.empty)
+    assert(code == 0)
+    val out = lines.result()
+    assert(out.exists(_.startsWith("REST API on http://127.0.0.1:")))
+    assert(out.exists(_.startsWith("dashboard on http://127.0.0.1:")))
+  }
+
   test("sql: parse errors exit 2; missing query exits 1") {
     val (code, out) = cli("sql",
       "--collection", s"docs=$dataDir/a.parquet", "-e", "SELEC nope")

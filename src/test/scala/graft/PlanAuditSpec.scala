@@ -48,7 +48,14 @@ class PlanAuditSpec extends SparkSpec {
     "adaptive_fusion",
     // round-9 enterprise gates: tenant usage/gdpr are grouped
     // aggregations, blocked LOF is equi-joins over shared-cell candidates
-    "tenant_usage", "gdpr_delete", "lof_blocked_full_probe")
+    "tenant_usage", "gdpr_delete", "lof_blocked_full_probe",
+    // round-10 governance/IDE/RAG gates: RBAC is a pushed predicate over
+    // one scan, schema validation/defaults/chunking are narrow exploded
+    // passes, the metadata diff is one full-outer equi-join, and the
+    // transactional commit is an anti-join ∪ literal rows
+    "rbac_read", "schema_validate", "schema_defaults",
+    "schema_index_stats", "code_chunk_flat", "code_metadata_diff",
+    "rag_chunks", "txn_commit")
 
   // allowed a bounded broadcast nested loop — a 1-ROW broadcast frame
   // (BM25's (n, avgdl) corpus stats, the dedup gates' planted-pair count,
@@ -66,7 +73,9 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row broadcast corpus-total frame for the token-share column
     "corpus_mix_report",
     // 1-row broadcast query-vector frames (round-9 enterprise gates)
-    "acl_search", "dp_search", "dp_search_gaussian")
+    "acl_search", "dp_search", "dp_search_gaussian",
+    // 1-row broadcast per-language totals frame (round-10)
+    "code_index_status")
 
   for (name <- strictQueries)
     test(s"$name plans no cartesian and no nested-loop join") {

@@ -382,6 +382,45 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(scalable.agg(max("window_id")).head().getLong(0) > 5000L)
   }
 
+  test("governance ops at 300k rows: RBAC read prunes scan-side, " +
+      "metadata diff joins without driver maps, RAG chunking explodes " +
+      "narrowly") {
+    import graft.ops.Rbac._
+    val lake = spark.range(300000).select(
+      col("id").cast("string").as("id"),
+      when(pmod(col("id"), lit(5)) === 0, "en").otherwise("de").as("lang"),
+      concat(lit("s"), pmod(col("id"), lit(7)).cast("string")).as("source"),
+      col("id").cast("double").as("n")).repartition(16)
+    val e = new PolicyEngine(() => 1L)
+    e.addPolicy(RbacPolicy("lake").addRule(
+      PolicyRule("r").allow(Permission.Read)
+        .withRowFilter("lang", "en").withRowFilter("source", "s3")))
+    val visible = e.secureRead(lake, "lake",
+      AccessToken("u", Seq("r")), Seq("lang", "source", "n"))
+    // lang=en AND source=s3: id % 5 == 0 and id % 7 == 3 → id ≡ 10 mod 35
+    assert(visible.count() == 300000L / 35 + 1)
+
+    val oldSnap = lake.filter(col("id").cast("long") < 200000)
+      .select(col("id"), col("source").as("metadata"))
+    val newSnap = lake.filter(col("id").cast("long") >= 100000)
+      .select(col("id"),
+        when(col("id").cast("long") % 1000 === 0, lit("rewritten"))
+          .otherwise(col("source")).as("metadata"))
+    val diff = graft.ops.CodeSearch.metadataDiff(oldSnap, newSnap)
+    val counts = graft.ops.CodeSearch.diffSummary(diff).head()
+    assert(counts.getLong(0) == 100000L) // added: 200000-299999
+    assert(counts.getLong(1) == 100000L) // removed: 0-99999
+    assert(counts.getLong(2) == 100L)    // modified: 1000-step in overlap
+
+    val docs = spark.range(20000).select(col("id"),
+      concat_ws(" ", (0 until 50).map(i =>
+        concat(lit(s"w$i"), pmod(col("id") + i, lit(97)))): _*).as("text"))
+    val ix = graft.ops.Rag.index(docs, col("id"), col("text"),
+      graft.ops.Rag.RagConfig(dims = 8, chunkSize = 20, chunkOverlap = 5))
+    // 50 words, size 20, step 15: windows at 0,15,30 (45..50 reaches end)
+    assert(ix.count() == 20000L * 3)
+  }
+
   test("dashboard percentiles over a 1M-row query log with one dominant " +
       "pattern never sort on a single partition") {
     // 1M events, 90% of them one hot (collection, operation, filter, k)

@@ -156,6 +156,31 @@ class WebUiSpec extends SparkSpec {
     assert(ui.errorRate > 0f)
   }
 
+  test("serve hosts the dashboard over live HTTP with content types") {
+    val ui = new WebUi(apiWithData())
+    val server = ui.serve()
+    try {
+      val port = server.getAddress.getPort
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(path: String) = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      val stats = get("/api/stats")
+      assert(stats.statusCode() == 200)
+      assert(stats.headers().firstValue("Content-Type")
+        .orElse("").startsWith("application/json"))
+      assert(mapper.readTree(stats.body())
+        .get("total_collections").asInt() == 1)
+      val dash = get("/")
+      assert(dash.statusCode() == 200)
+      assert(dash.headers().firstValue("Content-Type")
+        .orElse("").startsWith("text/html"))
+      assert(dash.body().contains("docs"))
+      assert(get("/nope").statusCode() == 404)
+    } finally server.stop(0)
+  }
+
   test("NeedleQL playground executes through the mounted session") {
     val ql = new NeedleSession(spark)
     ql.register("notes", CollectionDef(
