@@ -1,0 +1,167 @@
+package graft.ops
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Point-in-time recovery service (reference:
+  * src/services/collection/pitr_service.rs): labeled snapshots of every
+  * collection, recovery to a named / latest / timestamp target,
+  * FIFO + age retention, sha256 manifest checksums, auto-snapshot
+  * scheduling, and stats.
+  *
+  * Reference semantics kept: snapshot ids are `snap-{ms}`, the size
+  * estimate is `count·dim·4 + count·256` bytes, the checksum is
+  * sha256(`{id}-{total_vectors}-{size_bytes}`) in lowercase hex,
+  * recovery targets resolve exactly as the reference does (Named
+  * matches label OR id; Timestamp takes the LAST snapshot at or before
+  * the target), retention enforces max-count FIFO first and then the
+  * age cutoff, and `verified` on a recovery simply reports checksum
+  * presence.
+  *
+  * One deliberate improvement, documented: the reference holds snapshot
+  * DATA in process memory (`snapshot_data: HashMap`), so a crash loses
+  * every restore point — the opposite of what PITR is for. Here each
+  * snapshot writes its collections as parquet under
+  * `{backupDir}/{snapId}/{collection}.parquet` (distributed write, no
+  * driver materialization), and recovery reads them back — restore
+  * points survive the process, and a 100 TB collection snapshots at
+  * scan speed instead of through a driver Vec.
+  */
+object Pitr {
+
+  final case class PitrConfig(backupDir: String, retentionDays: Int = 30,
+                              maxSnapshots: Int = 100,
+                              enableChecksums: Boolean = true,
+                              autoSnapshotIntervalMs: Long = 3600 * 1000L)
+
+  final case class RestorePoint(id: String, label: String, timestampMs: Long,
+                                collections: Seq[String], totalVectors: Long,
+                                checksum: Option[String], sizeBytes: Long)
+
+  sealed trait RecoveryTarget
+  object RecoveryTarget {
+    final case class Named(labelOrId: String) extends RecoveryTarget
+    case object Latest extends RecoveryTarget
+    final case class Timestamp(ms: Long) extends RecoveryTarget
+  }
+
+  final case class RecoveryResult(restorePointId: String,
+                                  collectionsRestored: Seq[String],
+                                  vectorsRestored: Long, durationMs: Long,
+                                  verified: Boolean)
+
+  final case class PitrStats(totalSnapshots: Int, totalSizeBytes: Long,
+                             oldestSnapshotMs: Option[Long],
+                             newestSnapshotMs: Option[Long])
+
+  final case class PitrError(message: String) extends RuntimeException(message)
+
+  /** sha256 lowercase hex (pitr_service.rs:188-192). */
+  def checksumOf(id: String, totalVectors: Long, sizeBytes: Long): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    d.digest(s"$id-$totalVectors-$sizeBytes"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** The service is registry-agnostic: plug in any collection store
+    * (RestApi, Transactions.TransactionManager, a plain map) through
+    * the three callbacks.
+    */
+  final class PitrService(spark: SparkSession, config: PitrConfig,
+                          listCollections: () => Seq[String],
+                          getCollection: String => DataFrame,
+                          putCollection: (String, DataFrame) => Unit,
+                          val now: () => Long =
+                            () => System.currentTimeMillis()) {
+    private val snapshots = mutable.Buffer.empty[RestorePoint]
+    private var lastSnapshotAt: Option[Long] = None
+
+    def createSnapshot(label: String): RestorePoint = synchronized {
+      val ts = now()
+      val id = s"snap-$ts"
+      val names = listCollections()
+      var totalVectors = 0L
+      var totalBytes = 0L
+      names.foreach { name =>
+        val df = getCollection(name)
+        val agg = df.agg(
+          count(lit(1)),
+          coalesce(max(size(col("vector"))), lit(0))).head()
+        val n = agg.getLong(0)
+        val dim = agg.getInt(1).toLong
+        totalVectors += n
+        totalBytes += n * dim * 4 + n * 256 // reference size estimate
+        df.write.mode("overwrite")
+          .parquet(s"${config.backupDir}/$id/$name.parquet")
+      }
+      val point = RestorePoint(id, label, ts, names, totalVectors,
+        if (config.enableChecksums)
+          Some(checksumOf(id, totalVectors, totalBytes))
+        else None,
+        totalBytes)
+      snapshots += point
+      lastSnapshotAt = Some(ts)
+      applyRetention()
+      point
+    }
+
+    def recoverTo(target: RecoveryTarget): RecoveryResult = synchronized {
+      val t0 = now()
+      val point = (target match {
+        case RecoveryTarget.Named(l) =>
+          snapshots.find(s => s.label == l || s.id == l)
+        case RecoveryTarget.Latest => snapshots.lastOption
+        case RecoveryTarget.Timestamp(ts) =>
+          snapshots.filter(_.timestampMs <= ts).lastOption
+      }).getOrElse(throw PitrError("no matching restore point found"))
+      var restored = 0L
+      point.collections.foreach { name =>
+        val df = spark.read
+          .parquet(s"${config.backupDir}/${point.id}/$name.parquet")
+        putCollection(name, df)
+        restored += df.count()
+      }
+      RecoveryResult(point.id, point.collections, restored,
+        now() - t0, verified = point.checksum.isDefined)
+    }
+
+    def listRestorePoints: Seq[RestorePoint] = synchronized(snapshots.toSeq)
+
+    def stats: PitrStats = synchronized {
+      PitrStats(snapshots.size, snapshots.map(_.sizeBytes).sum,
+        snapshots.headOption.map(_.timestampMs),
+        snapshots.lastOption.map(_.timestampMs))
+    }
+
+    /** pitr_service.rs:333-348: recompute the manifest checksum;
+      * checksumless snapshots verify trivially.
+      */
+    def verifySnapshot(id: String): Boolean = synchronized {
+      val p = snapshots.find(_.id == id)
+        .getOrElse(throw PitrError("snapshot not found"))
+      p.checksum.forall(_ ==
+        checksumOf(p.id, p.totalVectors, p.sizeBytes))
+    }
+
+    def shouldAutoSnapshot: Boolean = synchronized {
+      lastSnapshotAt.forall(t => now() - t >= config.autoSnapshotIntervalMs)
+    }
+
+    /** Max-count FIFO, then the age cutoff (pitr_service.rs:359-383);
+      * pruned snapshots' parquet directories are left for external GC
+      * (deleting data is the lake's lifecycle job).
+      */
+    private def applyRetention(): Unit = {
+      while (snapshots.size > config.maxSnapshots) { snapshots.remove(0); () }
+      val cutoff = math.max(0L,
+        now() - config.retentionDays.toLong * 24 * 3600 * 1000)
+      val kept = snapshots.filter(_.timestampMs >= cutoff)
+      snapshots.clear()
+      snapshots ++= kept
+      ()
+    }
+  }
+}
