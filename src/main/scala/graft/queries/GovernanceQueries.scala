@@ -132,6 +132,35 @@ object GovernanceQueries {
       m.collection("docs").orderBy(col("id"))
     },
 
+    // PITR round-trip (pitr_service.rs): snapshot → destructive
+    // mutation → recover-to-named; the recovered state must equal the
+    // pre-mutation collection exactly (the oracle replays it).
+    "pitr_roundtrip" -> Q(
+      """SELECT CAST(doc_id AS VARCHAR) AS id,
+        |       [CAST(n_chars AS FLOAT), CAST(doc_id % 5 AS FLOAT)] AS vector,
+        |       lang AS metadata
+        |FROM documents WHERE doc_id < 60 ORDER BY CAST(doc_id AS VARCHAR)"""
+        .stripMargin
+    ) { (s, dir) =>
+      import graft.ops.Pitr._
+      val registry = scala.collection.mutable.LinkedHashMap(
+        "docs" -> Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 60)
+          .select(col("doc_id").cast("string").as("id"),
+            array(col("n_chars").cast("float"),
+              (col("doc_id") % 5).cast("float")).as("vector"),
+            col("lang").as("metadata")))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-pitr-gate").toString
+      val svc = new PitrService(s, PitrConfig(tmp),
+        () => registry.keys.toSeq, registry(_), registry.update,
+        now = () => 1L)
+      svc.createSnapshot("before")
+      registry("docs") = registry("docs").filter(col("id") === "0") // wreck it
+      svc.recoverTo(RecoveryTarget.Named("before"))
+      registry("docs").orderBy(col("id"))
+    },
+
     // Secondary-index stats re-expressed: per-field entry + distinct
     // counts (the reference walks its HashMap indexes; one aggregation
     // per field here, unioned — both bounded by |fields|).
