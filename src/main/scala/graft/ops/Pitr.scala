@@ -25,9 +25,13 @@ import org.apache.spark.sql.functions._
   * every restore point — the opposite of what PITR is for. Here each
   * snapshot writes its collections as parquet under
   * `{backupDir}/{snapId}/{collection}.parquet` (distributed write, no
-  * driver materialization), and recovery reads them back — restore
-  * points survive the process, and a 100 TB collection snapshots at
-  * scan speed instead of through a driver Vec.
+  * driver materialization) PLUS a `manifest.json` with the RestorePoint
+  * metadata, and a fresh `PitrService` over an existing backupDir
+  * reloads every manifest — so both the data AND the catalog survive a
+  * driver restart, and a 100 TB collection snapshots at scan speed
+  * instead of through a driver Vec. Snapshot ids stay `snap-{ms}` for
+  * reference parity but get a `-{k}` suffix on a same-millisecond
+  * collision instead of silently overwriting the earlier snapshot.
   */
 object Pitr {
 
@@ -79,9 +83,74 @@ object Pitr {
     private val snapshots = mutable.Buffer.empty[RestorePoint]
     private var lastSnapshotAt: Option[Long] = None
 
+    // Reload existing manifests so restore points survive the driver:
+    // a new service instance over a populated backupDir can recoverTo
+    // snapshots taken by a previous (crashed) instance.
+    loadManifests()
+
+    private def fs() = {
+      val p = new org.apache.hadoop.fs.Path(config.backupDir)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+
+    private def loadManifests(): Unit = {
+      val (hfs, root) = fs()
+      if (!hfs.exists(root)) return
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val loaded = hfs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("snap-"))
+        .flatMap { st =>
+          val mp = new org.apache.hadoop.fs.Path(st.getPath, "manifest.json")
+          if (!hfs.exists(mp)) None
+          else {
+            val in = hfs.open(mp)
+            val txt =
+              try new String(in.readAllBytes(),
+                java.nio.charset.StandardCharsets.UTF_8)
+              finally in.close()
+            val n = mapper.readTree(txt)
+            val colls = {
+              val it = n.get("collections").elements()
+              val b = Seq.newBuilder[String]
+              while (it.hasNext) b += it.next().asText()
+              b.result()
+            }
+            Some(RestorePoint(n.get("id").asText(), n.get("label").asText(),
+              n.get("timestampMs").asLong(), colls,
+              n.get("totalVectors").asLong(),
+              Option(n.get("checksum")).filterNot(_.isNull).map(_.asText()),
+              n.get("sizeBytes").asLong()))
+          }
+        }
+      snapshots ++= loaded.sortBy(p => (p.timestampMs, p.id))
+      lastSnapshotAt = snapshots.lastOption.map(_.timestampMs)
+      ()
+    }
+
+    private def writeManifest(p: RestorePoint): Unit = {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val n = mapper.createObjectNode()
+      n.put("id", p.id); n.put("label", p.label)
+      n.put("timestampMs", p.timestampMs)
+      val arr = n.putArray("collections")
+      p.collections.foreach(arr.add)
+      n.put("totalVectors", p.totalVectors)
+      p.checksum.foreach(n.put("checksum", _))
+      n.put("sizeBytes", p.sizeBytes)
+      val (hfs, root) = fs()
+      val mp = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(root, p.id), "manifest.json")
+      val out = hfs.create(mp, true)
+      try out.write(mapper.writeValueAsBytes(n)) finally out.close()
+    }
+
     def createSnapshot(label: String): RestorePoint = synchronized {
       val ts = now()
-      val id = s"snap-$ts"
+      val base = s"snap-$ts"
+      // Same-millisecond snapshots must not overwrite each other.
+      val id = Iterator.from(0)
+        .map(k => if (k == 0) base else s"$base-$k")
+        .find(c => !snapshots.exists(_.id == c)).get
       val names = listCollections()
       var totalVectors = 0L
       var totalBytes = 0L
@@ -102,6 +171,7 @@ object Pitr {
           Some(checksumOf(id, totalVectors, totalBytes))
         else None,
         totalBytes)
+      writeManifest(point)
       snapshots += point
       lastSnapshotAt = Some(ts)
       applyRetention()
@@ -152,15 +222,27 @@ object Pitr {
 
     /** Max-count FIFO, then the age cutoff (pitr_service.rs:359-383);
       * pruned snapshots' parquet directories are left for external GC
-      * (deleting data is the lake's lifecycle job).
+      * (deleting data is the lake's lifecycle job), but their
+      * manifest.json IS deleted — otherwise a restarted service would
+      * resurrect points that retention already retired.
       */
     private def applyRetention(): Unit = {
-      while (snapshots.size > config.maxSnapshots) { snapshots.remove(0); () }
+      val pruned = mutable.Buffer.empty[RestorePoint]
+      while (snapshots.size > config.maxSnapshots) {
+        pruned += snapshots.remove(0); ()
+      }
       val cutoff = math.max(0L,
         now() - config.retentionDays.toLong * 24 * 3600 * 1000)
-      val kept = snapshots.filter(_.timestampMs >= cutoff)
+      val (kept, aged) = snapshots.partition(_.timestampMs >= cutoff)
+      pruned ++= aged
       snapshots.clear()
       snapshots ++= kept
+      val (hfs, root) = fs()
+      pruned.foreach { p =>
+        val mp = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(root, p.id), "manifest.json")
+        if (hfs.exists(mp)) { hfs.delete(mp, false); () }
+      }
       ()
     }
   }

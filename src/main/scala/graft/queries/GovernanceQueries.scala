@@ -98,7 +98,11 @@ object GovernanceQueries {
     // insert + update in ONE transaction over a documents-derived
     // collection; the oracle replays the committed end state. The
     // all-or-nothing swap is spec-pinned (TransactionsSpec); this gate
-    // pins the applied-operation semantics.
+    // pins the applied-operation semantics. The vector column is reduced
+    // to driver-safe scalars (dims + fixed-point content sum — the
+    // export_import_all fingerprint pattern): the harness's pandas sort
+    // cannot hash array cells, and every element here is an
+    // integer-valued f32, so the µ-precision sum is exact.
     "txn_commit" -> Q(
       """WITH base AS (
         |  SELECT CAST(doc_id AS VARCHAR) AS id,
@@ -106,7 +110,11 @@ object GovernanceQueries {
         |         source AS metadata
         |  FROM documents WHERE doc_id < 50
         |)
-        |SELECT * FROM (
+        |SELECT id, len(vector) AS dims,
+        |       CAST(round(list_sum(CAST(vector AS DOUBLE[])) * 1048576)
+        |            AS BIGINT) AS vsum,
+        |       metadata
+        |FROM (
         |  SELECT id, vector, metadata FROM base
         |  WHERE id NOT IN ('5', '10', '20')
         |  UNION ALL SELECT '5', [CAST(1 AS FLOAT), CAST(2 AS FLOAT)], 'upserted'
@@ -129,15 +137,29 @@ object GovernanceQueries {
       m.addOperation(tx, Insert("docs", "new1", Array(9f, 9f), None))
       m.addOperation(tx, Update("docs", "20", Array(3f, 4f), Some("updated")))
       m.commit(tx)
-      m.collection("docs").orderBy(col("id"))
+      m.collection("docs")
+        .select(col("id"), size(col("vector")).as("dims"),
+          expr("CAST(round(aggregate(vector, CAST(0 AS DOUBLE), " +
+            "(acc, x) -> acc + CAST(x AS DOUBLE)) * 1048576) AS BIGINT)")
+            .as("vsum"),
+          col("metadata"))
+        .orderBy(col("id"))
     },
 
     // PITR round-trip (pitr_service.rs): snapshot → destructive
     // mutation → recover-to-named; the recovered state must equal the
-    // pre-mutation collection exactly (the oracle replays it).
+    // pre-mutation collection exactly (the oracle replays it). Like
+    // txn_commit, the vector is fingerprinted to scalars (dims +
+    // µ-fixed-point sum) so the harness never sees an array cell; the
+    // elements are integer-valued f32s, so the sum is exact and the
+    // parquet round trip is proven bit-for-bit.
     "pitr_roundtrip" -> Q(
       """SELECT CAST(doc_id AS VARCHAR) AS id,
-        |       [CAST(n_chars AS FLOAT), CAST(doc_id % 5 AS FLOAT)] AS vector,
+        |       len([CAST(n_chars AS FLOAT),
+        |            CAST(doc_id % 5 AS FLOAT)]) AS dims,
+        |       CAST(round(list_sum(CAST([CAST(n_chars AS FLOAT),
+        |                                 CAST(doc_id % 5 AS FLOAT)]
+        |                           AS DOUBLE[])) * 1048576) AS BIGINT) AS vsum,
         |       lang AS metadata
         |FROM documents WHERE doc_id < 60 ORDER BY CAST(doc_id AS VARCHAR)"""
         .stripMargin
@@ -158,7 +180,13 @@ object GovernanceQueries {
       svc.createSnapshot("before")
       registry("docs") = registry("docs").filter(col("id") === "0") // wreck it
       svc.recoverTo(RecoveryTarget.Named("before"))
-      registry("docs").orderBy(col("id"))
+      registry("docs")
+        .select(col("id"), size(col("vector")).as("dims"),
+          expr("CAST(round(aggregate(vector, CAST(0 AS DOUBLE), " +
+            "(acc, x) -> acc + CAST(x AS DOUBLE)) * 1048576) AS BIGINT)")
+            .as("vsum"),
+          col("metadata"))
+        .orderBy(col("id"))
     },
 
     // Secondary-index stats re-expressed: per-field entry + distinct

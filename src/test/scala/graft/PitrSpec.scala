@@ -97,18 +97,47 @@ class PitrSpec extends SparkSpec {
     assert(svc.shouldAutoSnapshot)
   }
 
-  test("snapshots are durable parquet: a FRESH service over the same " +
-      "backup dir cannot list them (manifests are in-memory like the " +
-      "reference) but the data itself survives on disk") {
+  test("snapshots are durable: a FRESH service over the same backup dir " +
+      "reloads the manifest catalog and can recoverTo a snapshot taken " +
+      "by a previous instance") {
     val (svc, registry, _, dir) = fixture()
     val p = svc.createSnapshot("keep")
     // the parquet payload is real and readable out-of-band
     val back = spark.read.parquet(s"$dir/${p.id}/a.parquet")
     assert(back.count() == 2)
     assert(back.columns.toSet == Set("id", "vector", "metadata"))
-    // and restoring into an emptied registry rebuilds it from disk
+    // simulate a driver restart: brand-new service, same backupDir
     registry("a") = registry("a").filter(lit(false))
-    svc.recoverTo(Named("keep"))
+    val svc2 = new PitrService(spark, PitrConfig(dir),
+      () => registry.keys.toSeq, registry(_), registry.update,
+      () => 9999L)
+    val listed = svc2.listRestorePoints
+    assert(listed.map(_.id) == Seq(p.id))
+    assert(listed.head.label == "keep" &&
+      listed.head.checksum == p.checksum &&
+      listed.head.sizeBytes == p.sizeBytes &&
+      listed.head.collections == p.collections)
+    val r = svc2.recoverTo(Named("keep"))
+    assert(r.restorePointId == p.id && r.verified)
     assert(registry("a").count() == 2)
+  }
+
+  test("same-millisecond snapshots get distinct ids instead of " +
+      "overwriting; retention-pruned manifests do not resurrect on " +
+      "reload") {
+    val (svc, registry, tick, dir) = fixture()
+    val p1 = svc.createSnapshot("one") // clock frozen at 1000
+    val p2 = svc.createSnapshot("two")
+    assert(p1.id == "snap-1000" && p2.id == "snap-1000-1")
+    assert(svc.recoverTo(Named("one")).restorePointId == "snap-1000")
+    assert(svc.recoverTo(Named("two")).restorePointId == "snap-1000-1")
+    // fill past maxSnapshots=3 → "one" is FIFO-pruned, manifest deleted
+    tick(10); svc.createSnapshot("three")
+    tick(10); svc.createSnapshot("four")
+    assert(svc.listRestorePoints.map(_.label) == Seq("two", "three", "four"))
+    val svc2 = new PitrService(spark, PitrConfig(dir),
+      () => registry.keys.toSeq, registry(_), registry.update,
+      () => 9999L)
+    assert(svc2.listRestorePoints.map(_.label) == Seq("two", "three", "four"))
   }
 }

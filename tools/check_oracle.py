@@ -52,6 +52,19 @@ def main(sf_dir, out_dir):
         try:
             sres = con.sql(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
             scols, srows = canon(sres.fetchall(), [c for c in sres.columns])
+            # Mirror the driver, which cannot sort array cells (pandas
+            # factorize dies on numpy arrays): any array-typed column in
+            # EITHER result is a hard failure here, not a tolerated sort.
+            arr = [(c, str(t)) for c, t in zip(sres.columns, sres.types)
+                   if str(t).endswith("[]")]
+            arr += [(c, str(t)) for c, t in zip(res.columns, res.types)
+                    if str(t).endswith("[]")]
+            if arr:
+                print(f"FAIL {name}: array-typed result column(s) {arr} — "
+                      "the driver harness cannot hash array cells; use a "
+                      "scalar fingerprint (size + fixed-point sum)")
+                n_fail += 1
+                continue
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {e}")
             n_fail += 1
