@@ -131,6 +131,8 @@ object AgentWorkflow {
 
     def registerAgent(role: String, contextWindow: Int = 0): String =
       synchronized {
+        if (agents.size >= config.maxAgents)
+          throw WorkflowError(s"Too many agents (max ${config.maxAgents})")
         val id = f"agent-$nextAgentId%04d"
         nextAgentId += 1
         val ctx = if (contextWindow == 0) config.defaultContextWindow

@@ -126,6 +126,10 @@ object Transactions {
 
     def begin(): TxId = synchronized {
       gcTimedOut()
+      val active = txs.values.count(_.status == TxStatus.Active)
+      if (active >= config.maxConcurrent)
+        throw TxError(
+          s"Too many concurrent transactions (max ${config.maxConcurrent})")
       val id = TxId(nextId); nextId += 1
       txs(id) = new Tx(id, now(), config.timeoutMs)
       id

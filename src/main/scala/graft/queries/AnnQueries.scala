@@ -187,14 +187,14 @@ object AnnQueries {
         // measured at the reference's own 1M×384 shape in
         // bench_history/baseline_shape_r06.json (0.975 recall at 3.8%
         // scan, 673 QPS batched vs 36 QPS exact).
-        // r10: floors sharpened to the exact measured values (0.6/0.9/1.0)
-        // — the corpus, k-means seed, and probe order are deterministic
-        // (verified identical at 3 and 8 cores), and recall@10 is
-        // quantized to tenths, so any regression inside the old floor now
-        // shows. A tiny tolerance absorbs only float formatting.
-        .withColumn("check_passed", abs(col("recall_at_10") -
+        // r10 sharpened the floors to the measured values (0.6/0.9/1.0);
+        // r11 keeps them as FLOORS (>=), not equality: a recall
+        // IMPROVEMENT (Spark upgrade changing k-means tie-breaks, corpus
+        // tweaks) must not red the gate. The recall_at_10 column itself
+        // is the drift report — the measured value ships in every run.
+        .withColumn("check_passed", col("recall_at_10") >=
           when(col("nprobe") === 2, 0.6)
-            .when(col("nprobe") === 4, 0.9).otherwise(1.0)) < 1e-9)
+            .when(col("nprobe") === 4, 0.9).otherwise(1.0) - 1e-9)
     },
 
     // IVF recall on a CLUSTERED corpus (the reference's published
@@ -236,13 +236,14 @@ object AnnQueries {
         (nprobe, math.rint(rs.sum / rs.length * 1000) / 1000)
       }
       recalls.toDF("nprobe", "mean_recall_at_10")
-        // r10: the ≥0.95/0.99 reference-parity floors sharpened to the
-        // exact measured value — a 2-of-16 probe recalls a PERFECT 1.0 on
-        // this clustered corpus (deterministic across core counts; the
-        // 0.05-noise replicas sit well inside their center's cell, so the
-        // true top-10 always lives in the probed cells).
+        // Measured: a 2-of-16 probe recalls a PERFECT 1.0 on this
+        // clustered corpus (the 0.05-noise replicas sit well inside
+        // their center's cell, so the true top-10 always lives in the
+        // probed cells). Asserted as a floor (recall is capped at 1.0,
+        // so the floor IS the measured value, but the gate can only red
+        // on regression, never on a benign re-measure).
         .withColumn("check_passed",
-          abs(col("mean_recall_at_10") - 1.0) < 1e-9)
+          col("mean_recall_at_10") >= 1.0 - 1e-9)
     },
 
     // recall@10 of the two-phase quantized searches (SQ8 asymmetric +

@@ -82,7 +82,9 @@ final class WebUi(api: RestApi, ql: Option[NeedleSession] = None,
         case ("GET", List("api", "visualize", c)) => apiVisualize(c, params)
         case ("GET", List("health")) => jsonOk("""{"status":"ok"}""")
         case _ =>
-          (404, "application/json", s"""{"error":"no route for $method $path"}""")
+          (404, "application/json", mapper.writeValueAsString(
+            mapper.createObjectNode()
+              .put("error", s"no route for $method $path")))
       }
     } catch {
       case e: Exception =>
@@ -105,6 +107,24 @@ final class WebUi(api: RestApi, ql: Option[NeedleSession] = None,
   private def htmlOk(b: String) = (200, "text/html", b)
   private def jsonOk(b: String) = (200, "application/json", b)
 
+  /** Percent-escape a path segment / query value bound for the REST
+    * layer (LlmTools.esc parity): collection names and cursor ids are
+    * arbitrary strings, and RestApi percent-decodes after splitting —
+    * a raw '%' would 500 mid-pagination and '&'/'='/'+' would mangle
+    * the cursor.
+    */
+  private def esc(segment: String): String =
+    java.net.URLEncoder.encode(segment,
+      java.nio.charset.StandardCharsets.UTF_8).replace("+", "%20")
+
+  /** HTML-escape user-derived text before page interpolation (the
+    * reference web_ui templates route all such text through
+    * html_escape; register()/CLI names are unconstrained).
+    */
+  private def htmlEsc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;").replace("'", "&#39;")
+
   // ----------------------------------------------------- REST-layer reads
 
   private def rest(method: String, path: String, body: String = ""): JsonNode = {
@@ -124,7 +144,7 @@ final class WebUi(api: RestApi, ql: Option[NeedleSession] = None,
                                deleted: Long, needsCompaction: Boolean)
 
   private def collStats(name: String): CollStats = {
-    val n = rest("GET", s"/collections/$name")
+    val n = rest("GET", s"/collections/${esc(name)}")
     CollStats(name, n.get("count").asLong(), n.get("dimensions").asInt(),
       n.get("deleted_count").asLong(), n.get("needs_compaction").asBoolean())
   }
@@ -225,9 +245,9 @@ final class WebUi(api: RestApi, ql: Option[NeedleSession] = None,
     var done = false
     var n = 0
     while (!done && n < max) {
-      val page = rest("GET", s"/collections/$name/vectors?limit=" +
+      val page = rest("GET", s"/collections/${esc(name)}/vectors?limit=" +
         math.min(1000, max - n) +
-        (if (after.nonEmpty) s"&after_id=$after" else ""))
+        (if (after.nonEmpty) s"&after_id=${esc(after)}" else ""))
       val vecs = page.get("vectors").asScala.toSeq
       vecs.foreach { v =>
         if (n < max) {
@@ -307,7 +327,7 @@ final class WebUi(api: RestApi, ql: Option[NeedleSession] = None,
     val rows = all.map { c =>
       val status =
         if (c.needsCompaction) "needs compaction" else "healthy"
-      s"""<tr><td><a href="/collections/${c.name}">${c.name}</a></td>
+      s"""<tr><td><a href="/collections/${esc(c.name)}">${htmlEsc(c.name)}</a></td>
          |<td>${formatNumber(c.count)}</td><td>${c.dims}</td>
          |<td>${formatNumber(c.deleted)}</td><td>$status</td></tr>""".stripMargin
     }.mkString
@@ -321,14 +341,15 @@ final class WebUi(api: RestApi, ql: Option[NeedleSession] = None,
 
   private def collectionsPage(): String = {
     val items = collectionNames().map(n =>
-      s"""<li><a href="/collections/$n">$n</a></li>""").mkString
+      s"""<li><a href="/collections/${esc(n)}">${htmlEsc(n)}</a></li>""")
+      .mkString
     page("Collections", s"<ul>$items</ul>")
   }
 
   private def collectionDetailPage(name: String): (Int, String, String) =
     try {
       val c = collStats(name)
-      htmlOk(page(s"Collection: $name",
+      htmlOk(page(s"Collection: ${htmlEsc(name)}",
         s"""<div class="card"><table>
            |<tr><th>Vectors</th><td>${formatNumber(c.count)}</td></tr>
            |<tr><th>Dimensions</th><td>${c.dims}</td></tr>
@@ -337,7 +358,8 @@ final class WebUi(api: RestApi, ql: Option[NeedleSession] = None,
            |</table></div>""".stripMargin))
     } catch {
       case _: NoSuchElementException =>
-        (404, "text/html", page("Not found", s"No collection '$name'"))
+        (404, "text/html",
+          page("Not found", s"No collection '${htmlEsc(name)}'"))
     }
 
   private def queryPlaygroundPage(): String =
@@ -357,7 +379,7 @@ final class WebUi(api: RestApi, ql: Option[NeedleSession] = None,
   private def monitoringPage(): String = {
     val snap = mapper.readTree(apiMonitoring())
     val rows = snap.get("health_scores").asScala.map { h =>
-      f"""<tr><td>${h.get("name").asText()}</td>
+      f"""<tr><td>${htmlEsc(h.get("name").asText())}</td>
          |<td>${h.get("score").asDouble()}%.3f</td>
          |<td>${h.get("fragmentation").asDouble()}%.3f</td>
          |<td>${formatNumber(h.get("vector_count").asLong())}</td></tr>"""
@@ -396,7 +418,8 @@ final class WebUi(api: RestApi, ql: Option[NeedleSession] = None,
 
   private def visualizePage(): String = {
     val options = collectionNames()
-      .map(n => s"""<option value="$n">$n</option>""").mkString
+      .map(n => s"""<option value="${htmlEsc(n)}">${htmlEsc(n)}</option>""")
+      .mkString
     page("Vector Visualization",
       s"""<div class="card"><select id="viz-collection">$options</select>
          |<p>GET <code>/api/visualize/{collection}?max=500</code> returns

@@ -93,10 +93,13 @@ class AgentWorkflowSpec extends SparkSpec {
       "StepStarted", "StepCompleted", "WorkflowCompleted"))
   }
 
-  test("caps: max workflows refuse, event log drops its oldest entry") {
+  test("caps: max agents and max workflows refuse, event log drops its " +
+      "oldest entry") {
     val e = new WorkflowEngine(
-      WorkflowConfig(maxWorkflows = 1, maxEvents = 3), now = () => 5L)
+      WorkflowConfig(maxAgents = 1, maxWorkflows = 1, maxEvents = 3),
+      now = () => 5L)
     val a = e.registerAgent("r")
+    intercept[WorkflowError](e.registerAgent("overflow"))
     e.createWorkflow("one", Seq(WorkflowStep("s", a, WaitForInput)))
     intercept[WorkflowError](e.createWorkflow("two", Nil))
     (1 to 5).foreach(i => e.addThought(a, s"t$i"))

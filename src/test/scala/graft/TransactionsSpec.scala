@@ -125,4 +125,15 @@ class TransactionsSpec extends SparkSpec {
     m.gc()
     assert(m.status(tx3).isEmpty)
   }
+
+  test("maxConcurrent caps active transactions; abort frees a slot") {
+    val (m, _) = mgr(TxConfig(maxConcurrent = 2))
+    val t1 = m.begin()
+    m.begin()
+    assert(intercept[TxError](m.begin()).message
+      .contains("Too many concurrent"))
+    m.abort(t1)
+    m.begin() // slot freed
+    assert(m.activeCount == 2)
+  }
 }
