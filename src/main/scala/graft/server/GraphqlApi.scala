@@ -1,0 +1,745 @@
+package graft.server
+
+import scala.collection.mutable
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+/** GraphQL front-end (reference: src/search/graphql_api.rs) — the last
+  * host surface of the reference's switching table: queries
+  * `collections / collection / vector / search / health`, mutations
+  * `createCollection / insertVector / deleteVector / deleteCollection /
+  * batchInsert / save`, and the `searchStream` subscription, all
+  * resolved through the REST layer exactly as [[WebUi]] is (the
+  * resolvers never touch DataFrames directly, so every route shares the
+  * REST surface's validation, ANN serving, and filter compiler).
+  *
+  * Where the reference ships resolver structs plus an SDL string and
+  * leaves HTTP integration to an external crate (`async-graphql` behind
+  * a feature flag), this analogue is self-contained: [[handle]] accepts
+  * a standard GraphQL POST body (`{"query": ..., "variables": ...,
+  * "operationName": ...}`), parses the document with a minimal
+  * recursive-descent parser (operations, variables with defaults,
+  * aliases, field arguments with Int/Float/String/Boolean/null/enum/
+  * list/object literals, nested selection sets; fragments and
+  * directives are rejected with a clear error), executes the resolvers,
+  * projects each result through the requested selection set, and
+  * returns the spec's `{"data": ..., "errors": [...]}` envelope —
+  * resolver failures are per-field GraphQL errors on a 200, only an
+  * unparseable document is a 400.
+  *
+  * The SDL in [[GraphqlApi.sdl]] mirrors graphql_api.rs:424-500
+  * verbatim — like the MCP tool schemas and LLM tool descriptions it is
+  * client-discoverable contract surface, not implementation.
+  *
+  * Reference quirks kept: `save` always errors ("Save must be
+  * coordinated through the server's write path",
+  * graphql_api.rs:383-390); `createCollection` echoes the requested
+  * distanceFunction defaulted to "Cosine" without consulting the store
+  * (graphql_api.rs:316-331); `batchInsert` exists as a resolver but not
+  * in the SDL (their inconsistency, preserved); `health.uptime` is the
+  * literal "unknown". One divergence, documented: `searchStream` is a
+  * materialized event list (result + sequence + isLast) rather than a
+  * live stream — the reference defines only the event TYPE and ships no
+  * transport either.
+  */
+final class GraphqlApi(api: RestApi, version: String = "0.1.0") {
+  import GraphqlApi._
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** POST /graphql as a pure function: body → (status, response json).
+    */
+  def handle(body: String): (Int, String) = {
+    val (doc, vars) =
+      try {
+        val req = mapper.readTree(body)
+        val q = Option(req.get("query")).filterNot(_.isNull).map(_.asText())
+          .getOrElse(throw GqlParseError("missing \"query\""))
+        val vars = Option(req.get("variables")).filterNot(_.isNull)
+          .getOrElse(mapper.createObjectNode())
+        val opName = Option(req.get("operationName")).filterNot(_.isNull)
+          .map(_.asText())
+        (parse(q, opName), vars)
+      } catch {
+        case e: GqlParseError =>
+          return (400, mapper.writeValueAsString(errorEnvelope(e.message)))
+        case e: Exception =>
+          return (400, mapper.writeValueAsString(
+            errorEnvelope(s"invalid request: ${e.getMessage}")))
+      }
+    val data = mapper.createObjectNode()
+    val errors = mutable.Buffer.empty[String]
+    doc.selections.foreach { f =>
+      try {
+        val resolved = resolve(doc.op, f, vars, doc.varDefs)
+        data.set[JsonNode](f.alias, project(resolved, f.sub))
+      } catch {
+        case e: GqlError =>
+          errors += e.message
+          data.set[JsonNode](f.alias, mapper.nullNode())
+        case e: Exception =>
+          errors += String.valueOf(e.getMessage)
+          data.set[JsonNode](f.alias, mapper.nullNode())
+      }
+      ()
+    }
+    val out = mapper.createObjectNode()
+    out.set[JsonNode]("data", data)
+    if (errors.nonEmpty) {
+      val ea = out.putArray("errors")
+      errors.foreach(m => ea.addObject().put("message", m))
+    }
+    (200, mapper.writeValueAsString(out))
+  }
+
+  private def errorEnvelope(message: String): ObjectNode = {
+    val out = mapper.createObjectNode()
+    out.set[JsonNode]("data", mapper.nullNode())
+    out.putArray("errors").addObject().put("message", message)
+    out
+  }
+
+  // ------------------------------------------------------------ resolvers
+
+  private def resolve(op: String, f: FieldSel, vars: JsonNode,
+                      defs: Seq[VarDef]): JsonNode = {
+    def arg(name: String): Option[JsonNode] =
+      f.args.get(name).map(coerce(_, vars, defs))
+    def req(name: String): JsonNode =
+      arg(name).getOrElse(
+        throw GqlError(s"missing argument '$name' on field '${f.name}'"))
+    (op, f.name) match {
+      case ("query", "collections")  => qCollections()
+      case ("query", "collection")   => qCollection(req("name").asText())
+      case ("query", "vector") =>
+        qVector(req("collection").asText(), req("id").asText())
+      case ("query", "search")       => qSearch(req("input"))._1
+      case ("query", "health")       => qHealth()
+      case ("mutation", "createCollection") => mCreateCollection(req("input"))
+      case ("mutation", "insertVector")     => mInsertVector(req("input"))
+      case ("mutation", "deleteVector") =>
+        mDeleteVector(req("collection").asText(), req("id").asText())
+      case ("mutation", "deleteCollection") =>
+        mDeleteCollection(req("name").asText())
+      case ("mutation", "batchInsert") =>
+        mBatchInsert(req("collection").asText(), req("inputs"))
+      case ("mutation", "save") =>
+        throw GqlError(
+          "Save must be coordinated through the server's write path")
+      case ("subscription", "searchStream") => sSearchStream(req("input"))
+      case _ =>
+        throw GqlError(s"unknown $op field '${f.name}'")
+    }
+  }
+
+  /** WebUi-style REST read: any 4xx/5xx surfaces as a GraphQL error. */
+  private def rest(method: String, path: String,
+                   body: String = ""): JsonNode = {
+    val (status, resp) = api.handle(method, path, body)
+    if (status >= 400)
+      throw GqlError(Option(mapper.readTree(resp).get("error"))
+        .map(_.asText()).getOrElse(s"$method $path failed: $status"))
+    mapper.readTree(resp)
+  }
+
+  private def esc(segment: String): String =
+    java.net.URLEncoder.encode(segment,
+      java.nio.charset.StandardCharsets.UTF_8).replace("+", "%20")
+
+  private def collNode(name: String, dims: Int, count: Long): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("name", name).put("dimensions", dims)
+    o.put("distanceFunction", api.collectionMetric(name).getOrElse(""))
+    o.put("vectorCount", count).put("isEmpty", count == 0L)
+  }
+
+  private def qCollections(): ArrayNode = {
+    import scala.jdk.CollectionConverters._
+    val a = mapper.createArrayNode()
+    rest("GET", "/collections?limit=1000").get("collections").elements()
+      .asScala.foreach { c =>
+        a.add(collNode(c.get("name").asText(), c.get("dimensions").asInt(),
+          c.get("count").asLong()))
+      }
+    a
+  }
+
+  /** Nullable per the SDL: an unknown name resolves to null, not an
+    * error (GraphQL-idiomatic; the reference's Result::Err is the Rust
+    * spelling of the same nullable field).
+    */
+  private def qCollection(name: String): JsonNode =
+    try {
+      val c = rest("GET", s"/collections/${esc(name)}")
+      collNode(name, c.get("dimensions").asInt(), c.get("count").asLong())
+    } catch { case _: GqlError => mapper.nullNode() }
+
+  private def qVector(collection: String, id: String): ObjectNode = {
+    val v = rest("GET",
+      s"/collections/${esc(collection)}/vectors/${esc(id)}")
+    val o = mapper.createObjectNode()
+    o.put("id", id)
+    o.set[JsonNode]("vector", v.get("vector"))
+    o.set[JsonNode]("metadata", metaString(v.get("metadata")))
+    o.put("collection", collection)
+  }
+
+  /** GraphQL metadata is a JSON STRING field (graphql_api.rs GqlVector)
+    * while the REST layer returns the parsed object — re-stringify.
+    */
+  private def metaString(meta: JsonNode): JsonNode =
+    if (meta == null || meta.isNull) mapper.nullNode()
+    else mapper.getNodeFactory.textNode(mapper.writeValueAsString(meta))
+
+  private def qSearch(input: JsonNode): (ObjectNode, ArrayNode) = {
+    val collection = reqField(input, "collection").asText()
+    val body = mapper.createObjectNode()
+    body.set[JsonNode]("vector", reqField(input, "vector"))
+    body.put("k", Option(input.get("k")).filterNot(_.isNull)
+      .map(_.asInt()).getOrElse(10))
+    Option(input.get("filter")).filterNot(_.isNull).foreach { fs =>
+      val parsed =
+        try mapper.readTree(fs.asText())
+        catch { case e: Exception =>
+          throw GqlError(s"Invalid filter JSON: ${e.getMessage}") }
+      body.set[JsonNode]("filter", parsed)
+      ()
+    }
+    val t0 = System.nanoTime()
+    val resp = rest("POST", s"/collections/${esc(collection)}/search",
+      mapper.writeValueAsString(body))
+    val queryTimeUs = (System.nanoTime() - t0) / 1000L
+    import scala.jdk.CollectionConverters._
+    val results = mapper.createArrayNode()
+    resp.get("results").elements().asScala.foreach { r =>
+      val e = results.addObject()
+      e.put("id", r.get("id").asText())
+      e.put("distance", r.get("distance").floatValue())
+      e.set[JsonNode]("metadata", metaString(r.get("metadata")))
+      e.put("collection", collection)
+      ()
+    }
+    val o = mapper.createObjectNode()
+    o.set[JsonNode]("results", results)
+    o.put("total", results.size())
+    o.put("queryTimeUs", queryTimeUs)
+    o.put("collection", collection)
+    (o, results)
+  }
+
+  private def qHealth(): ObjectNode = {
+    import scala.jdk.CollectionConverters._
+    val colls = rest("GET", "/collections?limit=1000").get("collections")
+      .elements().asScala.toSeq
+    val o = mapper.createObjectNode()
+    o.put("healthy", true).put("version", version)
+    o.put("collectionCount", colls.size)
+    o.put("totalVectors", colls.map(_.get("count").asLong()).sum)
+    o.put("uptime", "unknown") // graphql_api.rs:299
+  }
+
+  private def mCreateCollection(input: JsonNode): ObjectNode = {
+    val name = reqField(input, "name").asText()
+    val dims = reqField(input, "dimensions").asInt()
+    val distance = Option(input.get("distanceFunction"))
+      .filterNot(_.isNull).map(_.asText())
+    val body = mapper.createObjectNode()
+    body.put("name", name).put("dimensions", dims)
+    distance.foreach(body.put("distance", _))
+    rest("POST", "/collections", mapper.writeValueAsString(body))
+    // reference echo: requested distance or "Cosine", count 0, empty
+    val o = mapper.createObjectNode()
+    o.put("name", name).put("dimensions", dims)
+    o.put("distanceFunction", distance.getOrElse("Cosine"))
+    o.put("vectorCount", 0L).put("isEmpty", true)
+  }
+
+  private def mInsertVector(input: JsonNode): ObjectNode = {
+    val collection = reqField(input, "collection").asText()
+    val id = reqField(input, "id").asText()
+    val body = insertBody(input)
+    rest("POST", s"/collections/${esc(collection)}/vectors",
+      mapper.writeValueAsString(body))
+    val o = mapper.createObjectNode()
+    o.put("id", id)
+    o.set[JsonNode]("vector", input.get("vector"))
+    o.set[JsonNode]("metadata",
+      Option(input.get("metadata")).getOrElse(mapper.nullNode()))
+    o.put("collection", collection)
+  }
+
+  /** InsertVectorInput → REST insert body; the metadata STRING must
+    * parse as JSON (graphql_api.rs:328-334 validation, same message).
+    */
+  private def insertBody(input: JsonNode): ObjectNode = {
+    val body = mapper.createObjectNode()
+    body.put("id", reqField(input, "id").asText())
+    body.set[JsonNode]("vector", reqField(input, "vector"))
+    Option(input.get("metadata")).filterNot(_.isNull).foreach { ms =>
+      val parsed =
+        try mapper.readTree(ms.asText())
+        catch { case e: Exception =>
+          throw GqlError(s"Invalid metadata JSON: ${e.getMessage}") }
+      body.set[JsonNode]("metadata", parsed)
+      ()
+    }
+    body
+  }
+
+  private def mDeleteVector(collection: String, id: String): JsonNode = {
+    rest("DELETE", s"/collections/${esc(collection)}/vectors/${esc(id)}")
+    mapper.getNodeFactory.booleanNode(true)
+  }
+
+  private def mDeleteCollection(name: String): JsonNode = {
+    rest("DELETE", s"/collections/${esc(name)}")
+    mapper.getNodeFactory.booleanNode(true)
+  }
+
+  private def mBatchInsert(collection: String, inputs: JsonNode): JsonNode = {
+    import scala.jdk.CollectionConverters._
+    val body = mapper.createObjectNode()
+    val arr = body.putArray("vectors")
+    inputs.elements().asScala.foreach(i => arr.add(insertBody(i)))
+    rest("POST", s"/collections/${esc(collection)}/vectors/batch",
+      mapper.writeValueAsString(body))
+    mapper.getNodeFactory.numberNode(arr.size())
+  }
+
+  /** Subscription analogue: the search result set as the ordered event
+    * list the reference's SearchStreamEvent type describes
+    * (graphql_api.rs:396-405): each event carries the result, its
+    * sequence number, and an is-last flag.
+    */
+  private def sSearchStream(input: JsonNode): ArrayNode = {
+    import scala.jdk.CollectionConverters._
+    val (_, results) = qSearch(input)
+    val events = mapper.createArrayNode()
+    val n = results.size()
+    results.elements().asScala.zipWithIndex.foreach { case (r, i) =>
+      val e = events.addObject()
+      e.set[JsonNode]("result", r)
+      e.put("sequence", i)
+      e.put("isLast", i == n - 1)
+      ()
+    }
+    events
+  }
+
+  private def reqField(n: JsonNode, name: String): JsonNode =
+    Option(n.get(name)).filterNot(_.isNull)
+      .getOrElse(throw GqlError(s"missing input field '$name'"))
+
+  // ------------------------------------------------- argument coercion
+
+  private def coerce(v: GVal, vars: JsonNode, defs: Seq[VarDef]): JsonNode =
+    v match {
+      case GLit(n)  => n
+      case GVar(name) =>
+        Option(vars.get(name)).filterNot(_.isNull).orElse(
+          defs.find(_.name == name).flatMap(_.default)).getOrElse(
+          throw GqlError(s"variable '$$$name' is not provided"))
+      case GList(xs) =>
+        val a = mapper.createArrayNode()
+        xs.foreach(x => a.add(coerce(x, vars, defs)))
+        a
+      case GObj(fields) =>
+        val o = mapper.createObjectNode()
+        fields.foreach { case (k, x) =>
+          o.set[JsonNode](k, coerce(x, vars, defs)); ()
+        }
+        o
+    }
+
+  // ------------------------------------------------------- projection
+
+  /** Apply a selection set to a resolved node: empty set → whole node;
+    * arrays project element-wise; unknown fields resolve to null (the
+    * minimal executor does not re-validate against the SDL).
+    */
+  private def project(node: JsonNode, sels: Seq[FieldSel]): JsonNode =
+    if (sels.isEmpty || node == null || node.isNull) node
+    else if (node.isArray) {
+      import scala.jdk.CollectionConverters._
+      val a = mapper.createArrayNode()
+      node.elements().asScala.foreach(e => a.add(project(e, sels)))
+      a
+    } else {
+      val o = mapper.createObjectNode()
+      sels.foreach { s =>
+        val v = Option(node.get(s.name)).getOrElse(mapper.nullNode())
+        o.set[JsonNode](s.alias, project(v, s.sub))
+        ()
+      }
+      o
+    }
+}
+
+object GraphqlApi {
+
+  final case class GqlError(message: String) extends RuntimeException(message)
+  final case class GqlParseError(message: String)
+    extends RuntimeException(message)
+
+  // ------------------------------------------------------------- document
+
+  sealed trait GVal
+  final case class GLit(n: JsonNode) extends GVal
+  final case class GVar(name: String) extends GVal
+  final case class GList(xs: Seq[GVal]) extends GVal
+  final case class GObj(fields: Seq[(String, GVal)]) extends GVal
+
+  final case class VarDef(name: String, tpe: String,
+                          default: Option[JsonNode])
+  final case class FieldSel(alias: String, name: String,
+                            args: Map[String, GVal], sub: Seq[FieldSel])
+  final case class Document(op: String, varDefs: Seq[VarDef],
+                            selections: Seq[FieldSel])
+
+  // ---------------------------------------------------------------- lexer
+
+  private sealed trait Tok
+  private object Tok {
+    final case class Punct(c: String) extends Tok
+    final case class Name(s: String) extends Tok
+    final case class IntVal(v: Long) extends Tok
+    final case class FloatVal(v: Double) extends Tok
+    final case class StrVal(s: String) extends Tok
+    case object End extends Tok
+  }
+
+  private final class Lexer(src: String) {
+    private var i = 0
+    private var ahead: Option[Tok] = None
+
+    def peek(): Tok = {
+      if (ahead.isEmpty) ahead = Some(lex())
+      ahead.get
+    }
+    def next(): Tok = { val t = peek(); ahead = None; t }
+
+    private def skip(): Unit = {
+      var go = true
+      while (go && i < src.length) {
+        val c = src.charAt(i)
+        if (c.isWhitespace || c == ',') i += 1
+        else if (c == '#') { while (i < src.length && src.charAt(i) != '\n') i += 1 }
+        else go = false
+      }
+    }
+
+    private def lex(): Tok = {
+      skip()
+      if (i >= src.length) return Tok.End
+      val c = src.charAt(i)
+      if (c == '"') lexString()
+      else if (c.isDigit || c == '-') lexNumber()
+      else if (c == '_' || c.isLetter) {
+        val start = i
+        while (i < src.length &&
+          (src.charAt(i) == '_' || src.charAt(i).isLetterOrDigit)) i += 1
+        Tok.Name(src.substring(start, i))
+      } else if ("{}()[]:$=!".indexOf(c) >= 0) {
+        i += 1; Tok.Punct(c.toString)
+      } else if (c == '.' && src.startsWith("...", i)) {
+        throw GqlParseError("fragments are not supported")
+      } else if (c == '@') {
+        throw GqlParseError("directives are not supported")
+      } else throw GqlParseError(s"unexpected character '$c' at $i")
+    }
+
+    private def lexString(): Tok = {
+      i += 1 // opening quote
+      val sb = new StringBuilder
+      while (i < src.length && src.charAt(i) != '"') {
+        val c = src.charAt(i)
+        if (c == '\\' && i + 1 < src.length) {
+          i += 1
+          src.charAt(i) match {
+            case '"'  => sb += '"'
+            case '\\' => sb += '\\'
+            case '/'  => sb += '/'
+            case 'n'  => sb += '\n'
+            case 't'  => sb += '\t'
+            case 'r'  => sb += '\r'
+            case 'b'  => sb += '\b'
+            case 'f'  => sb += '\f'
+            case 'u' =>
+              if (i + 4 >= src.length)
+                throw GqlParseError("bad \\u escape")
+              sb += Integer.parseInt(src.substring(i + 1, i + 5), 16).toChar
+              i += 4
+            case other =>
+              throw GqlParseError(s"bad escape '\\$other'")
+          }
+          i += 1
+        } else { sb += c; i += 1 }
+      }
+      if (i >= src.length) throw GqlParseError("unterminated string")
+      i += 1 // closing quote
+      Tok.StrVal(sb.toString)
+    }
+
+    private def lexNumber(): Tok = {
+      val start = i
+      if (src.charAt(i) == '-') i += 1
+      while (i < src.length && src.charAt(i).isDigit) i += 1
+      var isFloat = false
+      if (i < src.length && src.charAt(i) == '.') {
+        isFloat = true; i += 1
+        while (i < src.length && src.charAt(i).isDigit) i += 1
+      }
+      if (i < src.length && (src.charAt(i) == 'e' || src.charAt(i) == 'E')) {
+        isFloat = true; i += 1
+        if (i < src.length && (src.charAt(i) == '+' || src.charAt(i) == '-'))
+          i += 1
+        while (i < src.length && src.charAt(i).isDigit) i += 1
+      }
+      val raw = src.substring(start, i)
+      if (isFloat) Tok.FloatVal(raw.toDouble) else Tok.IntVal(raw.toLong)
+    }
+  }
+
+  // --------------------------------------------------------------- parser
+
+  /** Parse a GraphQL document: one or more operations; `operationName`
+    * picks among several, otherwise the document must contain exactly
+    * one. Shorthand `{ ... }` is an anonymous query.
+    */
+  def parse(src: String, operationName: Option[String] = None): Document = {
+    val lx = new Lexer(src)
+    val ops = mutable.Buffer.empty[(Option[String], Document)]
+    var t = lx.peek()
+    while (t != Tok.End) {
+      ops += parseOperation(lx)
+      t = lx.peek()
+    }
+    if (ops.isEmpty) throw GqlParseError("empty document")
+    operationName match {
+      case Some(n) =>
+        ops.find(_._1.contains(n)).map(_._2).getOrElse(
+          throw GqlParseError(s"operation '$n' not found"))
+      case None =>
+        if (ops.size > 1)
+          throw GqlParseError(
+            "multiple operations require operationName")
+        ops.head._2
+    }
+  }
+
+  private def parseOperation(lx: Lexer): (Option[String], Document) = {
+    var op = "query"
+    var name: Option[String] = None
+    var varDefs = Seq.empty[VarDef]
+    lx.peek() match {
+      case Tok.Name(kw @ ("query" | "mutation" | "subscription")) =>
+        lx.next(); op = kw
+        lx.peek() match {
+          case Tok.Name(n) => lx.next(); name = Some(n)
+          case _ =>
+        }
+        if (lx.peek() == Tok.Punct("(")) varDefs = parseVarDefs(lx)
+      case Tok.Name(other) =>
+        throw GqlParseError(s"unsupported definition '$other'")
+      case _ => // shorthand anonymous query
+    }
+    (name, Document(op, varDefs, parseSelectionSet(lx)))
+  }
+
+  private def parseVarDefs(lx: Lexer): Seq[VarDef] = {
+    expect(lx, "(")
+    val defs = mutable.Buffer.empty[VarDef]
+    while (lx.peek() != Tok.Punct(")")) {
+      expect(lx, "$")
+      val name = parseName(lx)
+      expect(lx, ":")
+      val tpe = parseTypeRef(lx)
+      val default =
+        if (lx.peek() == Tok.Punct("=")) {
+          lx.next()
+          parseValue(lx) match {
+            case GLit(n) => Some(n)
+            case _ => throw GqlParseError(
+              "variable defaults must be literals")
+          }
+        } else None
+      defs += VarDef(name, tpe, default)
+    }
+    expect(lx, ")")
+    defs.toSeq
+  }
+
+  /** Type references are accepted and recorded but not re-validated —
+    * `[Float!]!`, `Int`, `SearchInput!` all parse.
+    */
+  private def parseTypeRef(lx: Lexer): String = {
+    val sb = new StringBuilder
+    if (lx.peek() == Tok.Punct("[")) {
+      lx.next(); sb += '['
+      sb ++= parseTypeRef(lx)
+      expect(lx, "]"); sb += ']'
+    } else sb ++= parseName(lx)
+    if (lx.peek() == Tok.Punct("!")) { lx.next(); sb += '!' }
+    sb.toString
+  }
+
+  private def parseSelectionSet(lx: Lexer): Seq[FieldSel] = {
+    expect(lx, "{")
+    val fields = mutable.Buffer.empty[FieldSel]
+    while (lx.peek() != Tok.Punct("}")) {
+      val first = parseName(lx)
+      val (alias, name) =
+        if (lx.peek() == Tok.Punct(":")) { lx.next(); (first, parseName(lx)) }
+        else (first, first)
+      val args =
+        if (lx.peek() == Tok.Punct("(")) parseArgs(lx)
+        else Map.empty[String, GVal]
+      val sub =
+        if (lx.peek() == Tok.Punct("{")) parseSelectionSet(lx)
+        else Seq.empty
+      fields += FieldSel(alias, name, args, sub)
+    }
+    expect(lx, "}")
+    fields.toSeq
+  }
+
+  private def parseArgs(lx: Lexer): Map[String, GVal] = {
+    expect(lx, "(")
+    val args = mutable.LinkedHashMap.empty[String, GVal]
+    while (lx.peek() != Tok.Punct(")")) {
+      val name = parseName(lx)
+      expect(lx, ":")
+      args(name) = parseValue(lx)
+    }
+    expect(lx, ")")
+    args.toMap
+  }
+
+  private def parseValue(lx: Lexer): GVal = {
+    val nf = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+    lx.peek() match {
+      case Tok.Punct("$") =>
+        lx.next(); GVar(parseName(lx))
+      case Tok.Punct("[") =>
+        lx.next()
+        val xs = mutable.Buffer.empty[GVal]
+        while (lx.peek() != Tok.Punct("]")) xs += parseValue(lx)
+        lx.next()
+        GList(xs.toSeq)
+      case Tok.Punct("{") =>
+        lx.next()
+        val fields = mutable.Buffer.empty[(String, GVal)]
+        while (lx.peek() != Tok.Punct("}")) {
+          val k = parseName(lx)
+          expect(lx, ":")
+          fields += (k -> parseValue(lx))
+        }
+        lx.next()
+        GObj(fields.toSeq)
+      case Tok.IntVal(v)   => lx.next(); GLit(nf.numberNode(v))
+      case Tok.FloatVal(v) => lx.next(); GLit(nf.numberNode(v))
+      case Tok.StrVal(s)   => lx.next(); GLit(nf.textNode(s))
+      case Tok.Name("true")  => lx.next(); GLit(nf.booleanNode(true))
+      case Tok.Name("false") => lx.next(); GLit(nf.booleanNode(false))
+      case Tok.Name("null")  => lx.next(); GLit(nf.nullNode())
+      case Tok.Name(e)       => lx.next(); GLit(nf.textNode(e)) // enum
+      case other =>
+        throw GqlParseError(s"unexpected token $other in value position")
+    }
+  }
+
+  private def parseName(lx: Lexer): String = lx.next() match {
+    case Tok.Name(n) => n
+    case other => throw GqlParseError(s"expected a name, got $other")
+  }
+
+  private def expect(lx: Lexer, punct: String): Unit = lx.next() match {
+    case Tok.Punct(`punct`) => ()
+    case other => throw GqlParseError(s"expected '$punct', got $other")
+  }
+
+  /** The SDL (graphql_api.rs:424-500) — client-discoverable contract
+    * surface, reproduced verbatim like the MCP tool schemas.
+    */
+  val sdl: String = """
+type Query {
+  collections: [Collection!]!
+  collection(name: String!): Collection
+  vector(collection: String!, id: String!): Vector
+  search(input: SearchInput!): SearchResponse!
+  health: HealthStatus!
+}
+
+type Mutation {
+  createCollection(input: CreateCollectionInput!): Collection!
+  insertVector(input: InsertVectorInput!): Vector!
+  deleteVector(collection: String!, id: String!): Boolean!
+  deleteCollection(name: String!): Boolean!
+  save: Boolean!
+}
+
+type Subscription {
+  searchStream(input: SearchInput!): SearchResult!
+}
+
+type Collection {
+  name: String!
+  dimensions: Int!
+  distanceFunction: String!
+  vectorCount: Int!
+  isEmpty: Boolean!
+}
+
+type Vector {
+  id: String!
+  vector: [Float!]!
+  metadata: String
+  collection: String!
+}
+
+type SearchResult {
+  id: String!
+  distance: Float!
+  metadata: String
+  collection: String!
+}
+
+type SearchResponse {
+  results: [SearchResult!]!
+  total: Int!
+  queryTimeUs: Int!
+  collection: String!
+}
+
+type HealthStatus {
+  healthy: Boolean!
+  version: String!
+  collectionCount: Int!
+  totalVectors: Int!
+  uptime: String!
+}
+
+input CreateCollectionInput {
+  name: String!
+  dimensions: Int!
+  distanceFunction: String
+}
+
+input InsertVectorInput {
+  collection: String!
+  id: String!
+  vector: [Float!]!
+  metadata: String
+}
+
+input SearchInput {
+  collection: String!
+  vector: [Float!]!
+  k: Int
+  filter: String
+  includeMetadata: Boolean
+  efSearch: Int
+}
+"""
+}

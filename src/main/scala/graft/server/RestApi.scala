@@ -136,6 +136,14 @@ class RestApi(spark: SparkSession) {
        else lit(null).cast("long")).as("ttl_expires_at")))
   }
 
+  /** The configured distance metric of a collection (None when absent).
+    * The REST CollectionInfo deliberately omits it (reference types.rs
+    * parity); front-ends that need it (GraphQL's distanceFunction field)
+    * read it here instead of widening the REST contract.
+    */
+  def collectionMetric(name: String): Option[String] =
+    synchronized(collections.get(name).map(_.metric))
+
   // ------------------------------------------------------------- dispatch
 
   /** The whole API as a pure function: (method, path, body) → (status,

@@ -1,0 +1,192 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.server.{GraphqlApi, RestApi}
+
+/** GraphQL front-end vs reference graphql_api.rs: the resolver test
+  * trio (schema/health, collection CRUD, vector ops — graphql_api.rs
+  * test module), plus the executor this analogue adds: document
+  * parsing (variables, aliases, selection-set projection, shorthand
+  * queries), the GraphQL error envelope, and the reference's pinned
+  * quirks (save always errors; metadata JSON-string validation; SDL
+  * contract blocks).
+  */
+class GraphqlApiSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+
+  private def gql(): (GraphqlApi, RestApi) = {
+    val a = new RestApi(spark)
+    a.handle("POST", "/collections", """{"name":"docs","dimensions":4}""")
+    a.handle("POST", "/collections/docs/vectors/batch",
+      """{"vectors":[
+        |{"id":"v1","vector":[1.0,0.0,0.0,0.0],"metadata":{"title":"t1"}},
+        |{"id":"v2","vector":[0.0,1.0,0.0,0.0]},
+        |{"id":"v3","vector":[0.9,0.1,0.0,0.0],"metadata":{"title":"t3"}}
+        |]}""".stripMargin)
+    (new GraphqlApi(a, version = "0.1.0"), a)
+  }
+
+  private def run(g: GraphqlApi, body: String) = {
+    val (status, resp) = g.handle(body)
+    (status, mapper.readTree(resp))
+  }
+
+  test("health resolves counts (test_schema_build parity) and the " +
+      "selection set projects requested fields only") {
+    val (g, _) = gql()
+    val (st, r) = run(g,
+      """{"query": "{ health { healthy collectionCount totalVectors } }"}""")
+    assert(st == 200)
+    val h = r.get("data").get("health")
+    assert(h.get("healthy").asBoolean())
+    assert(h.get("collectionCount").asInt() == 1)
+    assert(h.get("totalVectors").asLong() == 3L)
+    // projection: unrequested fields (version, uptime) are absent
+    assert(!h.has("version") && !h.has("uptime"))
+    assert(r.get("errors") == null)
+  }
+
+  test("collection CRUD through mutations and queries " +
+      "(test_collection_crud parity)") {
+    val (g, _) = gql()
+    // create
+    val (_, c) = run(g, """{"query":
+      "mutation { createCollection(input: {name: \"test\", dimensions: 128}) { name dimensions distanceFunction vectorCount isEmpty } }"}""")
+    val created = c.get("data").get("createCollection")
+    assert(created.get("name").asText() == "test")
+    assert(created.get("dimensions").asInt() == 128)
+    assert(created.get("distanceFunction").asText() == "Cosine") // echo quirk
+    assert(created.get("isEmpty").asBoolean())
+    // list
+    val (_, l) = run(g, """{"query": "{ collections { name vectorCount } }"}""")
+    val names = l.get("data").get("collections").elements()
+    val set = scala.collection.mutable.Set.empty[String]
+    while (names.hasNext) set += names.next().get("name").asText()
+    assert(set == Set("docs", "test"))
+    // get: present → object with store metric; absent → null, NO error
+    val (_, one) = run(g,
+      """{"query": "{ collection(name: \"docs\") { name dimensions distanceFunction } }"}""")
+    assert(one.get("data").get("collection").get("dimensions").asInt() == 4)
+    assert(one.get("data").get("collection")
+      .get("distanceFunction").asText() == "cosine")
+    val (_, none) = run(g,
+      """{"query": "{ collection(name: \"ghost\") { name } }"}""")
+    assert(none.get("data").get("collection").isNull)
+    assert(none.get("errors") == null)
+    // delete, then the listing shrinks
+    val (_, d) = run(g,
+      """{"query": "mutation { deleteCollection(name: \"test\") }"}""")
+    assert(d.get("data").get("deleteCollection").asBoolean())
+    val (_, l2) = run(g, """{"query": "{ collections { name } }"}""")
+    assert(l2.get("data").get("collections").size() == 1)
+  }
+
+  test("vector ops: insert, get (metadata as JSON string), search, " +
+      "delete (test_vector_operations parity)") {
+    val (g, _) = gql()
+    val (_, ins) = run(g, """{"query":
+      "mutation { insertVector(input: {collection: \"docs\", id: \"v9\", vector: [0.0, 0.0, 0.0, 1.0], metadata: \"{\\\"title\\\": \\\"nine\\\"}\"}) { id collection metadata } }"}""")
+    val v = ins.get("data").get("insertVector")
+    assert(v.get("id").asText() == "v9")
+    assert(v.get("collection").asText() == "docs")
+    // get: REST's parsed metadata object re-stringifies to a JSON string
+    val (_, got) = run(g, """{"query":
+      "{ vector(collection: \"docs\", id: \"v1\") { id vector metadata } }"}""")
+    val gv = got.get("data").get("vector")
+    assert(gv.get("vector").size() == 4)
+    assert(gv.get("metadata").isTextual)
+    assert(mapper.readTree(gv.get("metadata").asText())
+      .get("title").asText() == "t1")
+    // missing metadata → null
+    val (_, got2) = run(g, """{"query":
+      "{ vector(collection: \"docs\", id: \"v2\") { metadata } }"}""")
+    assert(got2.get("data").get("vector").get("metadata").isNull)
+    // search: v1 is its own nearest neighbor at distance 0
+    val (_, s) = run(g, """{"query":
+      "{ search(input: {collection: \"docs\", vector: [1.0, 0.0, 0.0, 0.0], k: 2}) { total collection results { id distance } } }"}""")
+    val sr = s.get("data").get("search")
+    assert(sr.get("total").asInt() == 2)
+    assert(sr.get("collection").asText() == "docs")
+    assert(sr.get("results").get(0).get("id").asText() == "v1")
+    assert(sr.get("results").get(0).get("distance").asDouble() == 0.0)
+    // delete
+    val (_, del) = run(g, """{"query":
+      "mutation { deleteVector(collection: \"docs\", id: \"v9\") }"}""")
+    assert(del.get("data").get("deleteVector").asBoolean())
+  }
+
+  test("variables with defaults, operationName selection, aliases, and " +
+      "batchInsert") {
+    val (g, _) = gql()
+    val doc = """query A($n: String! = \"docs\") { c: collection(name: $n) { name } } query B { health { healthy } }"""
+    // default kicks in when the variable is absent
+    val (_, a) = run(g,
+      s"""{"query": "$doc", "operationName": "A"}""")
+    assert(a.get("data").get("c").get("name").asText() == "docs")
+    // explicit variable overrides the default
+    val (_, a2) = run(g,
+      s"""{"query": "$doc", "operationName": "A",
+         | "variables": {"n": "ghost"}}""".stripMargin)
+    assert(a2.get("data").get("c").isNull)
+    val (_, b) = run(g, s"""{"query": "$doc", "operationName": "B"}""")
+    assert(b.get("data").get("health").get("healthy").asBoolean())
+    // batchInsert counts inserted vectors (resolver-only, like the ref)
+    val (_, bi) = run(g, """{"query":
+      "mutation { batchInsert(collection: \"docs\", inputs: [{collection: \"docs\", id: \"b1\", vector: [0.1, 0.1, 0.1, 0.1]}, {collection: \"docs\", id: \"b2\", vector: [0.2, 0.2, 0.2, 0.2]}]) }"}""")
+    assert(bi.get("data").get("batchInsert").asInt() == 2)
+  }
+
+  test("searchStream subscription materializes sequenced events with an " +
+      "is-last flag") {
+    val (g, _) = gql()
+    val (_, r) = run(g, """{"query":
+      "subscription { searchStream(input: {collection: \"docs\", vector: [1.0, 0.0, 0.0, 0.0], k: 3}) { sequence isLast result { id } } }"}""")
+    val evs = r.get("data").get("searchStream")
+    assert(evs.size() == 3)
+    assert(evs.get(0).get("sequence").asInt() == 0)
+    assert(!evs.get(0).get("isLast").asBoolean())
+    assert(evs.get(2).get("isLast").asBoolean())
+    assert(evs.get(0).get("result").get("id").asText() == "v1")
+  }
+
+  test("errors: save quirk, invalid metadata JSON, resolver errors are " +
+      "per-field on a 200, parse errors are a 400") {
+    val (g, _) = gql()
+    // save always errors with the reference's message
+    val (st1, s) = run(g, """{"query": "mutation { save }"}""")
+    assert(st1 == 200)
+    assert(s.get("data").get("save").isNull)
+    assert(s.get("errors").get(0).get("message").asText()
+      .contains("coordinated through the server's write path"))
+    // invalid metadata JSON string → reference's message
+    val (_, m) = run(g, """{"query":
+      "mutation { insertVector(input: {collection: \"docs\", id: \"x\", vector: [1.0, 0.0, 0.0, 0.0], metadata: \"not json{\"}) { id } }"}""")
+    assert(m.get("errors").get(0).get("message").asText()
+      .contains("Invalid metadata JSON"))
+    // one failing field does not sink its sibling
+    val (_, mix) = run(g,
+      """{"query": "{ vector(collection: \"docs\", id: \"ghost\") { id } health { healthy } }"}""")
+    assert(mix.get("data").get("vector").isNull)
+    assert(mix.get("data").get("health").get("healthy").asBoolean())
+    assert(mix.get("errors").size() == 1)
+    // unparseable document → 400 envelope
+    val (st2, p) = run(g, """{"query": "{ unterminated "}""")
+    assert(st2 == 400)
+    assert(p.get("errors").get(0).get("message").asText().nonEmpty)
+    // fragments are rejected with a clear error
+    val (st3, f) = run(g, """{"query": "{ ...frag }"}""")
+    assert(st3 == 400)
+    assert(f.get("errors").get(0).get("message").asText()
+      .contains("fragments"))
+  }
+
+  test("SDL carries the contract blocks (test_sdl_generation parity)") {
+    assert(GraphqlApi.sdl.contains("type Query"))
+    assert(GraphqlApi.sdl.contains("type Mutation"))
+    assert(GraphqlApi.sdl.contains("type Subscription"))
+    assert(GraphqlApi.sdl.contains("input SearchInput"))
+    assert(GraphqlApi.sdl.contains("queryTimeUs: Int!"))
+  }
+}
