@@ -331,6 +331,36 @@ final class GraphqlApi(api: RestApi, version: String = "0.1.0") {
     Option(n.get(name)).filterNot(_.isNull)
       .getOrElse(throw GqlError(s"missing input field '$name'"))
 
+  /** Host `POST /graphql` (and `GET /graphql/sdl` for schema
+    * discovery) on the JDK HttpServer, same shape as [[RestApi.serve]];
+    * port 0 picks a free port.
+    */
+  def serve(port: Int = 0): com.sun.net.httpserver.HttpServer = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/graphql",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val body = new String(ex.getRequestBody.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val (status, resp) =
+          (ex.getRequestMethod, ex.getRequestURI.getPath) match {
+            case ("GET", "/graphql/sdl") => (200, GraphqlApi.sdl)
+            case ("POST", _)             => handle(body)
+            case (m, p) =>
+              (405, s"""{"errors":[{"message":"no route for $m $p"}]}""")
+          }
+        val bytes = resp.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type",
+          if (ex.getRequestURI.getPath.endsWith("/sdl")) "text/plain"
+          else "application/json")
+        ex.sendResponseHeaders(status, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      })
+    server.start()
+    server
+  }
+
   // ------------------------------------------------- argument coercion
 
   private def coerce(v: GVal, vars: JsonNode, defs: Seq[VarDef]): JsonNode =

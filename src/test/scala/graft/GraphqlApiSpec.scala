@@ -182,6 +182,33 @@ class GraphqlApiSpec extends SparkSpec {
       .contains("fragments"))
   }
 
+  test("serve hosts POST /graphql and GET /graphql/sdl over live HTTP") {
+    val (g, _) = gql()
+    val server = g.serve(0)
+    try {
+      val port = server.getAddress.getPort
+      def http(method: String, path: String, body: String = "") = {
+        val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod(method)
+        if (body.nonEmpty) {
+          conn.setDoOutput(true)
+          conn.getOutputStream.write(body.getBytes("UTF-8"))
+        }
+        val in = if (conn.getResponseCode < 400) conn.getInputStream
+                 else conn.getErrorStream
+        (conn.getResponseCode, new String(in.readAllBytes(), "UTF-8"))
+      }
+      val (st, resp) = http("POST", "/graphql",
+        """{"query": "{ health { healthy totalVectors } }"}""")
+      assert(st == 200)
+      val h = mapper.readTree(resp).get("data").get("health")
+      assert(h.get("healthy").asBoolean() && h.get("totalVectors").asLong() == 3L)
+      val (st2, sdl) = http("GET", "/graphql/sdl")
+      assert(st2 == 200 && sdl.contains("type Query"))
+    } finally server.stop(0)
+  }
+
   test("SDL carries the contract blocks (test_sdl_generation parity)") {
     assert(GraphqlApi.sdl.contains("type Query"))
     assert(GraphqlApi.sdl.contains("type Mutation"))
