@@ -209,6 +209,38 @@ class GraphqlApiSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("fuzz contract: hostile/random documents never escape the error " +
+      "envelope — every response is valid JSON with status 200 or 400") {
+    val (g, _) = gql()
+    val rnd = new scala.util.Random(4242)
+    // hand-picked hostile docs
+    val hostile = Seq(
+      "", "{", "}", "{{{{", "query", "query {", "mutation {}",
+      "{ search(input: ) }", "{ search(input: {collection: }) }",
+      "{ a(b: [1, [2, [3, ]]]) }", "query ($x: ) { health }",
+      "{ health } { health }", "subscription { }",
+      "{ \u0000\u0001 }", "{ collection(name: \"\\u12\") { n } }",
+      "{ x(y: 999999999999999999999999) }",
+      "{ vector(collection: \"docs\" id: \"v1\") { id } }",
+      "# only a comment", "{ a: }", "$", "...", "@dir { health }")
+    // seeded random token soup over the grammar's alphabet
+    val atoms = Seq("{", "}", "(", ")", "[", "]", ":", "$", "=", "!",
+      "query", "mutation", "subscription", "health", "search", "input",
+      "collection", "name", "\"s\"", "1", "2.5", "-3", "true", "false",
+      "null", "x", "...", "@", ",", "#c\n")
+    val random = (1 to 300).map { _ =>
+      (1 to (1 + rnd.nextInt(25)))
+        .map(_ => atoms(rnd.nextInt(atoms.size))).mkString(" ")
+    }
+    (hostile ++ random).foreach { doc =>
+      val body = mapper.createObjectNode().put("query", doc)
+      val (st, resp) = g.handle(mapper.writeValueAsString(body))
+      assert(st == 200 || st == 400, s"status $st for doc: $doc")
+      val r = mapper.readTree(resp) // must parse
+      assert(r.has("data"), s"no data key for doc: $doc")
+    }
+  }
+
   test("SDL carries the contract blocks (test_sdl_generation parity)") {
     assert(GraphqlApi.sdl.contains("type Query"))
     assert(GraphqlApi.sdl.contains("type Mutation"))
