@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.ann.{Ivf, Lsh}
@@ -166,14 +168,19 @@ object AnnQueries {
       val emb = Tables.load(s, dir, "embeddings")
       val q = queryVec(s, dir)
       val ix = ivfIndex(s, dir, 8)
-      val exact = emb
+      // ground truth collected ONCE (one job) and reused across probe
+      // depths — re-collecting the exact DataFrame per probe re-ran the
+      // full corpus sort three times for identical ids
+      val exactIds = emb
         .withColumn("distance",
           round(graft.functions.Distances.cosine(col("embedding"),
             org.apache.spark.sql.functions.lit(q)), 6))
         .orderBy(col("distance"), col("vec_id")).limit(10)
+        .select("vec_id").collect().map(_.get(0)).toSet
       val recalls = Seq(2, 4, 8).map { nprobe =>
-        val approx = Ivf.search(ix, q, 10, nprobe, "vec_id", "embedding", Some(6))
-        (nprobe, Ivf.recallAtK(exact, approx, "vec_id"))
+        val ids = Ivf.search(ix, q, 10, nprobe, "vec_id", "embedding", Some(6))
+          .select("vec_id").collect().map(_.get(0)).toSet
+        (nprobe, exactIds.intersect(ids).size.toDouble / exactIds.size)
       }
       recalls.toDF("nprobe", "recall_at_10")
         // self-check: recall floors per probe depth (observed 0.6/0.9/1.0);
@@ -224,14 +231,29 @@ object AnnQueries {
       val queries = corpus.filter(col("id") % 50 === 7).orderBy("id")
         .select("id", "vector").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).take(10)
+      // ALL ten ground truths in ONE batched top-k job (TopKAgg orders
+      // by (distance, id) asc — identical tie-break to the former
+      // per-query orderBy(d, id) loop, which cost 10 full-corpus sorts
+      // per probe depth × 2 depths; the probed Ivf.search calls remain
+      // per-query because they ARE the measured surface)
+      val qdf = s.createDataFrame(queries.map { case (qid, qv) =>
+        org.apache.spark.sql.Row(qid, qv.toSeq)
+      }.toList.asJava, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("query_vector",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+      val exactIds = graft.ops.Search
+        .batchTopKPairs(corpus, qdf, 10, metric = "cosine")
+        .select("query_id", "id").collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
       val recalls = Seq(2, 16).map { nprobe =>
         val rs = queries.map { case (qid, qv) =>
-          val exact = corpus
-            .withColumn("d", graft.functions.Distances.cosine(
-              col("vector"), lit(qv)))
-            .orderBy(col("d").asc, col("id").asc).limit(10).select("id")
-          Ivf.recallAtK(exact,
-            Ivf.search(ix, qv, 10, nprobe, "id", "vector"), "id")
+          val ids = Ivf.search(ix, qv, 10, nprobe, "id", "vector")
+            .select("id").collect().map(_.getLong(0)).toSet
+          exactIds(qid).intersect(ids).size.toDouble / exactIds(qid).size
         }
         (nprobe, math.rint(rs.sum / rs.length * 1000) / 1000)
       }
