@@ -72,7 +72,8 @@ object Cli {
       |  sql      --collection name=path ... (-e QUERY | -f FILE | stdin) [--json]
       |  explore  --collection name=path ... (interactive explorer; stdin commands)
       |  web      --collection name=path ... [--port P] [--api-port P]
-      |           (dashboard + REST server; blocks until stdin closes)
+      |           [--graphql-port P]
+      |           (dashboard + REST + GraphQL; blocks until stdin closes)
       |  diff     SOURCE TARGET [--threshold T] [--summary] [--json]
       |  merge    SOURCE TARGET --out OUT [--base BASE]
       |           [--strategy source-wins|target-wins] [--diff-report]
@@ -177,13 +178,16 @@ object Cli {
     }
     val apiPort = a.options.get("api-port").map(_.last.toInt).getOrElse(0)
     val uiPort = a.options.get("port").map(_.last.toInt).getOrElse(0)
+    val gqlPort = a.options.get("graphql-port").map(_.last.toInt).getOrElse(0)
     val apiServer = api.serve(apiPort)
     val ui = new graft.server.WebUi(api, ql = Some(ql))
     val uiServer = ui.serve(uiPort)
+    val gqlServer = new graft.server.GraphqlApi(api).serve(gqlPort)
     out(s"REST API on http://127.0.0.1:${apiServer.getAddress.getPort}")
     out(s"dashboard on http://127.0.0.1:${uiServer.getAddress.getPort}")
+    out(s"GraphQL on http://127.0.0.1:${gqlServer.getAddress.getPort}/graphql")
     in().foreach(_ => ()) // block until EOF
-    uiServer.stop(0); apiServer.stop(0)
+    gqlServer.stop(0); uiServer.stop(0); apiServer.stop(0)
     0
   }
 

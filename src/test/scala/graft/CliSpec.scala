@@ -84,6 +84,7 @@ class CliSpec extends SparkSpec {
     val out = lines.result()
     assert(out.exists(_.startsWith("REST API on http://127.0.0.1:")))
     assert(out.exists(_.startsWith("dashboard on http://127.0.0.1:")))
+    assert(out.exists(_.startsWith("GraphQL on http://127.0.0.1:")))
   }
 
   test("sql: parse errors exit 2; missing query exits 1") {
