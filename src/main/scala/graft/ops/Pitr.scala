@@ -155,16 +155,19 @@ object Pitr {
       var totalVectors = 0L
       var totalBytes = 0L
       names.foreach { name =>
-        val df = getCollection(name)
-        val agg = df.agg(
-          count(lit(1)),
-          coalesce(max(size(col("vector"))), lit(0))).head()
-        val n = agg.getLong(0)
-        val dim = agg.getInt(1).toLong
+        // write FIRST (the only full evaluation of the source lineage),
+        // then take the manifest stats from the written parquet: count
+        // is footer-metadata-only, dims reads one row — the previous
+        // pre-write agg scan evaluated a possibly-expensive source
+        // twice, which doubles snapshot cost at 100 TB
+        val path = s"${config.backupDir}/$id/$name.parquet"
+        getCollection(name).write.mode("overwrite").parquet(path)
+        val written = spark.read.parquet(path)
+        val n = written.count()
+        val dim = written.select(size(col("vector"))).head(1)
+          .headOption.map(_.getInt(0).toLong).getOrElse(0L)
         totalVectors += n
         totalBytes += n * dim * 4 + n * 256 // reference size estimate
-        df.write.mode("overwrite")
-          .parquet(s"${config.backupDir}/$id/$name.parquet")
       }
       val point = RestorePoint(id, label, ts, names, totalVectors,
         if (config.enableChecksums)
