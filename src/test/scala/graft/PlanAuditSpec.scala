@@ -55,7 +55,10 @@ class PlanAuditSpec extends SparkSpec {
     // transactional commit is an anti-join ∪ literal rows
     "rbac_read", "schema_validate", "schema_defaults",
     "schema_index_stats", "code_chunk_flat", "code_metadata_diff",
-    "rag_chunks", "txn_commit")
+    "rag_chunks", "txn_commit",
+    // round-11: the recovered-state projection reads the snapshot
+    // parquet back through one scan + project + sort
+    "pitr_roundtrip")
 
   // allowed a bounded broadcast nested loop — a 1-ROW broadcast frame
   // (BM25's (n, avgdl) corpus stats, the dedup gates' planted-pair count,
