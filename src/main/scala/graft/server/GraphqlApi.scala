@@ -21,8 +21,9 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   * "operationName": ...}`), parses the document with a minimal
   * recursive-descent parser (operations, variables with defaults,
   * aliases, field arguments with Int/Float/String/Boolean/null/enum/
-  * list/object literals, nested selection sets; fragments and
-  * directives are rejected with a clear error), executes the resolvers,
+  * list/object literals, nested selection sets, named and inline
+  * fragments with type conditions, and `__typename`; directives are
+  * rejected with a clear error), executes the resolvers,
   * projects each result through the requested selection set, and
   * returns the spec's `{"data": ..., "errors": [...]}` envelope —
   * resolver failures are per-field GraphQL errors on a 200, only an
@@ -68,12 +69,18 @@ final class GraphqlApi(api: RestApi, version: String = "0.1.0") {
           return (400, mapper.writeValueAsString(
             errorEnvelope(s"invalid request: ${e.getMessage}")))
       }
+    val rootTpe = GraphqlApi.rootTypes(doc.op)
     val data = mapper.createObjectNode()
     val errors = mutable.Buffer.empty[String]
-    doc.selections.foreach { f =>
+    flattenTop(doc.selections, rootTpe).foreach { f =>
       try {
-        val resolved = resolve(doc.op, f, vars, doc.varDefs)
-        data.set[JsonNode](f.alias, project(resolved, f.sub))
+        if (f.name == "__typename")
+          data.put(f.alias, rootTpe)
+        else {
+          val resolved = resolve(doc.op, f, vars, doc.varDefs)
+          data.set[JsonNode](f.alias, project(resolved, f.sub,
+            GraphqlApi.fieldTypes.getOrElse((rootTpe, f.name), "")))
+        }
       } catch {
         case e: GqlError =>
           errors += e.message
@@ -150,8 +157,25 @@ final class GraphqlApi(api: RestApi, version: String = "0.1.0") {
   private def collNode(name: String, dims: Int, count: Long): ObjectNode = {
     val o = mapper.createObjectNode()
     o.put("name", name).put("dimensions", dims)
-    o.put("distanceFunction", api.collectionMetric(name).getOrElse(""))
+    o.put("distanceFunction",
+      enumMetric(api.collectionMetric(name).getOrElse("")))
     o.put("vectorCount", count).put("isEmpty", count == 0L)
+  }
+
+  /** The store keeps lowercase metric names; the reference Debug-formats
+    * its DistanceFunction enum into this field (graphql_api.rs:197-218
+    * over distance.rs:43-73), so reads render the enum spelling —
+    * matching createCollection's "Cosine" echo.
+    */
+  private def enumMetric(metric: String): String = metric match {
+    case "cosine"                                          => "Cosine"
+    case "cosine_normalized"                               => "CosineNormalized"
+    case "euclidean" | "l2"                                => "Euclidean"
+    case "dot" | "dot_product" | "inner" | "inner_product" => "DotProduct"
+    case "manhattan" | "l1" | "taxicab"                    => "Manhattan"
+    case "hamming"                                         => "Hamming"
+    case "chebyshev"                                       => "Chebyshev"
+    case other                                             => other.capitalize
   }
 
   private def qCollections(): ArrayNode = {
@@ -347,7 +371,13 @@ final class GraphqlApi(api: RestApi, version: String = "0.1.0") {
             case ("GET", "/graphql/sdl") => (200, GraphqlApi.sdl)
             case ("POST", _)             => handle(body)
             case (m, p) =>
-              (405, s"""{"errors":[{"message":"no route for $m $p"}]}""")
+              // build with the mapper: p is percent-decoded and must
+              // not be interpolated into a JSON literal (WebUi's 404
+              // lesson)
+              val o = mapper.createObjectNode()
+              o.putArray("errors").addObject()
+                .put("message", s"no route for $m $p")
+              (405, mapper.writeValueAsString(o))
           }
         val bytes = resp.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         ex.getResponseHeaders.add("Content-Type",
@@ -384,29 +414,84 @@ final class GraphqlApi(api: RestApi, version: String = "0.1.0") {
 
   // ------------------------------------------------------- projection
 
+  /** Flatten the operation's top-level selections to plain fields:
+    * inline fragments (including expanded named fragments) apply when
+    * their type condition matches the operation's root type or is
+    * absent, and are skipped otherwise.
+    */
+  private def flattenTop(sels: Seq[Selection],
+                         rootTpe: String): Seq[FieldSel] =
+    sels.flatMap {
+      case f: FieldSel => Seq(f)
+      case InlineFrag(onType, sub) =>
+        if (onType.forall(_ == rootTpe)) flattenTop(sub, rootTpe)
+        else Seq.empty
+      case FragSpread(n) => // parse() inlines every spread
+        throw GqlError(s"unexpanded fragment '$n'")
+    }
+
   /** Apply a selection set to a resolved node: empty set → whole node;
     * arrays project element-wise; unknown fields resolve to null (the
     * minimal executor does not re-validate against the SDL).
+    * `tpe` is the SDL object type being projected — it answers
+    * `__typename` and gates inline fragments' type conditions; where
+    * the executor cannot know the type (fields outside
+    * [[GraphqlApi.fieldTypes]]) `__typename` resolves to null,
+    * consistent with the no-revalidation stance above.
     */
-  private def project(node: JsonNode, sels: Seq[FieldSel]): JsonNode =
+  private def project(node: JsonNode, sels: Seq[Selection],
+                      tpe: String): JsonNode =
     if (sels.isEmpty || node == null || node.isNull) node
     else if (node.isArray) {
       import scala.jdk.CollectionConverters._
       val a = mapper.createArrayNode()
-      node.elements().asScala.foreach(e => a.add(project(e, sels)))
+      node.elements().asScala.foreach(e => a.add(project(e, sels, tpe)))
       a
     } else {
       val o = mapper.createObjectNode()
-      sels.foreach { s =>
-        val v = Option(node.get(s.name)).getOrElse(mapper.nullNode())
-        o.set[JsonNode](s.alias, project(v, s.sub))
-        ()
+      def emit(ss: Seq[Selection]): Unit = ss.foreach {
+        case s: FieldSel if s.name == "__typename" =>
+          if (tpe.nonEmpty) o.put(s.alias, tpe)
+          else o.set[JsonNode](s.alias, mapper.nullNode())
+          ()
+        case s: FieldSel =>
+          val v = Option(node.get(s.name)).getOrElse(mapper.nullNode())
+          o.set[JsonNode](s.alias, project(v, s.sub,
+            GraphqlApi.fieldTypes.getOrElse((tpe, s.name), "")))
+          ()
+        case InlineFrag(onType, sub) =>
+          if (onType.forall(_ == tpe)) emit(sub)
+        case FragSpread(n) =>
+          throw GqlError(s"unexpanded fragment '$n'")
       }
+      emit(sels)
       o
     }
 }
 
 object GraphqlApi {
+
+  /** Operation keyword → SDL root object type (`__typename` answer). */
+  val rootTypes: Map[String, String] = Map(
+    "query" -> "Query", "mutation" -> "Mutation",
+    "subscription" -> "Subscription")
+
+  /** (parent SDL type, field) → child SDL object type, for the object-
+    * valued fields of [[sdl]]. Scalar fields need no entry (projection
+    * never recurses into them); `SearchStreamEvent` is the documented
+    * materialized-subscription wrapper, not an SDL type.
+    */
+  val fieldTypes: Map[(String, String), String] = Map(
+    ("Query", "collections") -> "Collection",
+    ("Query", "collection") -> "Collection",
+    ("Query", "vector") -> "Vector",
+    ("Query", "search") -> "SearchResponse",
+    ("Query", "health") -> "HealthStatus",
+    ("Mutation", "createCollection") -> "Collection",
+    ("Mutation", "insertVector") -> "Vector",
+    ("Subscription", "searchStream") -> "SearchStreamEvent",
+    ("SearchResponse", "results") -> "SearchResult",
+    ("SearchStreamEvent", "result") -> "SearchResult")
 
   final case class GqlError(message: String) extends RuntimeException(message)
   final case class GqlParseError(message: String)
@@ -422,10 +507,23 @@ object GraphqlApi {
 
   final case class VarDef(name: String, tpe: String,
                           default: Option[JsonNode])
+
+  /** A selection-set entry: a field, a named-fragment spread (exists
+    * only between parse and expansion — [[parse]] inlines every spread
+    * into an [[InlineFrag]] carrying the fragment's type condition), or
+    * an inline fragment (`... on Type { ... }` / bare `... { ... }`).
+    */
+  sealed trait Selection
   final case class FieldSel(alias: String, name: String,
-                            args: Map[String, GVal], sub: Seq[FieldSel])
+                            args: Map[String, GVal],
+                            sub: Seq[Selection]) extends Selection
+  final case class FragSpread(name: String) extends Selection
+  final case class InlineFrag(onType: Option[String],
+                              sub: Seq[Selection]) extends Selection
+  final case class FragDef(name: String, onType: String,
+                           sub: Seq[Selection])
   final case class Document(op: String, varDefs: Seq[VarDef],
-                            selections: Seq[FieldSel])
+                            selections: Seq[Selection])
 
   // ---------------------------------------------------------------- lexer
 
@@ -473,7 +571,7 @@ object GraphqlApi {
       } else if ("{}()[]:$=!".indexOf(c) >= 0) {
         i += 1; Tok.Punct(c.toString)
       } else if (c == '.' && src.startsWith("...", i)) {
-        throw GqlParseError("fragments are not supported")
+        i += 3; Tok.Punct("...")
       } else if (c == '@') {
         throw GqlParseError("directives are not supported")
       } else throw GqlParseError(s"unexpected character '$c' at $i")
@@ -533,20 +631,39 @@ object GraphqlApi {
 
   // --------------------------------------------------------------- parser
 
-  /** Parse a GraphQL document: one or more operations; `operationName`
-    * picks among several, otherwise the document must contain exactly
-    * one. Shorthand `{ ... }` is an anonymous query.
+  /** Parse a GraphQL document: one or more operations plus named
+    * fragment definitions; `operationName` picks among several
+    * operations, otherwise the document must contain exactly one.
+    * Shorthand `{ ... }` is an anonymous query. Fragment spreads in the
+    * chosen operation are inlined here (undefined name or spread cycle
+    * → parse error), so executors only ever see fields and inline
+    * fragments.
     */
   def parse(src: String, operationName: Option[String] = None): Document = {
     val lx = new Lexer(src)
     val ops = mutable.Buffer.empty[(Option[String], Document)]
+    val frags = mutable.Map.empty[String, FragDef]
     var t = lx.peek()
     while (t != Tok.End) {
-      ops += parseOperation(lx)
+      t match {
+        case Tok.Name("fragment") =>
+          lx.next()
+          val name = parseName(lx)
+          if (name == "on")
+            throw GqlParseError("'on' is not a legal fragment name")
+          lx.next() match {
+            case Tok.Name("on") => ()
+            case other =>
+              throw GqlParseError(s"expected 'on' in fragment, got $other")
+          }
+          val onType = parseName(lx)
+          frags(name) = FragDef(name, onType, parseSelectionSet(lx))
+        case _ => ops += parseOperation(lx)
+      }
       t = lx.peek()
     }
     if (ops.isEmpty) throw GqlParseError("empty document")
-    operationName match {
+    val doc = operationName match {
       case Some(n) =>
         ops.find(_._1.contains(n)).map(_._2).getOrElse(
           throw GqlParseError(s"operation '$n' not found"))
@@ -556,7 +673,31 @@ object GraphqlApi {
             "multiple operations require operationName")
         ops.head._2
     }
+    doc.copy(selections =
+      expandSpreads(doc.selections, frags.toMap, Set.empty))
   }
+
+  /** Inline every named-fragment spread as an [[InlineFrag]] keeping
+    * the fragment's type condition; the executor then applies it only
+    * when the condition matches the runtime type (same rule as literal
+    * inline fragments).
+    */
+  private def expandSpreads(sels: Seq[Selection],
+                            frags: Map[String, FragDef],
+                            seen: Set[String]): Seq[Selection] =
+    sels.map {
+      case f: FieldSel =>
+        f.copy(sub = expandSpreads(f.sub, frags, seen))
+      case InlineFrag(onType, sub) =>
+        InlineFrag(onType, expandSpreads(sub, frags, seen))
+      case FragSpread(name) =>
+        if (seen.contains(name))
+          throw GqlParseError(s"fragment cycle involving '$name'")
+        val d = frags.getOrElse(name,
+          throw GqlParseError(s"fragment '$name' is not defined"))
+        InlineFrag(Some(d.onType),
+          expandSpreads(d.sub, frags, seen + name))
+    }
 
   private def parseOperation(lx: Lexer): (Option[String], Document) = {
     var op = "query"
@@ -614,21 +755,40 @@ object GraphqlApi {
     sb.toString
   }
 
-  private def parseSelectionSet(lx: Lexer): Seq[FieldSel] = {
+  private def parseSelectionSet(lx: Lexer): Seq[Selection] = {
     expect(lx, "{")
-    val fields = mutable.Buffer.empty[FieldSel]
+    val fields = mutable.Buffer.empty[Selection]
     while (lx.peek() != Tok.Punct("}")) {
-      val first = parseName(lx)
-      val (alias, name) =
-        if (lx.peek() == Tok.Punct(":")) { lx.next(); (first, parseName(lx)) }
-        else (first, first)
-      val args =
-        if (lx.peek() == Tok.Punct("(")) parseArgs(lx)
-        else Map.empty[String, GVal]
-      val sub =
-        if (lx.peek() == Tok.Punct("{")) parseSelectionSet(lx)
-        else Seq.empty
-      fields += FieldSel(alias, name, args, sub)
+      lx.peek() match {
+        case Tok.Punct("...") =>
+          lx.next()
+          lx.peek() match {
+            case Tok.Name("on") =>
+              lx.next()
+              fields += InlineFrag(Some(parseName(lx)),
+                parseSelectionSet(lx))
+            case Tok.Punct("{") => // type-condition-less inline fragment
+              fields += InlineFrag(None, parseSelectionSet(lx))
+            case Tok.Name(n) =>
+              lx.next(); fields += FragSpread(n)
+            case other =>
+              throw GqlParseError(s"expected a fragment after '...', " +
+                s"got $other")
+          }
+        case _ =>
+          val first = parseName(lx)
+          val (alias, name) =
+            if (lx.peek() == Tok.Punct(":")) {
+              lx.next(); (first, parseName(lx))
+            } else (first, first)
+          val args =
+            if (lx.peek() == Tok.Punct("(")) parseArgs(lx)
+            else Map.empty[String, GVal]
+          val sub =
+            if (lx.peek() == Tok.Punct("{")) parseSelectionSet(lx)
+            else Seq.empty[Selection]
+          fields += FieldSel(alias, name, args, sub)
+      }
     }
     expect(lx, "}")
     fields.toSeq

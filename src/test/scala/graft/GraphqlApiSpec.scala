@@ -69,8 +69,10 @@ class GraphqlApiSpec extends SparkSpec {
     val (_, one) = run(g,
       """{"query": "{ collection(name: \"docs\") { name dimensions distanceFunction } }"}""")
     assert(one.get("data").get("collection").get("dimensions").asInt() == 4)
+    // reads render the reference's Debug-enum spelling, matching the
+    // createCollection echo casing
     assert(one.get("data").get("collection")
-      .get("distanceFunction").asText() == "cosine")
+      .get("distanceFunction").asText() == "Cosine")
     val (_, none) = run(g,
       """{"query": "{ collection(name: \"ghost\") { name } }"}""")
     assert(none.get("data").get("collection").isNull)
@@ -175,11 +177,59 @@ class GraphqlApiSpec extends SparkSpec {
     val (st2, p) = run(g, """{"query": "{ unterminated "}""")
     assert(st2 == 400)
     assert(p.get("errors").get(0).get("message").asText().nonEmpty)
-    // fragments are rejected with a clear error
+    // an undefined fragment spread is a parse error
     val (st3, f) = run(g, """{"query": "{ ...frag }"}""")
     assert(st3 == 400)
     assert(f.get("errors").get(0).get("message").asText()
-      .contains("fragments"))
+      .contains("fragment 'frag' is not defined"))
+    // as is a fragment cycle
+    val (st4, cy) = run(g, """{"query":
+      "{ ...a } fragment a on Query { ...b } fragment b on Query { ...a }"}""")
+    assert(st4 == 400)
+    assert(cy.get("errors").get(0).get("message").asText()
+      .contains("cycle"))
+  }
+
+  test("standard-client prelude: __typename at every level, named " +
+      "fragments, and inline fragments gated on their type condition") {
+    val (g, _) = gql()
+    // __typename at the root and nested, alongside ordinary fields
+    val (st, r) = run(g, """{"query":
+      "{ __typename health { __typename healthy } search(input: {collection: \"docs\", vector: [1.0, 0.0, 0.0, 0.0], k: 1}) { __typename results { __typename id } } }"}""")
+    assert(st == 200 && r.get("errors") == null)
+    assert(r.get("data").get("__typename").asText() == "Query")
+    assert(r.get("data").get("health").get("__typename").asText()
+      == "HealthStatus")
+    assert(r.get("data").get("search").get("__typename").asText()
+      == "SearchResponse")
+    assert(r.get("data").get("search").get("results").get(0)
+      .get("__typename").asText() == "SearchResult")
+    assert(r.get("data").get("search").get("results").get(0)
+      .get("id").asText() == "v1")
+    // named fragment, defined after use, spread inside a field
+    val (_, fr) = run(g, """{"query":
+      "{ collection(name: \"docs\") { ...collFields } } fragment collFields on Collection { name dimensions }"}""")
+    assert(fr.get("errors") == null)
+    assert(fr.get("data").get("collection").get("name").asText() == "docs")
+    assert(fr.get("data").get("collection").get("dimensions").asInt() == 4)
+    // inline fragments: matching type condition applies, mismatched is
+    // skipped, condition-less applies
+    val (_, inl) = run(g, """{"query":
+      "{ health { ... on HealthStatus { healthy } ... on Collection { name } ... { collectionCount } } }"}""")
+    assert(inl.get("errors") == null)
+    val h = inl.get("data").get("health")
+    assert(h.get("healthy").asBoolean())
+    assert(!h.has("name")) // Collection condition skipped on HealthStatus
+    assert(h.get("collectionCount").asInt() == 1)
+    // fragment at the operation root (on Query)
+    val (_, rootFr) = run(g, """{"query":
+      "query Q { ...top } fragment top on Query { health { healthy } }"}""")
+    assert(rootFr.get("errors") == null)
+    assert(rootFr.get("data").get("health").get("healthy").asBoolean())
+    // mutation root __typename
+    val (_, mt) = run(g,
+      """{"query": "mutation { __typename deleteCollection(name: \"docs\") }"}""")
+    assert(mt.get("data").get("__typename").asText() == "Mutation")
   }
 
   test("serve hosts POST /graphql and GET /graphql/sdl over live HTTP") {
@@ -206,6 +256,12 @@ class GraphqlApiSpec extends SparkSpec {
       assert(h.get("healthy").asBoolean() && h.get("totalVectors").asLong() == 3L)
       val (st2, sdl) = http("GET", "/graphql/sdl")
       assert(st2 == 200 && sdl.contains("type Query"))
+      // 405 body stays valid JSON even when the decoded path carries
+      // JSON metacharacters
+      val (st3, notAllowed) = http("GET", "/graphql/%22")
+      assert(st3 == 405)
+      assert(mapper.readTree(notAllowed).get("errors").get(0)
+        .get("message").asText().contains("no route"))
     } finally server.stop(0)
   }
 
