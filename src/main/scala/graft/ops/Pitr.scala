@@ -122,9 +122,25 @@ object Pitr {
               n.get("sizeBytes").asLong()))
           }
         }
-      snapshots ++= loaded.sortBy(p => (p.timestampMs, p.id))
+      // Order by creation: same-millisecond snapshots carry a numeric
+      // `-{k}` collision suffix, which must sort numerically — a bare
+      // lexicographic id sort would put "snap-X-10" before "snap-X-2"
+      // and skew Latest/Timestamp resolution and FIFO retention after
+      // a restart.
+      snapshots ++= loaded.sortBy(p =>
+        (p.timestampMs, collisionSuffix(p), p.id))
       lastSnapshotAt = snapshots.lastOption.map(_.timestampMs)
       ()
+    }
+
+    /** The numeric `-{k}` suffix of a same-millisecond snapshot id
+      * (0 for the unsuffixed first snapshot of that millisecond).
+      */
+    private def collisionSuffix(p: RestorePoint): Int = {
+      val rest = p.id.stripPrefix(s"snap-${p.timestampMs}")
+      if (rest.startsWith("-"))
+        rest.drop(1).toIntOption.getOrElse(Int.MaxValue)
+      else 0
     }
 
     private def writeManifest(p: RestorePoint): Unit = {
@@ -147,10 +163,19 @@ object Pitr {
     def createSnapshot(label: String): RestorePoint = synchronized {
       val ts = now()
       val base = s"snap-$ts"
-      // Same-millisecond snapshots must not overwrite each other.
+      // Same-millisecond snapshots must not overwrite each other. The
+      // on-disk check matters too: a FIFO-pruned same-ms snapshot
+      // leaves the buffer but its data directory persists (left for
+      // external GC), and reusing its id would overwrite that data and
+      // break the numeric-suffix creation order that manifest reload
+      // depends on.
+      val (hfs, root) = fs()
       val id = Iterator.from(0)
         .map(k => if (k == 0) base else s"$base-$k")
-        .find(c => !snapshots.exists(_.id == c)).get
+        .find { c =>
+          !snapshots.exists(_.id == c) &&
+            !hfs.exists(new org.apache.hadoop.fs.Path(root, c))
+        }.get
       val names = listCollections()
       var totalVectors = 0L
       var totalBytes = 0L
