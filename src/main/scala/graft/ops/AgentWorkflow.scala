@@ -131,6 +131,11 @@ object AgentWorkflow {
 
     def registerAgent(role: String, contextWindow: Int = 0): String =
       synchronized {
+        // Deliberate divergence: the reference declares max_agents in
+        // its config but never enforces it, so its register path never
+        // throws for this reason. An unenforced cap is dead config;
+        // here it is a real limit (same stance as
+        // Transactions.begin's maxConcurrent).
         if (agents.size >= config.maxAgents)
           throw WorkflowError(s"Too many agents (max ${config.maxAgents})")
         val id = f"agent-$nextAgentId%04d"

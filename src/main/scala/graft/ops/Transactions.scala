@@ -126,6 +126,10 @@ object Transactions {
 
     def begin(): TxId = synchronized {
       gcTimedOut()
+      // Deliberate divergence: the reference declares max_concurrent in
+      // its config but never enforces it (vector_transactions.rs), so
+      // its begin() never throws for this reason. An unenforced cap is
+      // dead config; here it is a real limit.
       val active = txs.values.count(_.status == TxStatus.Active)
       if (active >= config.maxConcurrent)
         throw TxError(

@@ -99,10 +99,12 @@ object GovernanceQueries {
     // collection; the oracle replays the committed end state. The
     // all-or-nothing swap is spec-pinned (TransactionsSpec); this gate
     // pins the applied-operation semantics. The vector column is reduced
-    // to driver-safe scalars (dims + fixed-point content sum — the
-    // export_import_all fingerprint pattern): the harness's pandas sort
-    // cannot hash array cells, and every element here is an
-    // integer-valued f32, so the µ-precision sum is exact.
+    // to driver-safe scalars (dims + a position-weighted fixed-point
+    // sum, element i × (i+1), so [1,2] and [2,1] fingerprint
+    // differently): the harness's pandas sort cannot hash array cells,
+    // and every element here is an integer-valued f32, so the
+    // µ-precision weighted sum is exact. Vectors are 2-dim by
+    // construction in this gate, so the weights are written out.
     "txn_commit" -> Q(
       """WITH base AS (
         |  SELECT CAST(doc_id AS VARCHAR) AS id,
@@ -111,7 +113,8 @@ object GovernanceQueries {
         |  FROM documents WHERE doc_id < 50
         |)
         |SELECT id, len(vector) AS dims,
-        |       CAST(round(list_sum(CAST(vector AS DOUBLE[])) * 1048576)
+        |       CAST(round((CAST(vector[1] AS DOUBLE)
+        |                   + 2 * CAST(vector[2] AS DOUBLE)) * 1048576)
         |            AS BIGINT) AS vsum,
         |       metadata
         |FROM (
@@ -139,8 +142,8 @@ object GovernanceQueries {
       m.commit(tx)
       m.collection("docs")
         .select(col("id"), size(col("vector")).as("dims"),
-          expr("CAST(round(aggregate(vector, CAST(0 AS DOUBLE), " +
-            "(acc, x) -> acc + CAST(x AS DOUBLE)) * 1048576) AS BIGINT)")
+          expr("CAST(round((CAST(vector[0] AS DOUBLE) " +
+            "+ 2 * CAST(vector[1] AS DOUBLE)) * 1048576) AS BIGINT)")
             .as("vsum"),
           col("metadata"))
         .orderBy(col("id"))
@@ -149,17 +152,18 @@ object GovernanceQueries {
     // PITR round-trip (pitr_service.rs): snapshot → destructive
     // mutation → recover-to-named; the recovered state must equal the
     // pre-mutation collection exactly (the oracle replays it). Like
-    // txn_commit, the vector is fingerprinted to scalars (dims +
-    // µ-fixed-point sum) so the harness never sees an array cell; the
-    // elements are integer-valued f32s, so the sum is exact and the
-    // parquet round trip is proven bit-for-bit.
+    // txn_commit, the vector is fingerprinted to scalars (dims + the
+    // position-weighted µ-fixed-point sum, element i × (i+1)) so the
+    // harness never sees an array cell while permuted or compensated
+    // element changes still alter the fingerprint; the elements are
+    // integer-valued f32s, so the weighted sum is exact.
     "pitr_roundtrip" -> Q(
       """SELECT CAST(doc_id AS VARCHAR) AS id,
         |       len([CAST(n_chars AS FLOAT),
         |            CAST(doc_id % 5 AS FLOAT)]) AS dims,
-        |       CAST(round(list_sum(CAST([CAST(n_chars AS FLOAT),
-        |                                 CAST(doc_id % 5 AS FLOAT)]
-        |                           AS DOUBLE[])) * 1048576) AS BIGINT) AS vsum,
+        |       CAST(round((CAST(n_chars AS DOUBLE)
+        |                   + 2 * CAST(doc_id % 5 AS DOUBLE)) * 1048576)
+        |            AS BIGINT) AS vsum,
         |       lang AS metadata
         |FROM documents WHERE doc_id < 60 ORDER BY CAST(doc_id AS VARCHAR)"""
         .stripMargin
@@ -182,8 +186,8 @@ object GovernanceQueries {
       svc.recoverTo(RecoveryTarget.Named("before"))
       registry("docs")
         .select(col("id"), size(col("vector")).as("dims"),
-          expr("CAST(round(aggregate(vector, CAST(0 AS DOUBLE), " +
-            "(acc, x) -> acc + CAST(x AS DOUBLE)) * 1048576) AS BIGINT)")
+          expr("CAST(round((CAST(vector[0] AS DOUBLE) " +
+            "+ 2 * CAST(vector[1] AS DOUBLE)) * 1048576) AS BIGINT)")
             .as("vsum"),
           col("metadata"))
         .orderBy(col("id"))
