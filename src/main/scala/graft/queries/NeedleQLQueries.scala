@@ -116,5 +116,68 @@ object NeedleQLQueries {
       }.toDF("nl", "query_class", "complexity", "needleql", "quality",
         "n_hints", "n_suggestions", "check_passed")
     },
+
+    // Pinned twin of query_builder (the cf_recommend_fixed pattern): the
+    // collection profile is frozen to literals (2M vectors, one
+    // unindexed high-cardinality Num field, default index config), so
+    // the whole NL → intent → NeedleQL → hints/quality/suggestions
+    // pipeline is deterministic and the oracle replays the exact result
+    // set — full row/schema/hash gate, where the profile-derived twin
+    // above can only self-check.
+    "query_builder_fixed" -> Q(
+      """SELECT * FROM (VALUES
+        |  ('find vectors about spark streaming', 'semantic', 'simple',
+        |   'SELECT * FROM embeddings WHERE vector SIMILAR TO $query LIMIT 10',
+        |   CAST(0.9 AS DOUBLE), CAST(4 AS BIGINT), CAST(2 AS BIGINT)),
+        |  ('machine learning embedding tutorials', 'semantic', 'simple',
+        |   'SELECT * FROM embeddings WHERE vector SIMILAR TO $query LIMIT 10',
+        |   CAST(0.9 AS DOUBLE), CAST(4 AS BIGINT), CAST(2 AS BIGINT)),
+        |  ('find items with score greater than 50', 'hybrid', 'moderate',
+        |   'SELECT * FROM embeddings WHERE vector SIMILAR TO $query LIMIT 20',
+        |   CAST(1.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('show documents category technology with label greater than 3',
+        |   'hybrid', 'moderate',
+        |   'SELECT * FROM embeddings WHERE vector SIMILAR TO $query LIMIT 20',
+        |   CAST(1.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('how many vectors are there', 'aggregation', 'moderate',
+        |   'SELECT * FROM embeddings LIMIT 20',
+        |   CAST(0.9 AS DOUBLE), CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('count documents in the database', 'aggregation', 'moderate',
+        |   'SELECT * FROM embeddings LIMIT 20',
+        |   CAST(0.9 AS DOUBLE), CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('category news', 'metadata_only', 'simple',
+        |   'SELECT * FROM embeddings LIMIT 10',
+        |   CAST(1.0 AS DOUBLE), CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('type article', 'metadata_only', 'simple',
+        |   'SELECT * FROM embeddings LIMIT 10',
+        |   CAST(1.0 AS DOUBLE), CAST(2 AS BIGINT), CAST(0 AS BIGINT))
+        |) AS t(nl, query_class, complexity, needleql, quality,
+        |       n_hints, n_suggestions)
+        |ORDER BY nl""".stripMargin
+    ) { (s, _) =>
+      import s.implicits._
+      import graft.needleql.{QueryBuilder => QB}
+      val profile = QB.CollectionProfile("embeddings", dimensions = 64,
+        vectorCount = 2000000L,
+        metadataFields = Seq(QB.FieldProfile("label", QB.FieldType.Num,
+          cardinality = 5000L, indexed = false,
+          sampleValues = Seq("1", "2", "3"))))
+      val cases = Seq(
+        "find vectors about spark streaming",
+        "machine learning embedding tutorials",
+        "find items with score greater than 50",
+        "show documents category technology with label greater than 3",
+        "how many vectors are there",
+        "count documents in the database",
+        "category news",
+        "type article")
+      cases.map { nl =>
+        val r = QB.build(profile, nl)
+        (nl, r.analysis.queryClass, r.analysis.complexity, r.needleql,
+          math.rint(r.qualityScore * 1e6) / 1e6,
+          r.optimizationHints.size.toLong, r.suggestions.size.toLong)
+      }.toDF("nl", "query_class", "complexity", "needleql", "quality",
+        "n_hints", "n_suggestions").orderBy(col("nl"))
+    },
   )
 }
