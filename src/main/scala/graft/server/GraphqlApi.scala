@@ -22,8 +22,9 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   * recursive-descent parser (operations, variables with defaults,
   * aliases, field arguments with Int/Float/String/Boolean/null/enum/
   * list/object literals, nested selection sets, named and inline
-  * fragments with type conditions, and `__typename`; directives are
-  * rejected with a clear error), executes the resolvers,
+  * fragments with type conditions, `__typename`, and `__schema` /
+  * `__type` introspection built from the SDL's type table; directives
+  * are rejected with a clear error), executes the resolvers,
   * projects each result through the requested selection set, and
   * returns the spec's `{"data": ..., "errors": [...]}` envelope —
   * resolver failures are per-field GraphQL errors on a 200, only an
@@ -123,6 +124,9 @@ final class GraphqlApi(api: RestApi, version: String = "0.1.0") {
         qVector(req("collection").asText(), req("id").asText())
       case ("query", "search")       => qSearch(req("input"))._1
       case ("query", "health")       => qHealth()
+      case ("query", "__schema")     => GraphqlApi.introspectionSchema
+      case ("query", "__type") =>
+        GraphqlApi.introspectionType(req("name").asText())
       case ("mutation", "createCollection") => mCreateCollection(req("input"))
       case ("mutation", "insertVector")     => mInsertVector(req("input"))
       case ("mutation", "deleteVector") =>
@@ -491,11 +495,180 @@ object GraphqlApi {
     ("Mutation", "insertVector") -> "Vector",
     ("Subscription", "searchStream") -> "SearchStreamEvent",
     ("SearchResponse", "results") -> "SearchResult",
-    ("SearchStreamEvent", "result") -> "SearchResult")
+    ("SearchStreamEvent", "result") -> "SearchResult",
+    // introspection meta-types, so __typename and nested projection
+    // type correctly inside __schema / __type results
+    ("Query", "__schema") -> "__Schema",
+    ("Query", "__type") -> "__Type",
+    ("__Schema", "queryType") -> "__Type",
+    ("__Schema", "mutationType") -> "__Type",
+    ("__Schema", "subscriptionType") -> "__Type",
+    ("__Schema", "types") -> "__Type",
+    ("__Schema", "directives") -> "__Directive",
+    ("__Type", "fields") -> "__Field",
+    ("__Type", "inputFields") -> "__InputValue",
+    ("__Type", "interfaces") -> "__Type",
+    ("__Type", "possibleTypes") -> "__Type",
+    ("__Type", "enumValues") -> "__EnumValue",
+    ("__Type", "ofType") -> "__Type",
+    ("__Field", "args") -> "__InputValue",
+    ("__Field", "type") -> "__Type",
+    ("__InputValue", "type") -> "__Type",
+    ("__Directive", "args") -> "__InputValue")
 
   final case class GqlError(message: String) extends RuntimeException(message)
   final case class GqlParseError(message: String)
     extends RuntimeException(message)
+
+  // -------------------------------------------------------- introspection
+
+  /** `__schema` / `__type` support, built from the same type table the
+    * SDL declares, so stock clients (GraphiQL, Apollo) can load the
+    * schema over the wire instead of the out-of-band `/graphql/sdl`
+    * endpoint. Standard introspection queries arrive full of named
+    * fragments and `__typename` — both handled by the executor above.
+    * Minimal by design: the `types` list carries the SDL's types and
+    * scalars (not the `__*` meta-types), `directives` is empty, and
+    * descriptions/deprecations are null — the SDL defines none.
+    */
+  private val scalarNames = Set("String", "Int", "Float", "Boolean")
+
+  // (type, fields = (name, args = (argName, typeRef), returns typeRef))
+  private val objectTypeDefs: Seq[(String, Seq[(String, Seq[(String, String)], String)])] = Seq(
+    "Query" -> Seq(
+      ("collections", Nil, "[Collection!]!"),
+      ("collection", Seq("name" -> "String!"), "Collection"),
+      ("vector", Seq("collection" -> "String!", "id" -> "String!"),
+        "Vector"),
+      ("search", Seq("input" -> "SearchInput!"), "SearchResponse!"),
+      ("health", Nil, "HealthStatus!")),
+    "Mutation" -> Seq(
+      ("createCollection", Seq("input" -> "CreateCollectionInput!"),
+        "Collection!"),
+      ("insertVector", Seq("input" -> "InsertVectorInput!"), "Vector!"),
+      ("deleteVector", Seq("collection" -> "String!", "id" -> "String!"),
+        "Boolean!"),
+      ("deleteCollection", Seq("name" -> "String!"), "Boolean!"),
+      ("save", Nil, "Boolean!")),
+    "Subscription" -> Seq(
+      ("searchStream", Seq("input" -> "SearchInput!"), "SearchResult!")),
+    "Collection" -> Seq(
+      ("name", Nil, "String!"), ("dimensions", Nil, "Int!"),
+      ("distanceFunction", Nil, "String!"), ("vectorCount", Nil, "Int!"),
+      ("isEmpty", Nil, "Boolean!")),
+    "Vector" -> Seq(
+      ("id", Nil, "String!"), ("vector", Nil, "[Float!]!"),
+      ("metadata", Nil, "String"), ("collection", Nil, "String!")),
+    "SearchResult" -> Seq(
+      ("id", Nil, "String!"), ("distance", Nil, "Float!"),
+      ("metadata", Nil, "String"), ("collection", Nil, "String!")),
+    "SearchResponse" -> Seq(
+      ("results", Nil, "[SearchResult!]!"), ("total", Nil, "Int!"),
+      ("queryTimeUs", Nil, "Int!"), ("collection", Nil, "String!")),
+    "HealthStatus" -> Seq(
+      ("healthy", Nil, "Boolean!"), ("version", Nil, "String!"),
+      ("collectionCount", Nil, "Int!"), ("totalVectors", Nil, "Int!"),
+      ("uptime", Nil, "String!")))
+
+  private val inputTypeDefs: Seq[(String, Seq[(String, String)])] = Seq(
+    "CreateCollectionInput" -> Seq("name" -> "String!",
+      "dimensions" -> "Int!", "distanceFunction" -> "String"),
+    "InsertVectorInput" -> Seq("collection" -> "String!",
+      "id" -> "String!", "vector" -> "[Float!]!", "metadata" -> "String"),
+    "SearchInput" -> Seq("collection" -> "String!",
+      "vector" -> "[Float!]!", "k" -> "Int", "filter" -> "String",
+      "includeMetadata" -> "Boolean", "efSearch" -> "Int"))
+
+  private val introMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** "[Float!]!" → the introspection NON_NULL/LIST/named chain. */
+  private def typeRefNode(ref: String): ObjectNode = {
+    val o = introMapper.createObjectNode()
+    if (ref.endsWith("!")) {
+      o.put("kind", "NON_NULL")
+      o.set[JsonNode]("name", introMapper.nullNode())
+      o.set[JsonNode]("ofType", typeRefNode(ref.dropRight(1)))
+    } else if (ref.startsWith("[")) {
+      o.put("kind", "LIST")
+      o.set[JsonNode]("name", introMapper.nullNode())
+      o.set[JsonNode]("ofType", typeRefNode(ref.drop(1).dropRight(1)))
+    } else {
+      o.put("kind",
+        if (scalarNames.contains(ref)) "SCALAR"
+        else if (inputTypeDefs.exists(_._1 == ref)) "INPUT_OBJECT"
+        else "OBJECT")
+      o.put("name", ref)
+      o.set[JsonNode]("ofType", introMapper.nullNode())
+    }
+    o
+  }
+
+  private def inputValueNode(name: String, ref: String): ObjectNode = {
+    val o = introMapper.createObjectNode()
+    o.put("name", name)
+    o.set[JsonNode]("description", introMapper.nullNode())
+    o.set[JsonNode]("type", typeRefNode(ref))
+    o.set[JsonNode]("defaultValue", introMapper.nullNode())
+    o
+  }
+
+  private def fullTypeNode(name: String): ObjectNode = {
+    val o = introMapper.createObjectNode()
+    o.put("name", name)
+    o.set[JsonNode]("description", introMapper.nullNode())
+    Seq("fields", "inputFields", "interfaces", "enumValues",
+      "possibleTypes").foreach(k =>
+      o.set[JsonNode](k, introMapper.nullNode()))
+    if (scalarNames.contains(name)) { o.put("kind", "SCALAR"); return o }
+    inputTypeDefs.find(_._1 == name) match {
+      case Some((_, fields)) =>
+        o.put("kind", "INPUT_OBJECT")
+        val ia = introMapper.createArrayNode()
+        fields.foreach { case (f, ref) => ia.add(inputValueNode(f, ref)) }
+        o.set[JsonNode]("inputFields", ia)
+        return o
+      case None => ()
+    }
+    o.put("kind", "OBJECT")
+    o.set[JsonNode]("interfaces", introMapper.createArrayNode())
+    val fa = introMapper.createArrayNode()
+    objectTypeDefs.find(_._1 == name).foreach { case (_, fields) =>
+      fields.foreach { case (f, args, ret) =>
+        val fo = fa.addObject()
+        fo.put("name", f)
+        fo.set[JsonNode]("description", introMapper.nullNode())
+        val aa = introMapper.createArrayNode()
+        args.foreach { case (a, ref) => aa.add(inputValueNode(a, ref)) }
+        fo.set[JsonNode]("args", aa)
+        fo.set[JsonNode]("type", typeRefNode(ret))
+        fo.put("isDeprecated", false)
+        fo.set[JsonNode]("deprecationReason", introMapper.nullNode())
+        ()
+      }
+    }
+    o.set[JsonNode]("fields", fa)
+    o
+  }
+
+  /** The `__schema` resolution — built once, projected per request. */
+  lazy val introspectionSchema: ObjectNode = {
+    val o = introMapper.createObjectNode()
+    o.set[JsonNode]("queryType", fullTypeNode("Query"))
+    o.set[JsonNode]("mutationType", fullTypeNode("Mutation"))
+    o.set[JsonNode]("subscriptionType", fullTypeNode("Subscription"))
+    val ta = introMapper.createArrayNode()
+    (objectTypeDefs.map(_._1) ++ inputTypeDefs.map(_._1) ++
+      scalarNames.toSeq.sorted).foreach(n => ta.add(fullTypeNode(n)))
+    o.set[JsonNode]("types", ta)
+    o.set[JsonNode]("directives", introMapper.createArrayNode())
+    o
+  }
+
+  /** `__type(name:)` — null for unknown names, like any nullable read. */
+  def introspectionType(name: String): JsonNode =
+    if (scalarNames.contains(name) || inputTypeDefs.exists(_._1 == name) ||
+        objectTypeDefs.exists(_._1 == name)) fullTypeNode(name)
+    else introMapper.nullNode()
 
   // ------------------------------------------------------------- document
 

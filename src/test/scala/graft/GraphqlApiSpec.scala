@@ -232,6 +232,70 @@ class GraphqlApiSpec extends SparkSpec {
     assert(mt.get("data").get("__typename").asText() == "Mutation")
   }
 
+  test("introspection: __schema/__type answer the stock-client opening " +
+      "query (fragments + deep ofType recursion, the GraphiQL shape)") {
+    val (g, _) = gql()
+    // the standard introspection prelude: named fragments over __Type
+    val doc = ("query IntrospectionQuery { __schema { queryType { name } " +
+      "mutationType { name } subscriptionType { name } " +
+      "types { ...FullType } directives { name args { ...InputValue } } } } " +
+      "fragment FullType on __Type { kind name fields { name " +
+      "args { ...InputValue } type { ...TypeRef } isDeprecated } " +
+      "inputFields { ...InputValue } } " +
+      "fragment InputValue on __InputValue { name type { ...TypeRef } " +
+      "defaultValue } " +
+      "fragment TypeRef on __Type { kind name ofType { kind name " +
+      "ofType { kind name ofType { kind name } } } }")
+    val body = mapper.createObjectNode()
+    body.put("query", doc).put("operationName", "IntrospectionQuery")
+    val (st, r) = run(g, mapper.writeValueAsString(body))
+    assert(st == 200 && r.get("errors") == null)
+    val sch = r.get("data").get("__schema")
+    assert(sch.get("queryType").get("name").asText() == "Query")
+    assert(sch.get("mutationType").get("name").asText() == "Mutation")
+    assert(sch.get("subscriptionType").get("name").asText() == "Subscription")
+    import scala.jdk.CollectionConverters._
+    val types = sch.get("types").elements().asScala.toSeq
+    val names = types.map(_.get("name").asText())
+    // every SDL type + scalar is listed
+    Seq("Query", "Mutation", "Subscription", "Collection", "Vector",
+      "SearchResult", "SearchResponse", "HealthStatus",
+      "CreateCollectionInput", "InsertVectorInput", "SearchInput",
+      "String", "Int", "Float", "Boolean").foreach(n =>
+      assert(names.contains(n), s"missing type $n"))
+    // the NON_NULL(LIST(NON_NULL(Collection))) chain of Query.collections
+    val q = types.find(_.get("name").asText() == "Query").get
+    val collsField = q.get("fields").elements().asScala
+      .find(_.get("name").asText() == "collections").get
+    val t1 = collsField.get("type")
+    assert(t1.get("kind").asText() == "NON_NULL")
+    assert(t1.get("ofType").get("kind").asText() == "LIST")
+    assert(t1.get("ofType").get("ofType").get("kind").asText() == "NON_NULL")
+    assert(t1.get("ofType").get("ofType").get("ofType").get("name")
+      .asText() == "Collection")
+    // input type carries inputFields, object types carry null there
+    val si = types.find(_.get("name").asText() == "SearchInput").get
+    assert(si.get("kind").asText() == "INPUT_OBJECT")
+    assert(si.get("inputFields").elements().asScala
+      .map(_.get("name").asText()).toSet ==
+      Set("collection", "vector", "k", "filter", "includeMetadata",
+        "efSearch"))
+    assert(q.get("inputFields").isNull)
+    // __type by name, with __typename; unknown name → null, no error
+    val (_, one) = run(g, """{"query":
+      "{ __type(name: \"Vector\") { __typename kind name fields { name } } }"}""")
+    val vt = one.get("data").get("__type")
+    assert(vt.get("__typename").asText() == "__Type")
+    assert(vt.get("kind").asText() == "OBJECT")
+    assert(vt.get("fields").elements().asScala
+      .map(_.get("name").asText()).toSeq ==
+      Seq("id", "vector", "metadata", "collection"))
+    val (_, none) = run(g,
+      """{"query": "{ __type(name: \"Ghost\") { name } }"}""")
+    assert(none.get("data").get("__type").isNull)
+    assert(none.get("errors") == null)
+  }
+
   test("serve hosts POST /graphql and GET /graphql/sdl over live HTTP") {
     val (g, _) = gql()
     val server = g.serve(0)
