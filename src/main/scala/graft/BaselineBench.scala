@@ -60,6 +60,20 @@ object BaselineBench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BASE_OUT",
       "bench_history/baseline_shape_r06.json")
 
+    // Fail fast on an undersized driver heap: the 1M×384 shape OOMs a
+    // 24g driver mid-run (r11 lost a cycle to this), and run_main.sh
+    // defaults to 24g. LocalServe + the packed IVF blocks need the
+    // whole snapshot resident, so demand the known-good floor up front
+    // instead of dying 20 minutes in.
+    if (n * dims >= 128_000_000L &&
+        Runtime.getRuntime.maxMemory < 48L * 1024 * 1024 * 1024) {
+      System.err.println(
+        s"[baseline] driver heap ${Runtime.getRuntime.maxMemory >> 30} GiB " +
+          s"is below the floor for the ${n / 1000}k x $dims shape; run as: " +
+          "SPARK_DRIVER_MEM=64g tools/run_main.sh graft.BaselineBench")
+      sys.exit(2)
+    }
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
