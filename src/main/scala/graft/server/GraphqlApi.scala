@@ -101,6 +101,50 @@ final class GraphqlApi(api: RestApi, version: String = "0.1.0") {
     (200, mapper.writeValueAsString(out))
   }
 
+  /** Subscription delivery as server-sent events (the graphql-sse
+    * single-connection shape): when the document's operation is a
+    * subscription, returns the per-event `next` payloads — each one a
+    * spec envelope `{"data": {<alias>: <one event>}}` — in stream
+    * order; the caller appends the `complete` frame. None when the
+    * operation is not a subscription (fall back to the single-response
+    * path). The events still come from one materialized search (the
+    * engine's top-k is a single pass by nature); what this adds over
+    * [[handle]] is per-event framing, so a client sees event k before
+    * event k+1 is serialized. Parse errors raise GqlParseError exactly
+    * as [[handle]]'s 400 path; resolver errors yield one
+    * `{"errors": [...]}` payload.
+    */
+  def subscriptionSseFrames(body: String): Option[Seq[String]] = {
+    val req = mapper.readTree(body)
+    val q = Option(req.get("query")).filterNot(_.isNull).map(_.asText())
+      .getOrElse(throw GqlParseError("missing \"query\""))
+    val vars = Option(req.get("variables")).filterNot(_.isNull)
+      .getOrElse(mapper.createObjectNode())
+    val opName = Option(req.get("operationName")).filterNot(_.isNull)
+      .map(_.asText())
+    val doc = parse(q, opName)
+    if (doc.op != "subscription") return None
+    val fields = flattenTop(doc.selections, "Subscription")
+    Some(fields.flatMap { f =>
+      try {
+        val events = resolve(doc.op, f, vars, doc.varDefs)
+        val tpe = GraphqlApi.fieldTypes.getOrElse(("Subscription", f.name), "")
+        import scala.jdk.CollectionConverters._
+        events.elements().asScala.map { e =>
+          val env = mapper.createObjectNode()
+          env.putObject("data").set[JsonNode](f.alias, project(e, f.sub, tpe))
+          mapper.writeValueAsString(env)
+        }.toSeq
+      } catch {
+        case e: Exception =>
+          val env = mapper.createObjectNode()
+          env.putArray("errors").addObject()
+            .put("message", String.valueOf(e.getMessage))
+          Seq(mapper.writeValueAsString(env))
+      }
+    })
+  }
+
   private def errorEnvelope(message: String): ObjectNode = {
     val out = mapper.createObjectNode()
     out.set[JsonNode]("data", mapper.nullNode())
@@ -370,26 +414,51 @@ final class GraphqlApi(api: RestApi, version: String = "0.1.0") {
       (ex: com.sun.net.httpserver.HttpExchange) => {
         val body = new String(ex.getRequestBody.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)
-        val (status, resp) =
-          (ex.getRequestMethod, ex.getRequestURI.getPath) match {
-            case ("GET", "/graphql/sdl") => (200, GraphqlApi.sdl)
-            case ("POST", _)             => handle(body)
-            case (m, p) =>
-              // build with the mapper: p is percent-decoded and must
-              // not be interpolated into a JSON literal (WebUi's 404
-              // lesson)
-              val o = mapper.createObjectNode()
-              o.putArray("errors").addObject()
-                .put("message", s"no route for $m $p")
-              (405, mapper.writeValueAsString(o))
-          }
-        val bytes = resp.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        ex.getResponseHeaders.add("Content-Type",
-          if (ex.getRequestURI.getPath.endsWith("/sdl")) "text/plain"
-          else "application/json")
-        ex.sendResponseHeaders(status, bytes.length)
-        ex.getResponseBody.write(bytes)
-        ex.close()
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        // graphql-sse: a subscription POSTed with Accept:
+        // text/event-stream streams one `next` frame per event (flushed
+        // individually, so event k is on the wire before k+1 is
+        // serialized) and a terminal `complete` frame
+        val wantsSse = ex.getRequestMethod == "POST" &&
+          Option(ex.getRequestHeaders.getFirst("Accept"))
+            .exists(_.contains("text/event-stream"))
+        val sseFrames =
+          if (!wantsSse) None
+          else try subscriptionSseFrames(body)
+          catch { case _: Exception => None } // 400 via the normal path
+        sseFrames match {
+          case Some(frames) =>
+            ex.getResponseHeaders.add("Content-Type", "text/event-stream")
+            ex.sendResponseHeaders(200, 0) // chunked
+            val out = ex.getResponseBody
+            frames.foreach { f =>
+              out.write(s"event: next\ndata: $f\n\n".getBytes(utf8))
+              out.flush()
+            }
+            out.write("event: complete\ndata:\n\n".getBytes(utf8))
+            ex.close()
+          case None =>
+            val (status, resp) =
+              (ex.getRequestMethod, ex.getRequestURI.getPath) match {
+                case ("GET", "/graphql/sdl") => (200, GraphqlApi.sdl)
+                case ("POST", _)             => handle(body)
+                case (m, p) =>
+                  // build with the mapper: p is percent-decoded and
+                  // must not be interpolated into a JSON literal
+                  // (WebUi's 404 lesson)
+                  val o = mapper.createObjectNode()
+                  o.putArray("errors").addObject()
+                    .put("message", s"no route for $m $p")
+                  (405, mapper.writeValueAsString(o))
+              }
+            val bytes = resp.getBytes(utf8)
+            ex.getResponseHeaders.add("Content-Type",
+              if (ex.getRequestURI.getPath.endsWith("/sdl")) "text/plain"
+              else "application/json")
+            ex.sendResponseHeaders(status, bytes.length)
+            ex.getResponseBody.write(bytes)
+            ex.close()
+        }
       })
     server.start()
     server

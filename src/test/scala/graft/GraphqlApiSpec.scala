@@ -329,6 +329,47 @@ class GraphqlApiSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("subscription over SSE: Accept: text/event-stream streams one " +
+      "next frame per event plus a complete frame; queries fall through " +
+      "to the single JSON response") {
+    val (g, _) = gql()
+    val sub = """subscription { searchStream(input: {collection: "docs", vector: [1.0, 0.0, 0.0, 0.0], k: 2}) { sequence isLast result { id } } }"""
+    val frames = g.subscriptionSseFrames(
+      mapper.writeValueAsString(mapper.createObjectNode().put("query", sub)))
+    assert(frames.isDefined && frames.get.size == 2)
+    val f0 = mapper.readTree(frames.get.head)
+    assert(f0.get("data").get("searchStream").get("sequence").asInt() == 0)
+    assert(f0.get("data").get("searchStream").get("result")
+      .get("id").asText() == "v1")
+    val f1 = mapper.readTree(frames.get(1))
+    assert(f1.get("data").get("searchStream").get("isLast").asBoolean())
+    // a query document is not a subscription: no SSE frames
+    assert(g.subscriptionSseFrames(
+      """{"query": "{ health { healthy } }"}""").isEmpty)
+    // live HTTP: the wire format carries next/complete event frames
+    val server = g.serve(0)
+    try {
+      val conn = new java.net.URL(
+        s"http://127.0.0.1:${server.getAddress.getPort}/graphql")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setRequestProperty("Accept", "text/event-stream")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(mapper.writeValueAsString(
+        mapper.createObjectNode().put("query", sub)).getBytes("UTF-8"))
+      assert(conn.getResponseCode == 200)
+      assert(conn.getHeaderField("Content-Type")
+        .contains("text/event-stream"))
+      val text = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      assert(text.split("event: next", -1).length - 1 == 2)
+      assert(text.contains("event: complete"))
+      // frames are well-formed data lines
+      val data0 = text.linesIterator.find(_.startsWith("data: {")).get
+      assert(mapper.readTree(data0.drop(6)).get("data")
+        .get("searchStream").get("sequence").asInt() == 0)
+    } finally server.stop(0)
+  }
+
   test("fuzz contract: hostile/random documents never escape the error " +
       "envelope — every response is valid JSON with status 200 or 400") {
     val (g, _) = gql()

@@ -58,7 +58,10 @@ class PlanAuditSpec extends SparkSpec {
     "rag_chunks", "txn_commit",
     // round-11: the recovered-state projection reads the snapshot
     // parquet back through one scan + project + sort
-    "pitr_roundtrip")
+    "pitr_roundtrip",
+    // round-12: the pinned query-builder twin is a driver-local literal
+    // frame + sort — no joins by construction
+    "query_builder_fixed")
 
   // allowed a bounded broadcast nested loop — a 1-ROW broadcast frame
   // (BM25's (n, avgdl) corpus stats, the dedup gates' planted-pair count,
