@@ -100,10 +100,21 @@ object Branching {
     private def mutate(name: String, change: DataFrame): Unit = {
       val l = layer(name)
       if (l.frozen) throw new BranchError(s"Branch '$name' is frozen")
-      // within a layer the LAST change per id wins: compact on write
+      // within a layer the LAST change per id wins: compact on write —
+      // including WITHIN the incoming batch (the reference's per-doc
+      // HashMap loop gives a same-id repeat in one batch last-wins
+      // semantics; without this a duplicated id leaves two layer rows
+      // and resolve() emits the id twice). The window is keyed by id,
+      // so the dedup shuffles the delta batch only, never the corpus.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol)).orderBy(col("__seq").desc)
+      val compacted = change
+        .withColumn("__seq", monotonically_increasing_id())
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__seq", "__rn")
       l.changes = l.changes
-        .join(change.select(col(idCol)), Seq(idCol), "left_anti")
-        .unionByName(change)
+        .join(compacted.select(col(idCol)), Seq(idCol), "left_anti")
+        .unionByName(compacted)
         .localCheckpoint(true) // bound lineage across mutations
     }
 
