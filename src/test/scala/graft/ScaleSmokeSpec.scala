@@ -494,4 +494,44 @@ class ScaleSmokeSpec extends SparkSpec {
     val want = (0L until 300000L).map(i => i % 251 + i % 983).sum
     assert(vsum == want)
   }
+
+  test("COW branching: a 16-deep branch chain over 100k rows resolves " +
+      "correctly with layer-sized deltas and no cartesian in the plan") {
+    import graft.ops.Branching._
+    import spark.implicits._
+    val base = spark.range(100000)
+      .select(col("id").cast("string").as("id"),
+        lit(0).as("v"), concat(lit("s"), col("id") % 5).as("s"))
+    val tree = new BranchTree(base)
+    // chain main -> b1 -> ... -> b16; each layer overrides 100 ids with
+    // its depth marker and tombstones 10 ids from a disjoint range
+    (1 to 16).foreach { i =>
+      val parent = if (i == 1) "main" else s"b${i - 1}"
+      tree.createBranch(s"b$i", parent)
+      val ups = (0 until 100)
+        .map(j => ((i * 1000 + j).toString, i, s"d$i")).toDF("id", "v", "s")
+      tree.upsert(s"b$i", ups)
+      tree.delete(s"b$i", (0 until 10).map(j => (90000 + i * 10 + j).toString))
+    }
+    val leaf = tree.resolve("b16")
+    // every layer's tombstones mask; every layer's overrides win
+    assert(leaf.count() == 100000L - 16 * 10)
+    val v5050 = leaf.filter(col("id") === "5050").head()
+    assert(v5050.getInt(1) == 5 && v5050.getString(2) == "d5")
+    // a mid-chain branch sees only its ancestry's changes
+    val mid = tree.resolve("b8")
+    assert(mid.filter(col("id") === "8000").head().getInt(1) == 8)
+    assert(mid.filter(col("id") === "9000").head().getInt(1) == 0)
+    assert(mid.filter(col("id") === "12000").head().getInt(1) == 0)
+    assert(mid.count() == 100000L - 8 * 10)
+    // LIVE ancestry: a later write to main is visible at the leaf
+    tree.upsert("main", Seq(("99999", 42, "late")).toDF("id", "v", "s"))
+    assert(tree.resolve("b16").filter(col("id") === "99999")
+      .head().getInt(1) == 42)
+    // the 17-layer fold plans as anti-joins + unions, never a cartesian
+    val plan = tree.resolve("b16").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // layers hold deltas only (110 changes each), not corpus copies
+    assert(tree.branchInfo("b16").get.changeCount == 110L)
+  }
 }
