@@ -104,17 +104,19 @@ object Branching {
       // including WITHIN the incoming batch (the reference's per-doc
       // HashMap loop gives a same-id repeat in one batch last-wins
       // semantics; without this a duplicated id leaves two layer rows
-      // and resolve() emits the id twice). The window is keyed by id,
-      // so the dedup shuffles the delta batch only, never the corpus.
+      // and resolve() emits the id twice). One id-keyed window over the
+      // union does both the batch-internal and batch-vs-layer
+      // compaction — same single shuffle the old anti-join form paid.
+      // Old layer rows ride at __seq = -1 (the layer invariant is one
+      // row per id, so -1 never ties); batch rows get increasing
+      // nonnegative seqs, so the newest occurrence wins everywhere.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(idCol)).orderBy(col("__seq").desc)
-      val compacted = change
-        .withColumn("__seq", monotonically_increasing_id())
+      l.changes = l.changes.withColumn("__seq", lit(-1L))
+        .unionByName(change.withColumn("__seq",
+          monotonically_increasing_id()))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__seq", "__rn")
-      l.changes = l.changes
-        .join(compacted.select(col(idCol)), Seq(idCol), "left_anti")
-        .unionByName(compacted)
         .localCheckpoint(true) // bound lineage across mutations
     }
 
