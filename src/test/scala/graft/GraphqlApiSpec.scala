@@ -232,6 +232,26 @@ class GraphqlApiSpec extends SparkSpec {
     assert(mt.get("data").get("__typename").asText() == "Mutation")
   }
 
+  test("variables referenced inside fragment bodies coerce against the " +
+      "operation's definitions; aliases survive fragment expansion") {
+    val (g, _) = gql()
+    // the fragment uses $n and an alias; expansion must keep both wired
+    // to the selecting operation's variable definitions
+    val doc = """query Q($n: String! = \"docs\") { ...pick } fragment pick on Query { c: collection(name: $n) { name } }"""
+    val (_, a) = run(g, s"""{"query": "$doc"}""")
+    assert(a.get("errors") == null)
+    assert(a.get("data").get("c").get("name").asText() == "docs")
+    val (_, b) = run(g,
+      s"""{"query": "$doc", "variables": {"n": "ghost"}}""")
+    assert(b.get("data").get("c").isNull)
+    // a fragment shared by two operations resolves per-operation vars
+    val two = """query A($n: String! = \"docs\") { ...pick } query B($n: String! = \"ghost\") { ...pick } fragment pick on Query { c: collection(name: $n) { name } }"""
+    val (_, ra) = run(g, s"""{"query": "$two", "operationName": "A"}""")
+    assert(ra.get("data").get("c").get("name").asText() == "docs")
+    val (_, rb) = run(g, s"""{"query": "$two", "operationName": "B"}""")
+    assert(rb.get("data").get("c").isNull)
+  }
+
   test("introspection: __schema/__type answer the stock-client opening " +
       "query (fragments + deep ofType recursion, the GraphiQL shape)") {
     val (g, _) = gql()
