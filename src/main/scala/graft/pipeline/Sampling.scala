@@ -19,11 +19,12 @@ import org.apache.spark.sql.functions._
   *   - split/sample/stratified: narrow per-row expressions (plus a
   *     per-stratum bounded window for stratified) — scan-speed at 100 TB;
   *   - shuffleRank/packSequential define a GLOBAL order. The window form
-  *     is the semantics oracle; `packSequentialScalable` is the
-  *     distributed two-phase prefix-sum (range partition → per-partition
-  *     window → driver-side partition-offset scan, #partitions rows on
-  *     the driver) that computes the identical assignment without a
-  *     single-partition window.
+  *     is the semantics oracle; `packSequentialScalable` and
+  *     `shuffleRankScalable` are the distributed two-phase prefix-sum
+  *     twins (range partition → per-partition window → driver-side
+  *     partition-offset scan, #partitions rows on the driver) that
+  *     compute the identical assignment without a single-partition
+  *     window. Both twins have 100k-row row-identical equivalence specs.
   */
 object Sampling {
 
@@ -128,15 +129,53 @@ object Sampling {
     * independent permutation per epoch — the standard trick for
     * reproducible training-order shuffling.
     *
-    * The global window is the oracle form; at scale, sort by the same hash
-    * key (`repartitionByRange` + local sort) instead of materializing the
-    * rank — the ORDER is what training consumes, the rank column is for
-    * verification.
+    * The global window is the oracle form; `shuffleRankScalable` below
+    * computes the identical positions with a range partition + partition
+    * offsets instead of a single-partition sort.
     */
   def shuffleRank(df: DataFrame, idCol: Column, seed: String): DataFrame = {
     val key = md5(concat(lit(seed + ":"), idCol.cast("string")).cast("binary"))
     df.withColumn("pos",
       row_number().over(Window.orderBy(key, idCol)).cast("long"))
+  }
+
+  /** Distributed form of `shuffleRank`: range-partition on the seeded hash
+    * key (so partition p holds a contiguous key range below partition p+1),
+    * rank within each partition, then shift by the cumulative counts of the
+    * earlier partitions (collected to the driver — #partitions rows,
+    * bounded). Output is row-identical to `shuffleRank` — same `pos` for
+    * every id — with no single-partition global sort anywhere in the plan.
+    *
+    * The input is pinned with persist(): the per-partition counts and the
+    * final ranking pass must see the same range partitioning.
+    */
+  def shuffleRankScalable(df: DataFrame, idColName: String, seed: String,
+                          numPartitions: Int = 32): DataFrame = {
+    val key = md5(concat(lit(seed + ":"),
+      col(idColName).cast("string")).cast("binary"))
+    val parted = df
+      .withColumn("__key", key)
+      .repartitionByRange(numPartitions, col("__key"), col(idColName))
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    try {
+      val counts = parted.groupBy(col("__pid")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val offsets: Map[Int, Long] = {
+        val sortedPids = counts.keys.toSeq.sorted
+        sortedPids.zip(sortedPids.scanLeft(0L)((acc, p) => acc + counts(p))).toMap
+      }
+      val offsetCol = coalesce(
+        element_at(typedLit(offsets), col("__pid")), lit(0L))
+      val within = row_number().over(
+        Window.partitionBy(col("__pid"))
+          .orderBy(col("__key"), col(idColName)))
+      val out = parted
+        .withColumn("pos", (offsetCol + within).cast("long"))
+        .drop("__key", "__pid")
+      // materialize before unpersist so callers get a computed plan
+      out.localCheckpoint(true)
+    } finally parted.unpersist()
   }
 
   /** Sequential packing: documents in `idCol` order are concatenated and cut

@@ -382,6 +382,22 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(scalable.agg(max("window_id")).head().getLong(0) > 5000L)
   }
 
+  test("scalable epoch shuffle at 100k rows matches the window form") {
+    val big = spark.range(100000).select(col("id")).repartition(8)
+    val scalable = graft.pipeline.Sampling
+      .shuffleRankScalable(big, "id", "epoch7", numPartitions = 16)
+    val oracle = graft.pipeline.Sampling
+      .shuffleRank(big, col("id"), "epoch7")
+    // row-identical: every id gets the same global position
+    assert(scalable.select("id", "pos")
+      .except(oracle.select("id", "pos")).count() == 0)
+    assert(oracle.select("id", "pos")
+      .except(scalable.select("id", "pos")).count() == 0)
+    // and it really is a permutation of 1..n
+    assert(scalable.agg(max("pos")).head().getLong(0) == 100000L)
+    assert(scalable.select("pos").distinct().count() == 100000L)
+  }
+
   test("governance ops at 300k rows: RBAC read prunes scan-side, " +
       "metadata diff joins without driver maps, RAG chunking explodes " +
       "narrowly") {
