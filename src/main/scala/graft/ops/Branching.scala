@@ -110,6 +110,19 @@ object Branching {
       // Old layer rows ride at __seq = -1 (the layer invariant is one
       // row per id, so -1 never ties); batch rows get increasing
       // nonnegative seqs, so the newest occurrence wins everywhere.
+      //
+      // ORDERING CONTRACT: "last occurrence" is the batch's PHYSICAL
+      // (partition-index, row-offset) order — that is what
+      // monotonically_increasing_id encodes. For a locally built or
+      // chunk-parallelized frame physical order IS logical row order
+      // (matching the reference's document-order HashMap loop, pinned
+      // by BranchingModelSpec); for a batch that is itself the output
+      // of a shuffle there is no logical row order to honor, and the
+      // winner is whatever the (deterministic) physical layout puts
+      // last — stable across runs for deterministic inputs (pinned by
+      // the multi-partition model-spec case), but callers that care
+      // which duplicate wins should sort/coalesce the batch, or
+      // pre-compact it, before upsert.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(idCol)).orderBy(col("__seq").desc)
       l.changes = l.changes.withColumn("__seq", lit(-1L))
@@ -120,7 +133,9 @@ object Branching {
         .localCheckpoint(true) // bound lineage across mutations
     }
 
-    /** Upsert rows (payload schema of `initial`) into a branch's layer. */
+    /** Upsert rows (payload schema of `initial`) into a branch's layer.
+      * Duplicate ids within one batch compact last-occurrence-wins in the
+      * batch's physical row order — see the contract on `mutate`. */
     def upsert(name: String, rows: DataFrame): this.type = {
       mutate(name, rows.withColumn("__op", lit("upsert"))); this
     }

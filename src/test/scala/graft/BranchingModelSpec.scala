@@ -180,4 +180,39 @@ class BranchingModelSpec extends SparkSpec {
       assert(liveBranches.size >= 2 && merges >= 3)
       assert(conflictsSeen + frozenRejections > 0)
     }
+
+  test("upsert ordering contract: locally built batches compact in " +
+      "logical row order; a multi-partition shuffled batch compacts " +
+      "deterministically across runs") {
+    val seedRows = Seq(("d0", 0, "s0"))
+    // (a) locally built duplicate-id batch: LAST logical row wins, exactly
+    // like the reference's document-order HashMap loop
+    val local = new BranchTree(seedRows.toDF("id", "v", "s"))
+    local.upsert("main", Seq(
+      ("d1", 1, "first"), ("d2", 2, "x"), ("d1", 3, "second"),
+      ("d1", 4, "third")).toDF("id", "v", "s"))
+    val got = local.resolve("main").collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(got("d1") == ((4, "third")), s"logical last must win: $got")
+    assert(local.branchInfo("main").get.changeCount == 3L) // seed d0 + d1 + d2
+
+    // (b) a batch that went through a shuffle has no logical row order;
+    // the contract is a DETERMINISTIC physical-order winner: the same
+    // repartitioned batch upserted into two fresh trees resolves
+    // identically, with one layer row per id
+    def shuffledBatch = (0 until 40)
+      .map(i => (s"d${i % 5}", i, s"s$i")).toDF("id", "v", "s")
+      .repartition(4)
+    def runOnce(): Map[String, (Int, String)] = {
+      val t = new BranchTree(seedRows.toDF("id", "v", "s"))
+      t.upsert("main", shuffledBatch)
+      assert(t.branchInfo("main").get.changeCount == 5L) // one row per d0..d4
+      t.resolve("main").collect()
+        .map(r => r.getString(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    }
+    val a = runOnce()
+    val b = runOnce()
+    assert(a == b, s"shuffled-batch winner must be run-stable:\n$a\n$b")
+    assert(a.keySet == Set("d0", "d1", "d2", "d3", "d4"))
+  }
 }
