@@ -26,6 +26,11 @@ import org.apache.spark.sql.functions._
   */
 object LocalServe {
 
+  /** Driver-memory ceiling for the in-process serving tier; REST index
+    * builds guard against the same bound before their snapshot sort.
+    */
+  val DefaultMaxRows: Long = 2000000L
+
   /** Per-cell flat arrays, driver-resident. `cellPayload` holds one long
     * attribute per row when built with `payloadCol` (for filtered point
     * queries), empty otherwise. `tombstones` marks logically-deleted ids
@@ -55,7 +60,7 @@ object LocalServe {
     */
   def fromIndex(ix: Ivf.Index, idCol: String = "id",
                 vecCol: String = "vector",
-                maxRows: Long = 2000000L,
+                maxRows: Long = DefaultMaxRows,
                 payloadCol: Option[String] = None): LocalIndex = {
     val n = ix.assigned.count()
     require(n <= maxRows,

@@ -168,6 +168,7 @@ object CrossCollection {
             how: Merge = Merge.MinScore, idCol: String = "id",
             rrfK: Double = 60.0): DataFrame = {
     val tagged = collections.map { case (name, df) =>
+      graft.internal.Guards.requireKBounded(df, s"CrossCollection.merge($name)")
       df.select(col(idCol).as("id"), col("distance"),
         lit(name).as("collection"),
         row_number().over(

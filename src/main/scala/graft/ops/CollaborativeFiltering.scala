@@ -5,6 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Distances
+import graft.internal.Guards
 
 /** Embedded collaborative filtering (reference:
   * src/experimental/collaborative_filtering.rs — interaction weights
@@ -43,15 +44,26 @@ object CollaborativeFiltering {
           maxIter: Int = 10, seed: Long = 42L): Model = {
     val agg = interactions.groupBy(col(userCol), col(itemCol))
       .agg(sum(col(weightCol)).as("weight"))
+      .persist()
     // Dense integer ids for ALS via a global rank over the distinct id
     // sets. This single-partition numbering is fine to ~10⁷ distinct ids;
     // beyond that real deployments already store dense integer ids (or
     // assign them once with zipWithIndex at ingest) — the factorization
-    // itself is MLlib's block-partitioned solver either way.
-    val users = agg.select(col(userCol).cast("string").as("u")).distinct()
+    // itself is MLlib's block-partitioned solver either way. fit() is a
+    // batch entry point that materializes `agg` anyway, so the bound is
+    // an executable count guard, not a comment (the serving-path guards
+    // are static — see graft.internal.Guards).
+    val uBase = agg.select(col(userCol).cast("string").as("u")).distinct()
+    val iBase = agg.select(col(itemCol).cast("string").as("it")).distinct()
+    val (nU, nI) = (uBase.count(), iBase.count())
+    require(nU <= Guards.MaxGlobalWindowRows && nI <= Guards.MaxGlobalWindowRows,
+      s"CollaborativeFiltering.fit: $nU users / $nI items exceed the dense " +
+        s"id-numbering bound (${Guards.MaxGlobalWindowRows}); assign dense " +
+        "integer ids at ingest for catalogs this large")
+    val users = uBase
       .withColumn("uid", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("u"))) - 1)
-    val items = agg.select(col(itemCol).cast("string").as("it")).distinct()
+    val items = iBase
       .withColumn("iid", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("it"))) - 1)
     val ratings = agg
@@ -70,7 +82,10 @@ object CollaborativeFiltering {
     val itf = model.itemFactors
       .join(items, col("id") === col("iid"))
       .select(col("it").as("item"), col("features"))
-    Model(uf.cache(), itf.cache(), rank)
+    val out = Model(uf.cache(), itf.cache(), rank)
+    out.userFactors.count(); out.itemFactors.count() // pin before unpersist
+    agg.unpersist()
+    out
   }
 
   private def dot(a: Column, b: Column): Column =

@@ -42,6 +42,7 @@ object Extras {
   def ensembleRerank(members: Seq[(DataFrame, Double)], k: Int,
                      rrfK: Double = 60.0): DataFrame = {
     val ranked = members.zipWithIndex.map { case ((df, w), i) =>
+      graft.internal.Guards.requireKBounded(df, s"ensembleRerank(member $i)")
       df.select(col("id"),
         (lit(w) / (lit(rrfK) + row_number().over(
           Window.orderBy(col("score").desc, col("id").asc))))

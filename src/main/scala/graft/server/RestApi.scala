@@ -427,7 +427,16 @@ class RestApi(spark: SparkSession) {
     val nprobe = boundedInt(req, "nprobe",
       default = math.max(1, numCells / 4), max = numCells)
     import org.apache.spark.sql.expressions.Window
-    val snap = liveRows(c).select(col("id"), col("vector"))
+    val live = liveRows(c).select(col("id"), col("vector"))
+    // executable form of the serving-tier bound: the snapshot sort below
+    // and the driver-local index both assume a small collection — refuse
+    // BEFORE the single-partition window, mirroring LocalServe.fromIndex
+    val nLive = live.count()
+    Predef.require(nLive <= graft.ann.LocalServe.DefaultMaxRows,
+      s"build_index('$name'): $nLive rows exceeds the in-process serving " +
+        s"bound (${graft.ann.LocalServe.DefaultMaxRows}); use " +
+        "Ivf.batchSearchPacked for collections this large")
+    val snap = live
       .withColumn("__sid",
         row_number().over(Window.orderBy(col("id"))).cast("long") - 1)
       .localCheckpoint(false) // one stable snapshot feeds build + mapping

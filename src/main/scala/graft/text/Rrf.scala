@@ -29,12 +29,18 @@ object Rrf {
 
   /** Fuse a vector result (id, distance — ascending better) with a BM25
     * result (id, score — descending better). Rank ties break by id so the
-    * fusion is deterministic across partitionings.
+    * fusion is deterministic across partitionings. Both legs carry the
+    * static candidate-list guard (graft.internal.Guards.requireKBounded) —
+    * a frame statically bigger than the global-window bound is rejected
+    * at plan time.
     */
-  def fuse(vector: DataFrame, bm25: DataFrame, config: Config = Config.default,
+  def fuse(vector: DataFrame, bm25: DataFrame,
+           config: Config = Config.default,
            limit: Int = 10, idCol: String = "id",
            distanceCol: String = "distance",
            scoreCol: String = "score"): DataFrame = {
+    graft.internal.Guards.requireKBounded(vector, "Rrf.fuse(vector)")
+    graft.internal.Guards.requireKBounded(bm25, "Rrf.fuse(bm25)")
     val vRanked = vector.select(
       col(idCol).as("id"),
       col(distanceCol).as("__dist"),

@@ -139,4 +139,57 @@ class PlanAuditSpec extends SparkSpec {
         .queryExecution.executedPlan.toString
       assert(!plan.contains("hashpartitioning"), s"$name: $plan")
     }
+
+  // the "k-bounded candidate list" contracts on the unpartitioned-ranking
+  // fusion sites are executable: a frame Catalyst statically knows to
+  // exceed the global-window bound is rejected at plan time (zero runtime
+  // cost); the engine's own limit-terminated shapes pass
+  test("k-bounded guards: statically oversized candidate frames rejected " +
+      "at Rrf.fuse / ensembleRerank / CrossCollection.merge; " +
+      "limit-bounded shapes pass") {
+    import org.apache.spark.sql.functions._
+    import graft.internal.Guards
+    val big = spark.range(Guards.MaxGlobalWindowRows + 1).select(
+      col("id").cast("string").as("id"),
+      col("id").cast("double").as("distance"),
+      col("id").cast("double").as("score"))
+    // the mechanism itself: Catalyst statically bounds range→project
+    assert(big.queryExecution.analyzed.maxRows
+      .contains(Guards.MaxGlobalWindowRows + 1))
+    intercept[IllegalArgumentException](graft.text.Rrf.fuse(big, big.limit(10)))
+    intercept[IllegalArgumentException](graft.text.Rrf.fuse(big.limit(10), big))
+    intercept[IllegalArgumentException](
+      graft.ops.Extras.ensembleRerank(Seq((big, 1.0)), 5))
+    intercept[IllegalArgumentException](
+      graft.ops.CrossCollection.merge(Seq("a" -> big), 5))
+    // limit-terminated candidate lists — the engine's own call shape
+    val fused = graft.text.Rrf.fuse(
+      big.limit(100).select("id", "distance"),
+      big.limit(100).select("id", "score"))
+    assert(fused.columns.contains("rrf_score"))
+    assert(fused.count() == 10)
+  }
+
+  // CrossModal's per-modality window rides post-limit frames by
+  // construction: the fused result of a search over an unbounded-size
+  // modality table is STATICALLY bounded by lists × perModalityK, and the
+  // per-modality top-k plans as TakeOrderedAndProject, not a global sort
+  test("crossModal search output is statically k-bounded; per-modality " +
+      "top-k is TakeOrderedAndProject") {
+    import org.apache.spark.sql.functions._
+    val table = spark.range(100000).select(
+      col("id").cast("string").as("id"),
+      array((col("id") % 7 + 1).cast("float"),
+        (col("id") % 5 + 1).cast("float")).as("vector"))
+    val eng = new graft.ops.CrossModal.Engine(
+      Seq(graft.ops.CrossModal.Modality("text", table, 2),
+        graft.ops.CrossModal.Modality("image", table, 2)),
+      perModalityK = 10)
+    val res = eng.search(spark, Array(1f, 2f), Seq("text", "image"), k = 5)
+    assert(res.queryExecution.analyzed.maxRows.exists(_ <= 20L),
+      s"fused frame must be statically bounded: " +
+        s"${res.queryExecution.analyzed.maxRows}")
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
