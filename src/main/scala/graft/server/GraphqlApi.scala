@@ -22,9 +22,10 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   * recursive-descent parser (operations, variables with defaults,
   * aliases, field arguments with Int/Float/String/Boolean/null/enum/
   * list/object literals, nested selection sets, named and inline
-  * fragments with type conditions, `__typename`, and `__schema` /
-  * `__type` introspection built from the SDL's type table; directives
-  * are rejected with a clear error), executes the resolvers,
+  * fragments with type conditions, `__typename`, `@skip`/`@include`
+  * evaluated against variables, and `__schema` / `__type`
+  * introspection built from the SDL's type table; any other directive
+  * is rejected with a clear error), executes the resolvers,
   * projects each result through the requested selection set, and
   * returns the spec's `{"data": ..., "errors": [...]}` envelope —
   * resolver failures are per-field GraphQL errors on a 200, only an
@@ -62,7 +63,11 @@ final class GraphqlApi(api: RestApi, version: String = "0.1.0") {
           .getOrElse(mapper.createObjectNode())
         val opName = Option(req.get("operationName")).filterNot(_.isNull)
           .map(_.asText())
-        (parse(q, opName), vars)
+        val d = parse(q, opName)
+        // @skip/@include need the variables — still the request-error
+        // phase, so a bad `if` is a 400 like any validation failure
+        (d.copy(selections =
+          applyDirectives(d.selections, vars, d.varDefs)), vars)
       } catch {
         case e: GqlParseError =>
           return (400, mapper.writeValueAsString(errorEnvelope(e.message)))
@@ -109,10 +114,12 @@ final class GraphqlApi(api: RestApi, version: String = "0.1.0") {
     * operation is not a subscription (fall back to the single-response
     * path). The events still come from one materialized search (the
     * engine's top-k is a single pass by nature); what this adds over
-    * [[handle]] is per-event framing, so a client sees event k before
-    * event k+1 is serialized. Parse errors raise GqlParseError exactly
-    * as [[handle]]'s 400 path; resolver errors yield one
-    * `{"errors": [...]}` payload.
+    * [[handle]] is per-event framing: every frame is resolved and
+    * serialized before the server writes the first byte, then written
+    * and flushed individually, so a consumer processes event k without
+    * waiting for the rest of the batch to arrive. Parse errors raise
+    * GqlParseError exactly as [[handle]]'s 400 path; resolver errors
+    * yield one `{"errors": [...]}` payload.
     */
   def subscriptionSseFrames(body: String): Option[Seq[String]] = {
     val req = mapper.readTree(body)
@@ -122,11 +129,19 @@ final class GraphqlApi(api: RestApi, version: String = "0.1.0") {
       .getOrElse(mapper.createObjectNode())
     val opName = Option(req.get("operationName")).filterNot(_.isNull)
       .map(_.asText())
-    val doc = parse(q, opName)
-    if (doc.op != "subscription") return None
+    val doc0 = parse(q, opName)
+    if (doc0.op != "subscription") return None
+    val doc = doc0.copy(selections =
+      applyDirectives(doc0.selections, vars, doc0.varDefs))
     val fields = flattenTop(doc.selections, "Subscription")
     Some(fields.flatMap { f =>
-      try {
+      if (f.name == "__typename") {
+        // mirror handle(): the root meta-field answers the root type,
+        // as one data frame
+        val env = mapper.createObjectNode()
+        env.putObject("data").put(f.alias, "Subscription")
+        Seq(mapper.writeValueAsString(env))
+      } else try {
         val events = resolve(doc.op, f, vars, doc.varDefs)
         val tpe = GraphqlApi.fieldTypes.getOrElse(("Subscription", f.name), "")
         import scala.jdk.CollectionConverters._
@@ -416,9 +431,9 @@ final class GraphqlApi(api: RestApi, version: String = "0.1.0") {
           java.nio.charset.StandardCharsets.UTF_8)
         val utf8 = java.nio.charset.StandardCharsets.UTF_8
         // graphql-sse: a subscription POSTed with Accept:
-        // text/event-stream streams one `next` frame per event (flushed
-        // individually, so event k is on the wire before k+1 is
-        // serialized) and a terminal `complete` frame
+        // text/event-stream streams one `next` frame per event (frames
+        // are materialized up front, then written and flushed one at a
+        // time) and a terminal `complete` frame
         val wantsSse = ex.getRequestMethod == "POST" &&
           Option(ex.getRequestHeaders.getFirst("Accept"))
             .exists(_.contains("text/event-stream"))
@@ -496,11 +511,40 @@ final class GraphqlApi(api: RestApi, version: String = "0.1.0") {
                          rootTpe: String): Seq[FieldSel] =
     sels.flatMap {
       case f: FieldSel => Seq(f)
-      case InlineFrag(onType, sub) =>
+      case InlineFrag(onType, sub, _) =>
         if (onType.forall(_ == rootTpe)) flattenTop(sub, rootTpe)
         else Seq.empty
-      case FragSpread(n) => // parse() inlines every spread
+      case FragSpread(n, _) => // parse() inlines every spread
         throw GqlError(s"unexpanded fragment '$n'")
+    }
+
+  /** Evaluate `@skip`/`@include` against the request's variables and
+    * drop the selections they exclude (spec: excluded when any
+    * `@skip(if:)` is true or any `@include(if:)` is false); runs once,
+    * before execution, so resolvers and projection never see
+    * directives. A missing or non-boolean `if` is a request error.
+    */
+  private def applyDirectives(sels: Seq[Selection], vars: JsonNode,
+                              defs: Seq[VarDef]): Seq[Selection] =
+    sels.flatMap { s =>
+      val dirs = s match {
+        case f: FieldSel   => f.dirs
+        case f: InlineFrag => f.dirs
+        case f: FragSpread => f.dirs
+      }
+      val keep = dirs.forall { d =>
+        val cond = d.args.get("if").map(coerce(_, vars, defs)).getOrElse(
+          throw GqlParseError(s"@${d.name} requires an 'if' argument"))
+        if (!cond.isBoolean)
+          throw GqlParseError(s"@${d.name}(if:) must be a Boolean")
+        if (d.name == "skip") !cond.asBoolean() else cond.asBoolean()
+      }
+      if (!keep) Seq.empty
+      else Seq(s match {
+        case f: FieldSel   => f.copy(sub = applyDirectives(f.sub, vars, defs))
+        case f: InlineFrag => f.copy(sub = applyDirectives(f.sub, vars, defs))
+        case f: FragSpread => f
+      })
     }
 
   /** Apply a selection set to a resolved node: empty set → whole node;
@@ -532,9 +576,9 @@ final class GraphqlApi(api: RestApi, version: String = "0.1.0") {
           o.set[JsonNode](s.alias, project(v, s.sub,
             GraphqlApi.fieldTypes.getOrElse((tpe, s.name), "")))
           ()
-        case InlineFrag(onType, sub) =>
+        case InlineFrag(onType, sub, _) =>
           if (onType.forall(_ == tpe)) emit(sub)
-        case FragSpread(n) =>
+        case FragSpread(n, _) =>
           throw GqlError(s"unexpanded fragment '$n'")
       }
       emit(sels)
@@ -597,8 +641,10 @@ object GraphqlApi {
     * endpoint. Standard introspection queries arrive full of named
     * fragments and `__typename` — both handled by the executor above.
     * Minimal by design: the `types` list carries the SDL's types and
-    * scalars (not the `__*` meta-types), `directives` is empty, and
-    * descriptions/deprecations are null — the SDL defines none.
+    * scalars (not the `__*` meta-types), `directives` advertises the
+    * two executable directives the server evaluates (`@skip` /
+    * `@include`), and descriptions/deprecations are null — the SDL
+    * defines none.
     */
   private val scalarNames = Set("String", "Int", "Float", "Boolean")
 
@@ -729,7 +775,23 @@ object GraphqlApi {
     (objectTypeDefs.map(_._1) ++ inputTypeDefs.map(_._1) ++
       scalarNames.toSeq.sorted).foreach(n => ta.add(fullTypeNode(n)))
     o.set[JsonNode]("types", ta)
-    o.set[JsonNode]("directives", introMapper.createArrayNode())
+    val da = introMapper.createArrayNode()
+    Seq(
+      "skip" -> "Directs the executor to skip this field or fragment when the `if` argument is true.",
+      "include" -> "Directs the executor to include this field or fragment only when the `if` argument is true.")
+      .foreach { case (n, desc) =>
+        val d = da.addObject()
+        d.put("name", n)
+        d.put("description", desc)
+        val locs = d.putArray("locations")
+        Seq("FIELD", "FRAGMENT_SPREAD", "INLINE_FRAGMENT")
+          .foreach(l => locs.add(l))
+        val aa = introMapper.createArrayNode()
+        aa.add(inputValueNode("if", "Boolean!"))
+        d.set[JsonNode]("args", aa)
+        ()
+      }
+    o.set[JsonNode]("directives", da)
     o
   }
 
@@ -754,14 +816,21 @@ object GraphqlApi {
     * only between parse and expansion — [[parse]] inlines every spread
     * into an [[InlineFrag]] carrying the fragment's type condition), or
     * an inline fragment (`... on Type { ... }` / bare `... { ... }`).
+    * Each carries its `@skip`/`@include` directives (the only ones the
+    * parser accepts), evaluated against the request's variables before
+    * execution.
     */
   sealed trait Selection
+  final case class Directive(name: String, args: Map[String, GVal])
   final case class FieldSel(alias: String, name: String,
                             args: Map[String, GVal],
-                            sub: Seq[Selection]) extends Selection
-  final case class FragSpread(name: String) extends Selection
+                            sub: Seq[Selection],
+                            dirs: Seq[Directive] = Nil) extends Selection
+  final case class FragSpread(name: String,
+                              dirs: Seq[Directive] = Nil) extends Selection
   final case class InlineFrag(onType: Option[String],
-                              sub: Seq[Selection]) extends Selection
+                              sub: Seq[Selection],
+                              dirs: Seq[Directive] = Nil) extends Selection
   final case class FragDef(name: String, onType: String,
                            sub: Seq[Selection])
   final case class Document(op: String, varDefs: Seq[VarDef],
@@ -815,7 +884,7 @@ object GraphqlApi {
       } else if (c == '.' && src.startsWith("...", i)) {
         i += 3; Tok.Punct("...")
       } else if (c == '@') {
-        throw GqlParseError("directives are not supported")
+        i += 1; Tok.Punct("@")
       } else throw GqlParseError(s"unexpected character '$c' at $i")
     }
 
@@ -898,7 +967,7 @@ object GraphqlApi {
             case other =>
               throw GqlParseError(s"expected 'on' in fragment, got $other")
           }
-          val onType = parseName(lx)
+          val onType = parseTypeCondition(lx)
           frags(name) = FragDef(name, onType, parseSelectionSet(lx))
         case _ => ops += parseOperation(lx)
       }
@@ -930,15 +999,15 @@ object GraphqlApi {
     sels.map {
       case f: FieldSel =>
         f.copy(sub = expandSpreads(f.sub, frags, seen))
-      case InlineFrag(onType, sub) =>
-        InlineFrag(onType, expandSpreads(sub, frags, seen))
-      case FragSpread(name) =>
+      case InlineFrag(onType, sub, dirs) =>
+        InlineFrag(onType, expandSpreads(sub, frags, seen), dirs)
+      case FragSpread(name, dirs) => // the spread's directives ride along
         if (seen.contains(name))
           throw GqlParseError(s"fragment cycle involving '$name'")
         val d = frags.getOrElse(name,
           throw GqlParseError(s"fragment '$name' is not defined"))
         InlineFrag(Some(d.onType),
-          expandSpreads(d.sub, frags, seen + name))
+          expandSpreads(d.sub, frags, seen + name), dirs)
     }
 
   private def parseOperation(lx: Lexer): (Option[String], Document) = {
@@ -1007,12 +1076,16 @@ object GraphqlApi {
           lx.peek() match {
             case Tok.Name("on") =>
               lx.next()
-              fields += InlineFrag(Some(parseName(lx)),
-                parseSelectionSet(lx))
+              val cond = parseTypeCondition(lx)
+              val dirs = parseDirectives(lx)
+              fields += InlineFrag(Some(cond), parseSelectionSet(lx), dirs)
             case Tok.Punct("{") => // type-condition-less inline fragment
               fields += InlineFrag(None, parseSelectionSet(lx))
+            case Tok.Punct("@") => // bare inline fragment with directives
+              val dirs = parseDirectives(lx)
+              fields += InlineFrag(None, parseSelectionSet(lx), dirs)
             case Tok.Name(n) =>
-              lx.next(); fields += FragSpread(n)
+              lx.next(); fields += FragSpread(n, parseDirectives(lx))
             case other =>
               throw GqlParseError(s"expected a fragment after '...', " +
                 s"got $other")
@@ -1026,15 +1099,56 @@ object GraphqlApi {
           val args =
             if (lx.peek() == Tok.Punct("(")) parseArgs(lx)
             else Map.empty[String, GVal]
+          val dirs = parseDirectives(lx)
           val sub =
             if (lx.peek() == Tok.Punct("{")) parseSelectionSet(lx)
             else Seq.empty[Selection]
-          fields += FieldSel(alias, name, args, sub)
+          fields += FieldSel(alias, name, args, sub, dirs)
       }
     }
     expect(lx, "}")
     fields.toSeq
   }
+
+  /** The two spec-required executable directives, in their three legal
+    * locations (field, fragment spread, inline fragment). Anything else
+    * keeps the pre-directive clear rejection; argument values (incl.
+    * `$variables`) are recorded here and evaluated per-request by the
+    * executor's [[GraphqlApi]] directive pass.
+    */
+  private def parseDirectives(lx: Lexer): Seq[Directive] = {
+    val out = mutable.Buffer.empty[Directive]
+    while (lx.peek() == Tok.Punct("@")) {
+      lx.next()
+      val name = parseName(lx)
+      if (name != "skip" && name != "include")
+        throw GqlParseError(
+          s"unsupported directive '@$name' (only @skip and @include)")
+      val args =
+        if (lx.peek() == Tok.Punct("(")) parseArgs(lx)
+        else Map.empty[String, GVal]
+      out += Directive(name, args)
+    }
+    out.toSeq
+  }
+
+  /** Fragment type conditions must name a known object type (SDL or
+    * introspection meta-type) — GraphQL validation rejects unknown or
+    * non-composite condition types rather than silently dropping the
+    * fragment's fields.
+    */
+  private def parseTypeCondition(lx: Lexer): String = {
+    val name = parseName(lx)
+    if (!typeConditionNames.contains(name))
+      throw GqlParseError(
+        s"unknown type '$name' in fragment type condition")
+    name
+  }
+
+  private lazy val typeConditionNames: Set[String] =
+    objectTypeDefs.map(_._1).toSet ++ Set("SearchStreamEvent",
+      "__Schema", "__Type", "__Field", "__InputValue", "__EnumValue",
+      "__Directive")
 
   private def parseArgs(lx: Lexer): Map[String, GVal] = {
     expect(lx, "(")

@@ -390,6 +390,97 @@ class GraphqlApiSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("@skip/@include: literals and variables (with defaults) gate " +
+      "fields, named-fragment spreads, and inline fragments; other " +
+      "directives and a bad 'if' stay clear 400s") {
+    val (g, _) = gql()
+    // literal conditions on fields
+    val (_, lit) = run(g, """{"query":
+      "{ health { healthy @include(if: true) version @include(if: false) collectionCount @skip(if: true) totalVectors @skip(if: false) } }"}""")
+    val h = lit.get("data").get("health")
+    assert(h.has("healthy") && !h.has("version"))
+    assert(!h.has("collectionCount") && h.get("totalVectors").asLong() == 3L)
+    // variable-driven @include on a named-fragment spread
+    val doc = """query Q($all: Boolean!) { health { healthy ...extra @include(if: $all) } } fragment extra on HealthStatus { version collectionCount }"""
+    val body = mapper.createObjectNode().put("query", doc)
+    body.putObject("variables").put("all", true)
+    val (_, on) = run(g, mapper.writeValueAsString(body))
+    assert(on.get("data").get("health").get("version").asText() == "0.1.0")
+    val body2 = mapper.createObjectNode().put("query", doc)
+    body2.putObject("variables").put("all", false)
+    val (_, off) = run(g, mapper.writeValueAsString(body2))
+    assert(off.get("data").get("health").has("healthy"))
+    assert(!off.get("data").get("health").has("version"))
+    // @skip with a variable DEFAULT on an inline fragment
+    val (_, dflt) = run(g, """{"query":
+      "query D($q: Boolean! = true) { health { healthy ... on HealthStatus @skip(if: $q) { uptime } } }"}""")
+    assert(!dflt.get("data").get("health").has("uptime"))
+    // spec rule: @skip(if: true) wins over @include(if: true)
+    val (_, both) = run(g, """{"query":
+      "{ health { healthy version @include(if: true) @skip(if: true) } }"}""")
+    assert(!both.get("data").get("health").has("version"))
+    // anything but skip/include keeps the clear rejection
+    val (s1, e1) = run(g, """{"query":
+      "{ health { healthy @deprecated } }"}""")
+    assert(s1 == 400 && e1.get("errors").get(0).get("message").asText()
+      .contains("unsupported directive"))
+    // missing/unprovided/non-boolean 'if' are request errors
+    val (s2, _) = run(g, """{"query": "{ health { healthy @skip } }"}""")
+    assert(s2 == 400)
+    val (s3, _) = run(g, """{"query":
+      "query M($b: Boolean!) { health { healthy @skip(if: $b) } }"}""")
+    assert(s3 == 400)
+    val (s4, _) = run(g, """{"query":
+      "{ health { healthy @include(if: \"yes\") } }"}""")
+    assert(s4 == 400)
+  }
+
+  test("unknown fragment type condition is a 400, not a silent drop") {
+    val (g, _) = gql()
+    val (s1, e1) = run(g, """{"query":
+      "{ health { healthy ... on Collectionn { name } } }"}""")
+    assert(s1 == 400, s"got $e1")
+    assert(e1.get("errors").get(0).get("message").asText()
+      .contains("unknown type 'Collectionn'"))
+    val (s2, e2) = run(g, """{"query":
+      "query { ...f } fragment f on Queryy { health { healthy } }"}""")
+    assert(s2 == 400)
+    assert(e2.get("errors").get(0).get("message").asText()
+      .contains("unknown type 'Queryy'"))
+    // known conditions still gate: a mismatching KNOWN type just skips
+    val (s3, ok) = run(g, """{"query":
+      "{ health { healthy ... on Collection { name } } }"}""")
+    assert(s3 == 200 && !ok.get("data").get("health").has("name"))
+  }
+
+  test("introspection advertises @skip/@include; subscription root " +
+      "answers __typename over SSE; @include gates subscription fields") {
+    val (g, _) = gql()
+    import scala.jdk.CollectionConverters._
+    val (_, r) = run(g, """{"query":
+      "{ __schema { directives { name locations args { name type { kind ofType { name } } } } } }"}""")
+    val ds = r.get("data").get("__schema").get("directives")
+      .elements().asScala.toSeq
+    assert(ds.map(_.get("name").asText()).toSet == Set("skip", "include"))
+    val skip = ds.find(_.get("name").asText() == "skip").get
+    assert(skip.get("locations").elements().asScala
+      .map(_.asText()).toSet ==
+      Set("FIELD", "FRAGMENT_SPREAD", "INLINE_FRAGMENT"))
+    val ifArg = skip.get("args").get(0)
+    assert(ifArg.get("name").asText() == "if")
+    assert(ifArg.get("type").get("kind").asText() == "NON_NULL")
+    assert(ifArg.get("type").get("ofType").get("name").asText() == "Boolean")
+    // __typename at the subscription root over SSE (handle() parity)
+    val sub = """subscription { __typename searchStream(input: {collection: "docs", vector: [1.0, 0.0, 0.0, 0.0], k: 1}) { sequence isLast @include(if: false) result { id } } }"""
+    val frames = g.subscriptionSseFrames(mapper.writeValueAsString(
+      mapper.createObjectNode().put("query", sub))).get
+    assert(frames.size == 2, frames.toString)
+    val tn = mapper.readTree(frames.head)
+    assert(tn.get("data").get("__typename").asText() == "Subscription")
+    val ev = mapper.readTree(frames(1)).get("data").get("searchStream")
+    assert(ev.has("sequence") && ev.has("result") && !ev.has("isLast"))
+  }
+
   test("fuzz contract: hostile/random documents never escape the error " +
       "envelope — every response is valid JSON with status 200 or 400") {
     val (g, _) = gql()
