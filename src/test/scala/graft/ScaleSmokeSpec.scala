@@ -382,6 +382,45 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(scalable.agg(max("window_id")).head().getLong(0) > 5000L)
   }
 
+  // opt-in (GRAFT_SCALE_10M=1, ~1-2 min): extends the banded-dedup
+  // empirical envelope an order past the in-suite smokes. Plan audits
+  // prove the SHAPE at any size; this proves the constants at 10M rows.
+  // maxHamming=1 → two 32-bit pigeonhole chunks, so bucket keys stay
+  // sparse at 10M (the chunk-width/corpus-size knob the scaladoc
+  // documents); the default maxHamming=3's 16-bit chunks are a
+  // ≤~100k-per-bucket regime, not a 10M one.
+  test("simhash near-dup at 10M docs: banded join, planted dups " +
+      "recovered, candidate set stays bounded (opt-in)") {
+    assume(sys.env.get("GRAFT_SCALE_10M").contains("1"),
+      "set GRAFT_SCALE_10M=1 to run the 10M-row dedup smoke")
+    val n = 10000000L
+    val planted = 10000L
+    // 10M distinct 8-word docs built arithmetically on executors (no
+    // driver-side Seq); ids >= n replay the text of id - n → exact dups
+    val src = when(col("id") >= n, col("id") - n).otherwise(col("id"))
+    val wordDefs = Seq(
+      2654435761L -> 1000003, 40503L -> 999983, 9176L -> 999979,
+      57L -> 777767, 104729L -> 888887, 131071L -> 666667,
+      8191L -> 555557, 524287L -> 444443)
+    val text = concat_ws(" ", wordDefs.zipWithIndex.map {
+      case ((m, p), j) =>
+        concat(lit(s"t$j"), pmod(src * m + j, lit(p)).cast("string"))
+    }: _*)
+    val docs = spark.range(n + planted).select(col("id"), text.as("text"))
+      .repartition(64)
+    val pairs = graft.pipeline.Dedup.simhashNearDup(
+      docs, col("id"), col("text"), n = 3, maxHamming = 1).persist()
+    try {
+      val total = pairs.count()
+      val hit = pairs.filter(col("id_b") === col("id_a") + n &&
+        col("hamming") === 0).count()
+      assert(hit == planted, s"planted dups recovered: $hit")
+      // candidate survivors stay near the planted count — no bucket
+      // explosion (incidental hamming≤1 collisions are rare at 64 bits)
+      assert(total < planted * 5, s"pair count exploded: $total")
+    } finally { pairs.unpersist(); () }
+  }
+
   test("scalable epoch shuffle at 100k rows matches the window form") {
     val big = spark.range(100000).select(col("id")).repartition(8)
     val scalable = graft.pipeline.Sampling
