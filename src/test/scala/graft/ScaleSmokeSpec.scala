@@ -421,6 +421,36 @@ class ScaleSmokeSpec extends SparkSpec {
     } finally { pairs.unpersist(); () }
   }
 
+  // opt-in (same gate): the two-phase prefix-sum twins stay row-identical
+  // to their single-partition oracle forms at 10M rows — the equivalence
+  // the 100k in-suite specs prove, one order past the in-suite envelope
+  test("Sampling scalable twins at 10M rows match their oracle forms " +
+      "(opt-in)") {
+    assume(sys.env.get("GRAFT_SCALE_10M").contains("1"),
+      "set GRAFT_SCALE_10M=1 to run the 10M-row sampling smoke")
+    val big = spark.range(10000000L).select(col("id"),
+      (pmod(col("id") * 40503L, lit(211)) + 1).cast("int").as("n_tok"))
+      .repartition(64)
+    val pack = graft.pipeline.Sampling
+      .packSequentialScalable(big, "id", col("n_tok"), budget = 4096,
+        numPartitions = 64)
+      .select("id", "window_id")
+    val packOracle = graft.pipeline.Sampling
+      .packSequential(big, col("id"), col("n_tok"), budget = 4096)
+      .select("id", "window_id")
+    assert(pack.except(packOracle).count() == 0)
+    assert(packOracle.except(pack).count() == 0)
+    val shuf = graft.pipeline.Sampling
+      .shuffleRankScalable(big.select("id"), "id", "epoch10m",
+        numPartitions = 64)
+      .select("id", "pos")
+    val shufOracle = graft.pipeline.Sampling
+      .shuffleRank(big.select("id"), col("id"), "epoch10m")
+      .select("id", "pos")
+    assert(shuf.except(shufOracle).count() == 0)
+    assert(shufOracle.except(shuf).count() == 0)
+  }
+
   test("scalable epoch shuffle at 100k rows matches the window form") {
     val big = spark.range(100000).select(col("id")).repartition(8)
     val scalable = graft.pipeline.Sampling
