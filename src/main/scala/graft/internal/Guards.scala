@@ -29,10 +29,17 @@ private[graft] object Guards {
 
   /** Fail fast if `df` is statically known to exceed `bound` rows.
     * Returns `df` unchanged so call sites can wrap inline.
+    *
+    * Reads `maxRows` off the RAW logical plan, not the analyzed one:
+    * the bound-carrying nodes (GlobalLimit over a literal, Range, local
+    * relations, Project/Filter pass-through) answer it unresolved, and
+    * forcing analysis here would add a full Catalyst resolution pass of
+    * the candidate leg per query that the final plan does not reuse
+    * (measured ~tens of ms on deep BM25/kNN legs).
     */
   def requireKBounded(df: DataFrame, site: String,
                       bound: Long = MaxGlobalWindowRows): DataFrame = {
-    df.queryExecution.analyzed.maxRows.foreach { n =>
+    df.queryExecution.logical.maxRows.foreach { n =>
       require(n <= bound,
         s"$site: candidate frame may hold $n rows (> $bound). This " +
           "operator globally ranks a k-bounded candidate list; pass a " +
