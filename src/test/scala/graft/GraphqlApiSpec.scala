@@ -499,7 +499,10 @@ class GraphqlApiSpec extends SparkSpec {
     val atoms = Seq("{", "}", "(", ")", "[", "]", ":", "$", "=", "!",
       "query", "mutation", "subscription", "health", "search", "input",
       "collection", "name", "\"s\"", "1", "2.5", "-3", "true", "false",
-      "null", "x", "...", "@", ",", "#c\n")
+      "null", "x", "...", "@", ",", "#c\n",
+      // directive-grammar atoms (r13): legal and mangled skip/include
+      "@skip", "@include", "@skip(if: true)", "@include(if: $v)",
+      "if", "on", "fragment", "@deprecated")
     val random = (1 to 300).map { _ =>
       (1 to (1 + rnd.nextInt(25)))
         .map(_ => atoms(rnd.nextInt(atoms.size))).mkString(" ")
