@@ -139,43 +139,27 @@ object Sampling {
       row_number().over(Window.orderBy(key, idCol)).cast("long"))
   }
 
-  /** Distributed form of `shuffleRank`: range-partition on the seeded hash
-    * key (so partition p holds a contiguous key range below partition p+1),
-    * rank within each partition, then shift by the cumulative counts of the
-    * earlier partitions (collected to the driver — #partitions rows,
-    * bounded). Output is row-identical to `shuffleRank` — same `pos` for
-    * every id — with no single-partition global sort anywhere in the plan.
-    *
-    * The input is pinned with persist(): the per-partition counts and the
-    * final ranking pass must see the same range partitioning.
+  /** Distributed form of `shuffleRank`: the global-rank fast path of
+    * [[graft.ops.DistributedRank.rankedByRange]] over the seeded hash key
+    * (range partition → per-partition rank → driver prefix offsets,
+    * #partitions rows on the driver). Output is row-identical to
+    * `shuffleRank` — same `pos` for every id — with no single-partition
+    * global sort anywhere in the plan.
     */
   def shuffleRankScalable(df: DataFrame, idColName: String, seed: String,
                           numPartitions: Int = 32): DataFrame = {
     val key = md5(concat(lit(seed + ":"),
       col(idColName).cast("string")).cast("binary"))
-    val parted = df
-      .withColumn("__key", key)
-      .repartitionByRange(numPartitions, col("__key"), col(idColName))
-      .withColumn("__pid", spark_partition_id())
-      .persist()
+    val (ranked, cleanup) = graft.ops.DistributedRank.rankedByRange(
+      df.withColumn("__key", key), Nil,
+      Seq(col("__key"), col(idColName)), "__rank0", "__n", numPartitions)
     try {
-      val counts = parted.groupBy(col("__pid")).count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val offsets: Map[Int, Long] = {
-        val sortedPids = counts.keys.toSeq.sorted
-        sortedPids.zip(sortedPids.scanLeft(0L)((acc, p) => acc + counts(p))).toMap
-      }
-      val offsetCol = coalesce(
-        element_at(typedLit(offsets), col("__pid")), lit(0L))
-      val within = row_number().over(
-        Window.partitionBy(col("__pid"))
-          .orderBy(col("__key"), col(idColName)))
-      val out = parted
-        .withColumn("pos", (offsetCol + within).cast("long"))
-        .drop("__key", "__pid")
-      // materialize before unpersist so callers get a computed plan
+      val out = ranked
+        .withColumn("pos", (col("__rank0") + 1).cast("long"))
+        .drop("__key", "__rank0", "__n")
+      // materialize before cleanup so callers get a computed plan
       out.localCheckpoint(true)
-    } finally parted.unpersist()
+    } finally cleanup()
   }
 
   /** Sequential packing: documents in `idCol` order are concatenated and cut
