@@ -5,7 +5,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Distances
-import graft.internal.Guards
 
 /** Embedded collaborative filtering (reference:
   * src/experimental/collaborative_filtering.rs — interaction weights
@@ -35,9 +34,37 @@ object CollaborativeFiltering {
       itemFactors: DataFrame, // item (string), features ARRAY<FLOAT>
       rank: Int)
 
+  /** Dense 0-based integer ids for the distinct values of `keyCol`,
+    * assigned in `keyCol` sort order — row-identical to
+    * `row_number().over(Window.orderBy(keyCol)) - 1` (the oracle form
+    * CollaborativeFilteringSpec pins) but computed by
+    * [[DistributedRank.rankedByRange]]'s global-rank fast path, so no
+    * single-partition sort exists anywhere in the plan. The output is
+    * `localCheckpoint`ed (executor memory/local disk) so it survives the
+    * internal unpersist and is scanned, not recomputed, by the joins that
+    * consume it twice. ALS ids must fit in Int; the post-materialization
+    * count is a cheap assertion of that ceiling (~2.1e9 — ALS's own
+    * id-space bound, not a numbering limit).
+    */
+  private[graft] def denseIndex(base: DataFrame, keyCol: String,
+                                outCol: String): DataFrame = {
+    val (ranked, cleanup) = DistributedRank.rankedByRange(
+      base, Nil, Seq(col(keyCol)), "__r", "__n")
+    val out =
+      try ranked.withColumn(outCol, col("__r").cast("int"))
+        .drop("__r", "__n").localCheckpoint(true)
+      finally cleanup()
+    val n = out.count() // counts checkpointed blocks — no recompute
+    require(n <= Int.MaxValue,
+      s"denseIndex: $n distinct '$keyCol' values exceed ALS's Int id space")
+    out
+  }
+
   /** Fit implicit-feedback ALS over (user, item, weight) interactions;
     * repeated interactions are weight-summed (the reference accumulates
-    * confidence per pair).
+    * confidence per pair). Dense ALS ids come from the distributed global
+    * rank ([[denseIndex]]); the factorization is MLlib's
+    * block-partitioned solver — no single-partition stage anywhere.
     */
   def fit(interactions: DataFrame, userCol: String, itemCol: String,
           weightCol: String, rank: Int = 16, regParam: Double = 0.1,
@@ -45,47 +72,31 @@ object CollaborativeFiltering {
     val agg = interactions.groupBy(col(userCol), col(itemCol))
       .agg(sum(col(weightCol)).as("weight"))
       .persist()
-    // Dense integer ids for ALS via a global rank over the distinct id
-    // sets. This single-partition numbering is fine to ~10⁷ distinct ids;
-    // beyond that real deployments already store dense integer ids (or
-    // assign them once with zipWithIndex at ingest) — the factorization
-    // itself is MLlib's block-partitioned solver either way. fit() is a
-    // batch entry point that materializes `agg` anyway, so the bound is
-    // an executable count guard, not a comment (the serving-path guards
-    // are static — see graft.internal.Guards).
-    val uBase = agg.select(col(userCol).cast("string").as("u")).distinct()
-    val iBase = agg.select(col(itemCol).cast("string").as("it")).distinct()
-    val (nU, nI) = (uBase.count(), iBase.count())
-    require(nU <= Guards.MaxGlobalWindowRows && nI <= Guards.MaxGlobalWindowRows,
-      s"CollaborativeFiltering.fit: $nU users / $nI items exceed the dense " +
-        s"id-numbering bound (${Guards.MaxGlobalWindowRows}); assign dense " +
-        "integer ids at ingest for catalogs this large")
-    val users = uBase
-      .withColumn("uid", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("u"))) - 1)
-    val items = iBase
-      .withColumn("iid", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("it"))) - 1)
-    val ratings = agg
-      .join(users, agg(userCol).cast("string") === users("u"))
-      .join(items, agg(itemCol).cast("string") === items("it"))
-      .select(col("uid"), col("iid"), col("weight").cast("float").as("w"))
-    val model = new ALS()
-      .setImplicitPrefs(true)
-      .setRank(rank).setRegParam(regParam).setMaxIter(maxIter)
-      .setSeed(seed)
-      .setUserCol("uid").setItemCol("iid").setRatingCol("w")
-      .fit(ratings)
-    val uf = model.userFactors
-      .join(users, col("id") === col("uid"))
-      .select(col("u").as("user"), col("features"))
-    val itf = model.itemFactors
-      .join(items, col("id") === col("iid"))
-      .select(col("it").as("item"), col("features"))
-    val out = Model(uf.cache(), itf.cache(), rank)
-    out.userFactors.count(); out.itemFactors.count() // pin before unpersist
-    agg.unpersist()
-    out
+    try {
+      val users = denseIndex(
+        agg.select(col(userCol).cast("string").as("u")).distinct(), "u", "uid")
+      val items = denseIndex(
+        agg.select(col(itemCol).cast("string").as("it")).distinct(), "it", "iid")
+      val ratings = agg
+        .join(users, agg(userCol).cast("string") === users("u"))
+        .join(items, agg(itemCol).cast("string") === items("it"))
+        .select(col("uid"), col("iid"), col("weight").cast("float").as("w"))
+      val model = new ALS()
+        .setImplicitPrefs(true)
+        .setRank(rank).setRegParam(regParam).setMaxIter(maxIter)
+        .setSeed(seed)
+        .setUserCol("uid").setItemCol("iid").setRatingCol("w")
+        .fit(ratings)
+      val uf = model.userFactors
+        .join(users, col("id") === col("uid"))
+        .select(col("u").as("user"), col("features"))
+      val itf = model.itemFactors
+        .join(items, col("id") === col("iid"))
+        .select(col("it").as("item"), col("features"))
+      val out = Model(uf.cache(), itf.cache(), rank)
+      out.userFactors.count(); out.itemFactors.count() // pin before unpersist
+      out
+    } finally agg.unpersist() // released on the ALS/guard failure paths too
   }
 
   private def dot(a: Column, b: Column): Column =

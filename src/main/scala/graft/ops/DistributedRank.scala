@@ -20,6 +20,13 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   */
 object DistributedRank {
 
+  /** Ceiling for the derived partition count: driver prefix state is
+    * |groups|·numPartitions rows and each partition costs a scheduler
+    * round-trip, so the derivation never exceeds this (callers with
+    * larger clusters size explicitly).
+    */
+  val MaxDerivedPartitions: Int = 4096
+
   /** Appends `rankCol` (0-based rank under `order` within each group of
     * `keys`) and `nCol` (group row count) to `df`.
     *
@@ -27,15 +34,30 @@ object DistributedRank {
     * pass must observe the same range partitioning. Returns the ranked
     * DataFrame plus a cleanup thunk; callers materialize their
     * (typically aggregated, small) output — e.g. `localCheckpoint(true)`
-    * — before invoking cleanup, which unpersists the pinned input.
+    * — before invoking cleanup, which unpersists the pinned input. Note
+    * that a `localCheckpoint` lands on executor memory spilling to
+    * LOCAL DISK: at corpus scale the checkpointed frame occupies disk
+    * until released, so callers should checkpoint the (typically
+    * reduced) output, never the raw input.
+    *
+    * `numPartitions <= 0` (the default) derives the range-partition
+    * count from the input: max(input partitions, shuffle.partitions),
+    * clamped to [[MaxDerivedPartitions]] — so a 10k-partition corpus
+    * scan ranks with ~10k-way parallelism instead of a fixed 32, while
+    * a driver-local frame still gets full shuffle parallelism.
     */
   def rankedByRange(df: DataFrame, keys: Seq[String], order: Seq[Column],
-                    rankCol: String, nCol: String, numPartitions: Int = 32)
+                    rankCol: String, nCol: String, numPartitions: Int = 0)
       : (DataFrame, () => Unit) = {
     val spark = df.sparkSession
     val keyCols = keys.map(col)
+    val np =
+      if (numPartitions > 0) numPartitions
+      else math.min(MaxDerivedPartitions,
+        math.max(df.rdd.getNumPartitions,
+          spark.sessionState.conf.numShufflePartitions))
     val parted = df
-      .repartitionByRange(numPartitions, keyCols ++ order: _*)
+      .repartitionByRange(np, keyCols ++ order: _*)
       .withColumn("__pid", spark_partition_id())
       .persist()
     val counts = parted

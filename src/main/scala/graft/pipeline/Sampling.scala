@@ -145,9 +145,17 @@ object Sampling {
     * #partitions rows on the driver). Output is row-identical to
     * `shuffleRank` — same `pos` for every id — with no single-partition
     * global sort anywhere in the plan.
+    *
+    * `numPartitions <= 0` (the default) derives the partition count from
+    * the input (see [[graft.ops.DistributedRank.MaxDerivedPartitions]]).
+    * The result is `localCheckpoint`ed so it stays valid past the
+    * internal unpersist — executor memory spilling to LOCAL DISK, so at
+    * corpus scale the shuffled epoch occupies executor disk until the
+    * caller releases/garbage-collects it (normal for an epoch-shuffle
+    * output, which is consumed within the epoch).
     */
   def shuffleRankScalable(df: DataFrame, idColName: String, seed: String,
-                          numPartitions: Int = 32): DataFrame = {
+                          numPartitions: Int = 0): DataFrame = {
     val key = md5(concat(lit(seed + ":"),
       col(idColName).cast("string")).cast("binary"))
     val (ranked, cleanup) = graft.ops.DistributedRank.rankedByRange(
@@ -182,13 +190,23 @@ object Sampling {
     * bounded). Output is row-identical to `packSequential`.
     *
     * The input is pinned with persist(): the partition totals and the final
-    * pass must see the same range partitioning.
+    * pass must see the same range partitioning. `numPartitions <= 0` (the
+    * default) derives the partition count from the input exactly as
+    * [[graft.ops.DistributedRank.rankedByRange]] does; the output is
+    * `localCheckpoint`ed (executor memory spilling to LOCAL DISK — at
+    * corpus scale the packed epoch occupies executor disk until the
+    * caller releases it).
     */
   def packSequentialScalable(df: DataFrame, idColName: String,
                              tokensCol: Column, budget: Int,
-                             numPartitions: Int = 32): DataFrame = {
+                             numPartitions: Int = 0): DataFrame = {
+    val np =
+      if (numPartitions > 0) numPartitions
+      else math.min(graft.ops.DistributedRank.MaxDerivedPartitions,
+        math.max(df.rdd.getNumPartitions,
+          df.sparkSession.sessionState.conf.numShufflePartitions))
     val parted = df
-      .repartitionByRange(numPartitions, col(idColName))
+      .repartitionByRange(np, col(idColName))
       .withColumn("__tok", tokensCol.cast("long"))
       .withColumn("__pid", spark_partition_id())
       .persist()

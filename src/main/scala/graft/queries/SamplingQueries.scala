@@ -64,6 +64,9 @@ object SamplingQueries {
 
     // Reproducible epoch shuffle: the first 20 positions of the seed-42
     // permutation. A different seed gives an independent permutation.
+    // Runs through the DISTRIBUTED two-phase rank (shuffleRankScalable,
+    // row-identical to the shuffleRank oracle form by spec + 10M smoke);
+    // the DuckDB oracle is the single global window.
     "training_shuffle" -> Q(
       """SELECT pos, doc_id FROM (
         |  SELECT row_number() OVER (
@@ -72,8 +75,8 @@ object SamplingQueries {
         |  FROM documents)
         |WHERE pos <= 20 ORDER BY pos""".stripMargin
     ) { (s, dir) =>
-      Sampling.shuffleRank(Tables.load(s, dir, "documents"),
-          col("doc_id"), seed = "epoch42")
+      Sampling.shuffleRankScalable(Tables.load(s, dir, "documents"),
+          "doc_id", seed = "epoch42")
         .select(col("pos"), col("doc_id"))
         .filter(col("pos") <= 20)
         .orderBy(col("pos"))

@@ -64,6 +64,7 @@ final class GraphqlApi(api: RestApi, version: String = "0.1.0") {
         val opName = Option(req.get("operationName")).filterNot(_.isNull)
           .map(_.asText())
         val d = parse(q, opName)
+        validateSubscriptionRoot(d)
         // @skip/@include need the variables — still the request-error
         // phase, so a bad `if` is a 400 like any validation failure
         (d.copy(selections =
@@ -131,17 +132,12 @@ final class GraphqlApi(api: RestApi, version: String = "0.1.0") {
       .map(_.asText())
     val doc0 = parse(q, opName)
     if (doc0.op != "subscription") return None
+    validateSubscriptionRoot(doc0)
     val doc = doc0.copy(selections =
       applyDirectives(doc0.selections, vars, doc0.varDefs))
     val fields = flattenTop(doc.selections, "Subscription")
     Some(fields.flatMap { f =>
-      if (f.name == "__typename") {
-        // mirror handle(): the root meta-field answers the root type,
-        // as one data frame
-        val env = mapper.createObjectNode()
-        env.putObject("data").put(f.alias, "Subscription")
-        Seq(mapper.writeValueAsString(env))
-      } else try {
+      try {
         val events = resolve(doc.op, f, vars, doc.varDefs)
         val tpe = GraphqlApi.fieldTypes.getOrElse(("Subscription", f.name), "")
         import scala.jdk.CollectionConverters._
@@ -516,6 +512,28 @@ final class GraphqlApi(api: RestApi, version: String = "0.1.0") {
         else Seq.empty
       case FragSpread(n, _) => // parse() inlines every spread
         throw GqlError(s"unexpanded fragment '$n'")
+    }
+
+  /** Spec §5.2.3.1 (single root field): a subscription operation's
+    * selection set must collect to exactly one root field, and that
+    * field must not be an introspection/meta field (`__typename`,
+    * `__schema`, `__type`) — each `next` frame is one stream event, so a
+    * synthetic meta-field frame would corrupt graphql-sse clients.
+    * Static validation: runs on the parsed document, BEFORE
+    * `@skip`/`@include` evaluation, exactly as the spec's CollectFields
+    * for this rule prescribes. Queries and mutations are unrestricted.
+    */
+  private def validateSubscriptionRoot(doc: Document): Unit =
+    if (doc.op == "subscription") {
+      val roots = flattenTop(doc.selections, "Subscription")
+      if (roots.size != 1)
+        throw GqlParseError(
+          s"subscription operations must select exactly one root field " +
+            s"(got ${roots.size})")
+      if (roots.head.name.startsWith("__"))
+        throw GqlParseError(
+          s"subscription root field must not be an introspection field " +
+            s"('${roots.head.name}')")
     }
 
   /** Evaluate `@skip`/`@include` against the request's variables and
@@ -1124,6 +1142,11 @@ object GraphqlApi {
       if (name != "skip" && name != "include")
         throw GqlParseError(
           s"unsupported directive '@$name' (only @skip and @include)")
+      // @skip/@include are non-repeatable: a second occurrence at one
+      // location is a validation error (spec §5.7.3), not an implicit AND
+      if (out.exists(_.name == name))
+        throw GqlParseError(
+          s"directive '@$name' may appear at most once per location")
       val args =
         if (lx.peek() == Tok.Punct("(")) parseArgs(lx)
         else Map.empty[String, GVal]

@@ -56,6 +56,25 @@ class CollaborativeFilteringSpec extends SparkSpec {
     assert(recs.forall(_.startsWith("a")), recs.mkString(","))
   }
 
+  test("denseIndex assigns the same ids as the single-partition window " +
+      "form (r14: fit's numbering delegates to DistributedRank)") {
+    import org.apache.spark.sql.expressions.Window
+    val base = spark.range(5000)
+      .select(concat(lit("u"), pmod(col("id") * 48271L, lit(5000)))
+        .as("u")).distinct().repartition(8)
+    val scalable = CollaborativeFiltering.denseIndex(base, "u", "uid")
+      .select("u", "uid")
+    val oracle = base.withColumn("uid",
+      (row_number().over(Window.orderBy(col("u"))) - 1).cast("int"))
+      .select("u", "uid")
+    assert(scalable.except(oracle).count() == 0)
+    assert(oracle.except(scalable).count() == 0)
+    // dense and 0-based: ids form exactly 0..n-1
+    val n = base.count()
+    assert(scalable.agg(max("uid")).head().getInt(0) == n - 1)
+    assert(scalable.select("uid").distinct().count() == n)
+  }
+
   test("hybrid blends CF with content similarity") {
     val m = model
     // content vectors: b0 is exactly the query direction; alpha=0 makes

@@ -453,8 +453,8 @@ class GraphqlApiSpec extends SparkSpec {
     assert(s3 == 200 && !ok.get("data").get("health").has("name"))
   }
 
-  test("introspection advertises @skip/@include; subscription root " +
-      "answers __typename over SSE; @include gates subscription fields") {
+  test("introspection advertises @skip/@include; subscription single-" +
+      "root-field rule enforced; @include gates subscription fields") {
     val (g, _) = gql()
     import scala.jdk.CollectionConverters._
     val (_, r) = run(g, """{"query":
@@ -470,15 +470,45 @@ class GraphqlApiSpec extends SparkSpec {
     assert(ifArg.get("name").asText() == "if")
     assert(ifArg.get("type").get("kind").asText() == "NON_NULL")
     assert(ifArg.get("type").get("ofType").get("name").asText() == "Boolean")
-    // __typename at the subscription root over SSE (handle() parity)
-    val sub = """subscription { __typename searchStream(input: {collection: "docs", vector: [1.0, 0.0, 0.0, 0.0], k: 1}) { sequence isLast @include(if: false) result { id } } }"""
+    // spec §5.2.3.1: a subscription collects to exactly ONE root field,
+    // and never an introspection field — each SSE `next` frame is one
+    // stream event, so a synthetic meta-field frame would corrupt
+    // graphql-sse clients (r13 was lenient here; r14 enforces the rule)
+    val multi = """subscription { __typename searchStream(input: {collection: "docs", vector: [1.0, 0.0, 0.0, 0.0], k: 1}) { sequence } }"""
+    val (sm, em) = run(g, mapper.writeValueAsString(
+      mapper.createObjectNode().put("query", multi)))
+    assert(sm == 400 && em.get("errors").get(0).get("message").asText()
+      .contains("exactly one root field"))
+    intercept[Exception] { // SSE path rejects identically (400 upstream)
+      g.subscriptionSseFrames(mapper.writeValueAsString(
+        mapper.createObjectNode().put("query", multi)))
+    }
+    val (st, et) = run(g, """{"query": "subscription { __typename }"}""")
+    assert(st == 400 && et.get("errors").get(0).get("message").asText()
+      .contains("introspection"))
+    // @include still gates fields WITHIN the single root selection
+    val sub = """subscription { searchStream(input: {collection: "docs", vector: [1.0, 0.0, 0.0, 0.0], k: 1}) { sequence isLast @include(if: false) result { id } } }"""
     val frames = g.subscriptionSseFrames(mapper.writeValueAsString(
       mapper.createObjectNode().put("query", sub))).get
-    assert(frames.size == 2, frames.toString)
-    val tn = mapper.readTree(frames.head)
-    assert(tn.get("data").get("__typename").asText() == "Subscription")
-    val ev = mapper.readTree(frames(1)).get("data").get("searchStream")
+    assert(frames.size == 1, frames.toString)
+    val ev = mapper.readTree(frames.head).get("data").get("searchStream")
     assert(ev.has("sequence") && ev.has("result") && !ev.has("isLast"))
+  }
+
+  test("repeated non-repeatable directives at one location are a 400") {
+    val (g, _) = gql()
+    val (s1, e1) = run(g, """{"query":
+      "{ health { healthy @skip(if: false) @skip(if: false) } }"}""")
+    assert(s1 == 400, s"got $e1")
+    assert(e1.get("errors").get(0).get("message").asText()
+      .contains("at most once"))
+    val (s2, _) = run(g, """{"query":
+      "{ health { healthy ... on HealthStatus @include(if: true) @include(if: true) { version } } }"}""")
+    assert(s2 == 400)
+    // one of EACH directive at one location stays legal (distinct names)
+    val (s3, ok) = run(g, """{"query":
+      "{ health { healthy version @include(if: true) @skip(if: false) } }"}""")
+    assert(s3 == 200 && ok.get("data").get("health").has("version"))
   }
 
   test("fuzz contract: hostile/random documents never escape the error " +
