@@ -17,13 +17,18 @@ import org.apache.spark.sql.DataFrame
   * oversized frame is rejected at plan time with zero runtime cost — no
   * count job, which would recompute the caller's search. Statically
   * unbounded inputs (e.g. a raw scan) fall back to the documented
-  * contract; batch entry points that already pay a materialization
-  * (CF fit, REST index build) use real count guards instead.
+  * contract. Since r14 the batch entry points (CF fit's dense-id
+  * numbering, REST buildIndex's surrogate ids) rank through
+  * `DistributedRank.rankedByRange` and need no window bound at all;
+  * buildIndex's remaining count guard enforces `LocalServe`'s driver
+  * memory budget, not a numbering ceiling. WindowLintSpec pins the
+  * complete allowlist of remaining unpartitioned-window sites.
   */
 private[graft] object Guards {
 
-  /** Documented safe ceiling for an unpartitioned ranking window — the
-    * "fine to ~10⁷" bound from the CF id-numbering comment.
+  /** Documented safe ceiling for an unpartitioned ranking window over a
+    * candidate frame ("fine to ~10⁷" — far above any real top-k list,
+    * low enough to refuse whole-corpus misuse).
     */
   val MaxGlobalWindowRows: Long = 10000000L
 
