@@ -801,6 +801,9 @@ object GraphqlApi {
         val d = da.addObject()
         d.put("name", n)
         d.put("description", desc)
+        // the executor enforces non-repeatability (parseDirectives
+        // rejects duplicates per location); advertise it to clients
+        d.put("isRepeatable", false)
         val locs = d.putArray("locations")
         Seq("FIELD", "FRAGMENT_SPREAD", "INLINE_FRAGMENT")
           .foreach(l => locs.add(l))

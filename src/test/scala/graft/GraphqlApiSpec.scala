@@ -458,10 +458,11 @@ class GraphqlApiSpec extends SparkSpec {
     val (g, _) = gql()
     import scala.jdk.CollectionConverters._
     val (_, r) = run(g, """{"query":
-      "{ __schema { directives { name locations args { name type { kind ofType { name } } } } } }"}""")
+      "{ __schema { directives { name isRepeatable locations args { name type { kind ofType { name } } } } } }"}""")
     val ds = r.get("data").get("__schema").get("directives")
       .elements().asScala.toSeq
     assert(ds.map(_.get("name").asText()).toSet == Set("skip", "include"))
+    assert(ds.forall(!_.get("isRepeatable").asBoolean()))
     val skip = ds.find(_.get("name").asText() == "skip").get
     assert(skip.get("locations").elements().asScala
       .map(_.asText()).toSet ==

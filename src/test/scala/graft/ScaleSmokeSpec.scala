@@ -451,6 +451,46 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(shufOracle.except(shuf).count() == 0)
   }
 
+  // opt-in (same gate): the GROUPED rankedByRange path — driver prefix
+  // state |groups|·numPartitions — against the per-group window oracle
+  // at 10M rows with a deliberately skewed group (one group holds ~30%
+  // of all rows). The range partitioning on (keys ++ order) must split
+  // the hot group across partitions (the scaladoc's skew claim) while
+  // the prefix offsets keep ranks exact.
+  test("grouped DistributedRank at 10M rows with a hot group matches " +
+      "the windowed oracle (opt-in)") {
+    assume(sys.env.get("GRAFT_SCALE_10M").contains("1"),
+      "set GRAFT_SCALE_10M=1 to run the 10M-row grouped-rank smoke")
+    import org.apache.spark.sql.expressions.Window
+    val n = 10000000L
+    // 97 groups; ids ≡ 0 mod 3 all collapse into group -1 → ~33% skew
+    val big = spark.range(n).select(col("id"),
+      when(col("id") % 3 === 0, lit(-1L))
+        .otherwise(pmod(col("id") * 31L, lit(97))).as("g"),
+      pmod(col("id") * 48271L, lit(1000003)).as("k"))
+      .repartition(64)
+    val (ranked, cleanup) = graft.ops.DistributedRank.rankedByRange(
+      big, Seq("g"), Seq(col("k"), col("id")), "r", "cnt",
+      numPartitions = 64)
+    val got =
+      try ranked.select("id", "g", "r", "cnt").localCheckpoint(true)
+      finally cleanup()
+    val oracle = big.withColumn("r",
+        row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("k"), col("id")))
+          .cast("long") - 1)
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(col("g"))))
+      .select("id", "g", "r", "cnt")
+    assert(got.except(oracle).count() == 0)
+    assert(oracle.except(got).count() == 0)
+    // the hot group really is hot, and its ranks are dense 0..cnt-1
+    val hot = got.filter(col("g") === -1L)
+    val hotN = hot.count()
+    assert(hotN > n / 4, s"hot group rows: $hotN")
+    assert(hot.agg(max("r")).head().getLong(0) == hotN - 1)
+  }
+
   test("scalable epoch shuffle at 100k rows matches the window form") {
     val big = spark.range(100000).select(col("id")).repartition(8)
     val scalable = graft.pipeline.Sampling
