@@ -451,6 +451,30 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(shufOracle.except(shuf).count() == 0)
   }
 
+  // opt-in (same gate): the DISTRIBUTED min-label/pointer-jumping CC
+  // path, which the 1M-edge small-graph fast path shields in-suite —
+  // forced here (threshold 0) on its worst case: 2M nodes in 1000-long
+  // CHAINS (diameter 999, where plain label propagation needs ~1000
+  // supersteps and path halving must deliver O(log d)). Exact canonical
+  // for every node, within the 50-superstep bound.
+  test("distributed connected components at 2M chain nodes converge " +
+      "with pointer jumping (opt-in)") {
+    assume(sys.env.get("GRAFT_SCALE_10M").contains("1"),
+      "set GRAFT_SCALE_10M=1 to run the 2M-node CC smoke")
+    val n = 2000000L
+    val pairs = spark.range(n)
+      .filter(col("id") % 1000 =!= 999) // no edge across chain ends
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      .repartition(32)
+    val comp = graft.pipeline.DedupGroups.components(
+      pairs, smallGraphThreshold = 0L)
+    val wrong = comp.filter(
+      col("canonical") =!= (col("id") - pmod(col("id"), lit(1000)))).count()
+    assert(wrong == 0L, s"nodes with wrong canonical: $wrong")
+    assert(comp.select("canonical").distinct().count() == n / 1000)
+    assert(comp.count() == n)
+  }
+
   // opt-in (same gate): the GROUPED rankedByRange path — driver prefix
   // state |groups|·numPartitions — against the per-group window oracle
   // at 10M rows with a deliberately skewed group (one group holds ~30%
