@@ -97,20 +97,24 @@ object Bench {
     // a `recall` block (diffable round-over-round instead of buried in
     // logs). One extra execution each; their expensive state is already
     // warm in IndexCache from the timed runs.
+    // per-query try: one failing recall query must not drop the other
+    // measurements from the artifact
     val recallBlock: Option[String] =
       if (only.nonEmpty) None
-      else try {
+      else {
         val per = Seq("ivf_recall", "ivf_recall_clustered", "quantized_recall")
           .flatMap { name =>
-            SparkEntry.queries.get(name).map { fn =>
-              val kv = fn(spark, sfDir).collect().map { r =>
-                s""""${r.get(0)}":${r.get(1)}"""
-              }.mkString("{", ",", "}")
-              s""""$name":$kv"""
+            SparkEntry.queries.get(name).flatMap { fn =>
+              try {
+                val kv = fn(spark, sfDir).collect().map { r =>
+                  s""""${r.get(0)}":${r.get(1)}"""
+                }.mkString("{", ",", "}")
+                Some(s""""$name":$kv""")
+              } catch { case _: Throwable => None }
             }
           }
         if (per.isEmpty) None else Some(per.mkString("{", ",", "}"))
-      } catch { case _: Throwable => None }
+      }
     try {
       val f = new java.io.File(detailOut)
       Option(f.getParentFile).foreach(_.mkdirs())

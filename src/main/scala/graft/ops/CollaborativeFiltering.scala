@@ -39,32 +39,33 @@ object CollaborativeFiltering {
     * `row_number().over(Window.orderBy(keyCol)) - 1` (the oracle form
     * CollaborativeFilteringSpec pins) but computed by
     * [[DistributedRank.rankedByRange]]'s global-rank fast path, so no
-    * single-partition sort exists anywhere in the plan. The output is
-    * `localCheckpoint`ed (executor memory/local disk) so it survives the
-    * internal unpersist and is scanned, not recomputed, by the joins that
-    * consume it twice. ALS ids must fit in Int; the post-materialization
-    * count is a cheap assertion of that ceiling (~2.1e9 — ALS's own
-    * id-space bound, not a numbering limit).
+    * single-partition sort exists anywhere in the plan. Returns the
+    * mapping plus a release thunk (rankedByRange's pin — an EXPLICIT
+    * unpersist, no checkpoint left to the GC): callers must finish (or
+    * cache) every consumption of the mapping before invoking release.
+    * ALS ids must fit in Int; the count over the pinned partitions is a
+    * cheap assertion of that ceiling (~2.1e9 — ALS's own id-space
+    * bound, not a numbering limit).
     */
   private[graft] def denseIndex(base: DataFrame, keyCol: String,
-                                outCol: String): DataFrame = {
-    val (ranked, cleanup) = DistributedRank.rankedByRange(
+                                outCol: String): (DataFrame, () => Unit) = {
+    val (ranked, release) = DistributedRank.rankedByRange(
       base, Nil, Seq(col(keyCol)), "__r", "__n")
-    val out =
-      try ranked.withColumn(outCol, col("__r").cast("int"))
-        .drop("__r", "__n").localCheckpoint(true)
-      finally cleanup()
-    val n = out.count() // counts checkpointed blocks — no recompute
+    val out = ranked.withColumn(outCol, col("__r").cast("int"))
+      .drop("__r", "__n")
+    val n = out.count() // one job over the pinned range partitions
     require(n <= Int.MaxValue,
       s"denseIndex: $n distinct '$keyCol' values exceed ALS's Int id space")
-    out
+    (out, release)
   }
 
   /** Fit implicit-feedback ALS over (user, item, weight) interactions;
     * repeated interactions are weight-summed (the reference accumulates
     * confidence per pair). Dense ALS ids come from the distributed global
     * rank ([[denseIndex]]); the factorization is MLlib's
-    * block-partitioned solver — no single-partition stage anywhere.
+    * block-partitioned solver — no single-partition stage anywhere. All
+    * three pinned intermediates (the interaction aggregate and the two
+    * id mappings) are released in finally, on failure paths included.
     */
   def fit(interactions: DataFrame, userCol: String, itemCol: String,
           weightCol: String, rank: Int = 16, regParam: Double = 0.1,
@@ -72,11 +73,14 @@ object CollaborativeFiltering {
     val agg = interactions.groupBy(col(userCol), col(itemCol))
       .agg(sum(col(weightCol)).as("weight"))
       .persist()
+    var releaseIds: List[() => Unit] = Nil
     try {
-      val users = denseIndex(
+      val (users, uRel) = denseIndex(
         agg.select(col(userCol).cast("string").as("u")).distinct(), "u", "uid")
-      val items = denseIndex(
+      releaseIds ::= uRel
+      val (items, iRel) = denseIndex(
         agg.select(col(itemCol).cast("string").as("it")).distinct(), "it", "iid")
+      releaseIds ::= iRel
       val ratings = agg
         .join(users, agg(userCol).cast("string") === users("u"))
         .join(items, agg(itemCol).cast("string") === items("it"))
@@ -94,9 +98,12 @@ object CollaborativeFiltering {
         .join(items, col("id") === col("iid"))
         .select(col("it").as("item"), col("features"))
       val out = Model(uf.cache(), itf.cache(), rank)
-      out.userFactors.count(); out.itemFactors.count() // pin before unpersist
+      out.userFactors.count(); out.itemFactors.count() // pin before release
       out
-    } finally agg.unpersist() // released on the ALS/guard failure paths too
+    } finally {
+      releaseIds.foreach(r => r())
+      agg.unpersist()
+    }
   }
 
   private def dot(a: Column, b: Column): Column =

@@ -27,6 +27,22 @@ object DistributedRank {
     */
   val MaxDerivedPartitions: Int = 4096
 
+  /** Partition count when the caller passes `numPartitions <= 0`:
+    * max(defaultParallelism, shuffle.partitions), clamped to
+    * [[MaxDerivedPartitions]] — both read from config, executing
+    * nothing. Deliberately NOT `df.rdd.getNumPartitions`: under AQE
+    * (on by default) `Dataset.rdd` finalizes the adaptive plan, which
+    * SUBMITS every upstream shuffle stage just to learn a partition
+    * count the later `repartitionByRange` cannot reuse — a whole extra
+    * execution of the input per call. Callers ranking inputs far wider
+    * than the session's parallelism should size `numPartitions`
+    * explicitly.
+    */
+  def derivePartitions(spark: org.apache.spark.sql.SparkSession): Int =
+    math.min(MaxDerivedPartitions,
+      math.max(spark.sparkContext.defaultParallelism,
+        spark.sessionState.conf.numShufflePartitions))
+
   /** Appends `rankCol` (0-based rank under `order` within each group of
     * `keys`) and `nCol` (group row count) to `df`.
     *
@@ -41,10 +57,9 @@ object DistributedRank {
     * reduced) output, never the raw input.
     *
     * `numPartitions <= 0` (the default) derives the range-partition
-    * count from the input: max(input partitions, shuffle.partitions),
-    * clamped to [[MaxDerivedPartitions]] — so a 10k-partition corpus
-    * scan ranks with ~10k-way parallelism instead of a fixed 32, while
-    * a driver-local frame still gets full shuffle parallelism.
+    * count from the session's parallelism ([[derivePartitions]] — no
+    * extra execution of the input; see its scaladoc for why not
+    * `df.rdd`).
     */
   def rankedByRange(df: DataFrame, keys: Seq[String], order: Seq[Column],
                     rankCol: String, nCol: String, numPartitions: Int = 0)
@@ -52,10 +67,7 @@ object DistributedRank {
     val spark = df.sparkSession
     val keyCols = keys.map(col)
     val np =
-      if (numPartitions > 0) numPartitions
-      else math.min(MaxDerivedPartitions,
-        math.max(df.rdd.getNumPartitions,
-          spark.sessionState.conf.numShufflePartitions))
+      if (numPartitions > 0) numPartitions else derivePartitions(spark)
     val parted = df
       .repartitionByRange(np, keyCols ++ order: _*)
       .withColumn("__pid", spark_partition_id())

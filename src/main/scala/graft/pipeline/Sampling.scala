@@ -147,7 +147,8 @@ object Sampling {
     * global sort anywhere in the plan.
     *
     * `numPartitions <= 0` (the default) derives the partition count from
-    * the input (see [[graft.ops.DistributedRank.MaxDerivedPartitions]]).
+    * the session's parallelism
+    * ([[graft.ops.DistributedRank.derivePartitions]]).
     * The result is `localCheckpoint`ed so it stays valid past the
     * internal unpersist — executor memory spilling to LOCAL DISK, so at
     * corpus scale the shuffled epoch occupies executor disk until the
@@ -191,8 +192,8 @@ object Sampling {
     *
     * The input is pinned with persist(): the partition totals and the final
     * pass must see the same range partitioning. `numPartitions <= 0` (the
-    * default) derives the partition count from the input exactly as
-    * [[graft.ops.DistributedRank.rankedByRange]] does; the output is
+    * default) derives the partition count from the session's parallelism
+    * ([[graft.ops.DistributedRank.derivePartitions]]); the output is
     * `localCheckpoint`ed (executor memory spilling to LOCAL DISK — at
     * corpus scale the packed epoch occupies executor disk until the
     * caller releases it).
@@ -202,9 +203,7 @@ object Sampling {
                              numPartitions: Int = 0): DataFrame = {
     val np =
       if (numPartitions > 0) numPartitions
-      else math.min(graft.ops.DistributedRank.MaxDerivedPartitions,
-        math.max(df.rdd.getNumPartitions,
-          df.sparkSession.sessionState.conf.numShufflePartitions))
+      else graft.ops.DistributedRank.derivePartitions(df.sparkSession)
     val parted = df
       .repartitionByRange(np, col(idColName))
       .withColumn("__tok", tokensCol.cast("long"))

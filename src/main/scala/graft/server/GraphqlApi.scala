@@ -135,7 +135,11 @@ final class GraphqlApi(api: RestApi, version: String = "0.1.0") {
     validateSubscriptionRoot(doc0)
     val doc = doc0.copy(selections =
       applyDirectives(doc0.selections, vars, doc0.varDefs))
+    // validation guarantees ONE response key; same-key duplicates (a
+    // spec-legal fragment-composition shape) collapse to the first
+    // occurrence — the minimal executor does not merge selection sets
     val fields = flattenTop(doc.selections, "Subscription")
+      .distinctBy(_.alias)
     Some(fields.flatMap { f =>
       try {
         val events = resolve(doc.op, f, vars, doc.varDefs)
@@ -514,26 +518,56 @@ final class GraphqlApi(api: RestApi, version: String = "0.1.0") {
         throw GqlError(s"unexpanded fragment '$n'")
     }
 
+  /** Literal-only directive gate for the static single-root-field rule:
+    * the spec runs CollectFields with an EMPTY variableValues set, so a
+    * literal `@skip(if: true)` / `@include(if: false)` excludes the
+    * selection here, while a variable-valued condition does NOT exclude
+    * at this phase (it is evaluated per-request by `applyDirectives`,
+    * where a bad value is a 400).
+    */
+  private def staticallyIncluded(dirs: Seq[Directive]): Boolean =
+    dirs.forall { d =>
+      d.args.get("if") match {
+        case Some(GLit(n)) if n.isBoolean =>
+          if (d.name == "skip") !n.asBoolean() else n.asBoolean()
+        case _ => true
+      }
+    }
+
   /** Spec §5.2.3.1 (single root field): a subscription operation's
-    * selection set must collect to exactly one root field, and that
-    * field must not be an introspection/meta field (`__typename`,
-    * `__schema`, `__type`) — each `next` frame is one stream event, so a
-    * synthetic meta-field frame would corrupt graphql-sse clients.
-    * Static validation: runs on the parsed document, BEFORE
-    * `@skip`/`@include` evaluation, exactly as the spec's CollectFields
-    * for this rule prescribes. Queries and mutations are unrestricted.
+    * selection set, collected per the spec's CollectFields with empty
+    * variableValues — fragments flattened, literal `@skip`/`@include`
+    * honored, fields GROUPED BY RESPONSE KEY (alias) — must hold
+    * exactly one entry, and it must not be an introspection/meta field
+    * (`__typename`, `__schema`, `__type`): each `next` frame is one
+    * stream event, so a synthetic meta-field frame would corrupt
+    * graphql-sse clients. Runs on the parsed document, before the
+    * per-request directive pass. Queries and mutations are
+    * unrestricted.
     */
   private def validateSubscriptionRoot(doc: Document): Unit =
     if (doc.op == "subscription") {
-      val roots = flattenTop(doc.selections, "Subscription")
-      if (roots.size != 1)
+      def collect(sels: Seq[Selection]): Seq[FieldSel] = sels.flatMap {
+        case f: FieldSel =>
+          if (staticallyIncluded(f.dirs)) Seq(f) else Seq.empty
+        case InlineFrag(onType, sub, dirs) =>
+          if (staticallyIncluded(dirs) && onType.forall(_ == "Subscription"))
+            collect(sub)
+          else Seq.empty
+        case FragSpread(n, _) => // parse() inlines every spread
+          throw GqlParseError(s"unexpanded fragment '$n'")
+      }
+      val roots = collect(doc.selections)
+      val keys = roots.map(_.alias).distinct
+      if (keys.size != 1)
         throw GqlParseError(
           s"subscription operations must select exactly one root field " +
-            s"(got ${roots.size})")
-      if (roots.head.name.startsWith("__"))
+            s"(got ${keys.size})")
+      roots.find(_.name.startsWith("__")).foreach { f =>
         throw GqlParseError(
           s"subscription root field must not be an introspection field " +
-            s"('${roots.head.name}')")
+            s"('${f.name}')")
+      }
     }
 
   /** Evaluate `@skip`/`@include` against the request's variables and

@@ -426,31 +426,31 @@ class RestApi(spark: SparkSession) {
     val numCells = boundedInt(req, "num_cells", default = 16, max = 4096)
     val nprobe = boundedInt(req, "nprobe",
       default = math.max(1, numCells / 4), max = numCells)
-    // snapshot FIRST, then guard: the eager checkpoint pins one set of
-    // live rows, so the count below and the data every later stage reads
-    // are the same rows — no TOCTOU window against concurrent upserts
-    // (rows written after this line simply aren't in the index, the
-    // documented serve-under-writes behavior), and the guard costs a scan
-    // of checkpointed blocks, not a second pass over the collection.
-    val snap0 = liveRows(c).select(col("id"), col("vector"))
-      .localCheckpoint(true)
-    val nLive = snap0.count()
+    // Dense surrogate ids via the distributed global rank — same
+    // id-ordered assignment the former Window.orderBy produced, with no
+    // single-partition sort — checkpointed ONCE: the eager checkpoint
+    // pins one set of live rows, so the guard's count below and the data
+    // every later stage reads are the same rows (no TOCTOU window
+    // against concurrent upserts; rows written after this point simply
+    // aren't in the index — the documented serve-under-writes behavior).
+    // rankedByRange's internal pin is explicitly released; only this one
+    // snapshot remains, with the same lifecycle the pre-r14 snapshot
+    // had. On the refusal path the ranking work has already happened —
+    // the price of a race-free guard, paid only on a misuse that 4xxes.
+    val snap = {
+      val (ranked, release) = graft.ops.DistributedRank.rankedByRange(
+        liveRows(c).select(col("id"), col("vector")),
+        Nil, Seq(col("id")), "__r", "__n")
+      try ranked.withColumn("__sid", col("__r").cast("long"))
+        .drop("__r", "__n")
+        .localCheckpoint(true) // one stable snapshot feeds guard + build + mapping
+      finally release()
+    }
+    val nLive = snap.count() // counts checkpointed blocks — no rescan
     Predef.require(nLive <= graft.ann.LocalServe.DefaultMaxRows,
       s"build_index('$name'): $nLive rows exceeds the in-process serving " +
         s"bound (${graft.ann.LocalServe.DefaultMaxRows}); use " +
         "Ivf.batchSearchPacked for collections this large")
-    // dense surrogate ids via the distributed global rank — same
-    // id-ordered assignment the former Window.orderBy produced, with no
-    // single-partition sort (the 2M serving bound is LocalServe's memory
-    // budget, not a numbering ceiling)
-    val snap = {
-      val (ranked, cleanup) = graft.ops.DistributedRank.rankedByRange(
-        snap0, Nil, Seq(col("id")), "__r", "__n")
-      try ranked.withColumn("__sid", col("__r").cast("long"))
-        .drop("__r", "__n")
-        .localCheckpoint(true) // one stable snapshot feeds build + mapping
-      finally cleanup()
-    }
     val ix = graft.ann.Ivf.build(snap, col("vector"), numCells, c.metric)
     val li = graft.ann.LocalServe.fromIndex(ix, "__sid", "vector")
     val ids = snap.orderBy(col("__sid")).select("id").collect()

@@ -62,8 +62,9 @@ class CollaborativeFilteringSpec extends SparkSpec {
     val base = spark.range(5000)
       .select(concat(lit("u"), pmod(col("id") * 48271L, lit(5000)))
         .as("u")).distinct().repartition(8)
-    val scalable = CollaborativeFiltering.denseIndex(base, "u", "uid")
-      .select("u", "uid")
+    val (mapping, release) = CollaborativeFiltering.denseIndex(base, "u", "uid")
+    val scalable = mapping.select("u", "uid").localCheckpoint(true)
+    release()
     val oracle = base.withColumn("uid",
       (row_number().over(Window.orderBy(col("u"))) - 1).cast("int"))
       .select("u", "uid")

@@ -74,6 +74,27 @@ class DistributedRankSpec extends SparkSpec {
     c2()
   }
 
+  test("the derived numPartitions default (<=0) ranks correctly and " +
+      "respects the clamp bounds") {
+    val df = data(300, 31) // 7 input partitions, shuffle.partitions = 4
+    val (ranked, cleanup) = DistributedRank.rankedByRange(
+      df, Nil, Seq(col("v").asc, col("id").asc), "r", "n") // default: derive
+    val got = ranked.select("id", "r").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cleanup()
+    val want = df.withColumn("r",
+        row_number().over(Window.orderBy(col("v").asc, col("id").asc)) - 1)
+      .select("id", "r").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(got == want)
+    // empty frame through the derived default: no error, empty result
+    val (e, ce) = DistributedRank.rankedByRange(
+      df.filter(lit(false)), Seq("grp"), Seq(col("v").asc), "r", "n")
+    assert(e.count() == 0)
+    ce()
+    assert(DistributedRank.MaxDerivedPartitions == 4096)
+  }
+
   test("the plan never sorts the whole input on one partition") {
     val df = data(300, 7)
     val (ranked, cleanup) = DistributedRank.rankedByRange(

@@ -487,6 +487,17 @@ class GraphqlApiSpec extends SparkSpec {
     val (st, et) = run(g, """{"query": "subscription { __typename }"}""")
     assert(st == 400 && et.get("errors").get(0).get("message").asText()
       .contains("introspection"))
+    // spec-VALID corners stay accepted: CollectFields runs with empty
+    // variables, so a literal @skip(if: true) second field collects
+    // away, and same-response-key fragment composition merges to one
+    val lit = """subscription { old @skip(if: true) searchStream(input: {collection: "docs", vector: [1.0, 0.0, 0.0, 0.0], k: 1}) { sequence } }"""
+    val fLit = g.subscriptionSseFrames(mapper.writeValueAsString(
+      mapper.createObjectNode().put("query", lit))).get
+    assert(fLit.size == 1, fLit.toString)
+    val merged = """subscription { ... on Subscription { searchStream(input: {collection: "docs", vector: [1.0, 0.0, 0.0, 0.0], k: 1}) { sequence } } ... on Subscription { searchStream(input: {collection: "docs", vector: [1.0, 0.0, 0.0, 0.0], k: 1}) { sequence } } }"""
+    val fM = g.subscriptionSseFrames(mapper.writeValueAsString(
+      mapper.createObjectNode().put("query", merged))).get
+    assert(fM.size == 1, fM.toString) // one response key -> one stream
     // @include still gates fields WITHIN the single root selection
     val sub = """subscription { searchStream(input: {collection: "docs", vector: [1.0, 0.0, 0.0, 0.0], k: 1}) { sequence isLast @include(if: false) result { id } } }"""
     val frames = g.subscriptionSseFrames(mapper.writeValueAsString(

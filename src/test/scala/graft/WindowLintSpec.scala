@@ -56,9 +56,12 @@ class WindowLintSpec extends AnyFunSuite {
     t.startsWith("*") || t.startsWith("//") || t.startsWith("/*")
   }
 
+  // the second alternative matches ANY literal partition key
+  // (lit(1), lit(1L), lit("all"), ...) — every spelling of a
+  // constant-partitioned window is the same single-partition sort
   private val sitePattern =
     ("""Window\s*\.\s*orderBy""" + "|" +
-      """Window\s*\.\s*partitionBy\(lit\(1\)\)""").r
+      """Window\s*\.\s*partitionBy\(\s*lit\(""").r
 
   test("every unpartitioned ranking window in main is on the allowlist " +
       "with its exact count") {
