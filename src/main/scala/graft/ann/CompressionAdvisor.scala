@@ -110,6 +110,7 @@ object CompressionAdvisor {
     val sampleDf = Ivf.boundedSample(
       df.select(vecCol.cast("array<float>").as("v")),
       config.maxSampleSize, config.seed).cache()
+    try {
     val sample = sampleDf.collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "No vectors to analyze")
     val dim = sample(0).length
@@ -200,10 +201,12 @@ object CompressionAdvisor {
       recall(bqResults, truth), dim * 4.0 / ((dim + 7) / 8),
       ((dim + 7) / 8).toLong, Double.NaN)
 
-    sampleDf.unpersist()
     val all = strategies.result()
     AdvisorReport(distribution, all,
       recommendations(all, dim, config.targetRecalls))
+    // cache feeds the collect AND the three quantizer trainings; released
+    // on every exit, the empty-sample require and failed jobs included
+    } finally sampleDf.unpersist()
   }
 
   /** compression_advisor.rs:424-493: per-dim variance moments + a

@@ -44,6 +44,7 @@ object Tuner {
     val frontier = cellCandidates.flatMap { cells =>
       val ix = Ivf.build(df, col(vecCol), cells, metric, seed)
       val assigned = ix.assigned.persist()
+      try {
       val cellSizes = assigned.groupBy("cell").count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
       val exactTops = queries.map { q =>
@@ -63,8 +64,9 @@ object Tuner {
         }.sum.toDouble / (queries.size * n)
         Measurement(cells, nprobe, recalls.sum / recalls.size, scanned)
       }
-      assigned.unpersist()
       out
+      // per-candidate pin released even when a probe job throws mid-grid
+      } finally assigned.unpersist()
     }
     val best = frontier.filter(_.meanRecallAtK >= minRecall)
       .sortBy(m => (m.scanFraction, m.numCells)).headOption

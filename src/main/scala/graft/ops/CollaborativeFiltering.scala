@@ -51,12 +51,19 @@ object CollaborativeFiltering {
                                 outCol: String): (DataFrame, () => Unit) = {
     val (ranked, release) = DistributedRank.rankedByRange(
       base, Nil, Seq(col(keyCol)), "__r", "__n")
-    val out = ranked.withColumn(outCol, col("__r").cast("int"))
-      .drop("__r", "__n")
-    val n = out.count() // one job over the pinned range partitions
-    require(n <= Int.MaxValue,
-      s"denseIndex: $n distinct '$keyCol' values exceed ALS's Int id space")
-    (out, release)
+    try {
+      val out = ranked.withColumn(outCol, col("__r").cast("int"))
+        .drop("__r", "__n")
+      val n = out.count() // one job over the pinned range partitions
+      require(n <= Int.MaxValue,
+        s"denseIndex: $n distinct '$keyCol' values exceed ALS's Int id space")
+      (out, release)
+    } catch {
+      // the count job or the Int-space assertion can throw before the
+      // caller ever sees the release thunk — release here, else the pin
+      // leaks on exactly the failure paths this API exists to cover
+      case t: Throwable => release(); throw t
+    }
   }
 
   /** Fit implicit-feedback ALS over (user, item, weight) interactions;

@@ -144,18 +144,18 @@ object Crdt {
     val (ranked, cleanup) = DistributedRank.rankedByRange(
       entries.select(idCol.cast("string").as("id"), hashCol.as("value_hash")),
       keys = Nil, order = Seq(col("id").asc), rankCol = "__r", nCol = "__n")
-    val epb = floor(greatest(col("__n"), lit(1L)) / buckets).cast("long")
-    val out = ranked
-      .withColumn("bucket",
-        when(epb === 0, lit(buckets - 1))
-          .otherwise(least(col("__r") / epb, lit((buckets - 1).toLong))
-            .cast("int")))
-      .drop("__r", "__n")
-      // materialize before releasing the pinned ranked input; one extra
-      // distributed write, traded for never sorting the replica on one core
-      .localCheckpoint(true)
-    cleanup()
-    out
+    try {
+      val epb = floor(greatest(col("__n"), lit(1L)) / buckets).cast("long")
+      ranked
+        .withColumn("bucket",
+          when(epb === 0, lit(buckets - 1))
+            .otherwise(least(col("__r") / epb, lit((buckets - 1).toLong))
+              .cast("int")))
+        .drop("__r", "__n")
+        // materialize before releasing the pinned ranked input; one extra
+        // distributed write, traded for never sorting the replica on one core
+        .localCheckpoint(true)
+    } finally cleanup() // released on the checkpoint-failure path too
   }
 
   /** Per-bucket hashes (crdt.rs:978-988): within each bucket, ids in

@@ -72,8 +72,11 @@ object DistributedRank {
       .repartitionByRange(np, keyCols ++ order: _*)
       .withColumn("__pid", spark_partition_id())
       .persist()
-    val counts = parted
-      .groupBy(col("__pid") +: keyCols: _*).count().collect()
+    // the counts job can fail (input read error, cancellation): release
+    // the pin before rethrowing so a failed call leaks nothing
+    val counts =
+      try parted.groupBy(col("__pid") +: keyCols: _*).count().collect()
+      catch { case t: Throwable => parted.unpersist(); throw t }
     if (keys.isEmpty) {
       // global-rank fast path: the prefix offsets key on __pid alone, so
       // they fold into LITERAL maps instead of a parallelize + broadcast

@@ -101,9 +101,8 @@ object QueryAnalytics {
             .otherwise(0L)), lit(0L)),
         lit(0.0)).as("filtered_query_ratio"))
     // one row: materialize eagerly so the ranked input can be unpersisted
-    val out = counters.crossJoin(lat).localCheckpoint(true)
-    cleanup()
-    out
+    try counters.crossJoin(lat).localCheckpoint(true)
+    finally cleanup() // released on the checkpoint-failure path too
   }
 
   /** Slow-query log (analytics.rs:389-412, 580-589): events over the
@@ -137,33 +136,33 @@ object QueryAnalytics {
     val (withRec, cleanRec) = rankedByRange(log, keyNames,
       order = Seq(col("ts").desc), rankCol = "__rec0", nCol = "__ntot",
       numPartitions = rankPartitions)
-    val recent1000 = col("__recency") <= 1000
-    // recent-window size is min(total, 1000) by construction — no second
-    // per-key pass needed
-    val (ranked0, cleanRnk) = rankedByRange(
-      withRec.withColumn("__recency", col("__rec0") + 1)
-        .withColumn("__n", least(col("__ntot"), lit(1000L))),
-      keyNames,
-      order = Seq(when(recent1000, 0).otherwise(1).asc,
-        col("latency_ms").asc, col("ts").asc),
-      rankCol = "__r", nCol = "__ntot2", numPartitions = rankPartitions)
-    val ranked = ranked0
-    val out = ranked.groupBy(key: _*)
-      .agg(
-        count(lit(1)).as("count"),
-        avgFixed3(col("latency_ms")).as("avg_latency_ms"),
-        pct("latency_ms", col("__r"), col("__n"), 50).as("p50_latency_ms"),
-        pct("latency_ms", col("__r"), col("__n"), 95).as("p95_latency_ms"),
-        max(when(recent1000, col("latency_ms"))).as("p99_latency_ms"),
-        avg(col("result_count")).as("avg_result_count"),
-        min(col("ts")).as("first_seen"), max(col("ts")).as("last_seen"))
-      .withColumn("typical_k", coalesce(col("k"), lit(10)))
-      .withColumn("uses_filter", col("has_filter"))
-      .drop("has_filter", "k")
-      // ≤ |patterns| rows: materialize, then release the ranked inputs
-      .localCheckpoint(true)
-    cleanRnk(); cleanRec()
-    out
+    try {
+      val recent1000 = col("__recency") <= 1000
+      // recent-window size is min(total, 1000) by construction — no second
+      // per-key pass needed
+      val (ranked, cleanRnk) = rankedByRange(
+        withRec.withColumn("__recency", col("__rec0") + 1)
+          .withColumn("__n", least(col("__ntot"), lit(1000L))),
+        keyNames,
+        order = Seq(when(recent1000, 0).otherwise(1).asc,
+          col("latency_ms").asc, col("ts").asc),
+        rankCol = "__r", nCol = "__ntot2", numPartitions = rankPartitions)
+      try ranked.groupBy(key: _*)
+        .agg(
+          count(lit(1)).as("count"),
+          avgFixed3(col("latency_ms")).as("avg_latency_ms"),
+          pct("latency_ms", col("__r"), col("__n"), 50).as("p50_latency_ms"),
+          pct("latency_ms", col("__r"), col("__n"), 95).as("p95_latency_ms"),
+          max(when(recent1000, col("latency_ms"))).as("p99_latency_ms"),
+          avg(col("result_count")).as("avg_result_count"),
+          min(col("ts")).as("first_seen"), max(col("ts")).as("last_seen"))
+        .withColumn("typical_k", coalesce(col("k"), lit(10)))
+        .withColumn("uses_filter", col("has_filter"))
+        .drop("has_filter", "k")
+        // ≤ |patterns| rows: materialize, then release the ranked inputs
+        .localCheckpoint(true)
+      finally cleanRnk()
+    } finally cleanRec() // both pins released on every failure path
   }
 
   def topPatterns(log: DataFrame, limit: Int): DataFrame =
