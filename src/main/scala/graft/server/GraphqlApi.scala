@@ -67,8 +67,16 @@ final class GraphqlApi(api: RestApi, version: String = "0.1.0") {
         validateSubscriptionRoot(d)
         // @skip/@include need the variables — still the request-error
         // phase, so a bad `if` is a 400 like any validation failure
-        (d.copy(selections =
-          applyDirectives(d.selections, vars, d.varDefs)), vars)
+        val d2 = d.copy(selections =
+          applyDirectives(d.selections, vars, d.varDefs))
+        // §6.4 CreateSourceEventStream runs CollectFields with the
+        // REQUEST's variables: a variable-valued @skip that removes the
+        // subscription's single root passes the static check above but
+        // must still be a request error — re-validate the
+        // directive-applied document (its literal pass IS the runtime
+        // collection, directives now being evaluated away)
+        validateSubscriptionRoot(d2)
+        (d2, vars)
       } catch {
         case e: GqlParseError =>
           return (400, mapper.writeValueAsString(errorEnvelope(e.message)))
@@ -135,6 +143,10 @@ final class GraphqlApi(api: RestApi, version: String = "0.1.0") {
     validateSubscriptionRoot(doc0)
     val doc = doc0.copy(selections =
       applyDirectives(doc0.selections, vars, doc0.varDefs))
+    // §6.4: re-validate with the request's variables applied — a
+    // variable-valued @skip removing the single root is a request
+    // error, not an empty stream (see handle())
+    validateSubscriptionRoot(doc)
     // validation guarantees ONE response key; same-key duplicates (a
     // spec-legal fragment-composition shape) collapse to the first
     // occurrence — the minimal executor does not merge selection sets

@@ -523,6 +523,30 @@ class GraphqlApiSpec extends SparkSpec {
     assert(s3 == 200 && ok.get("data").get("health").has("version"))
   }
 
+  test("a variable-valued @skip that removes the subscription's single " +
+      "root at request time is a request error on both paths (spec " +
+      "6.4: CollectFields with the REQUEST's variables)") {
+    val (g, _) = gql()
+    val doc = """subscription ($b: Boolean!) { searchStream(input: {collection: \"docs\", vector: [1.0, 0.0, 0.0, 0.0], k: 1}) @skip(if: $b) { sequence } }"""
+    def body(b: Boolean) =
+      s"""{"query": "$doc", "variables": {"b": $b}}"""
+    // static validation passes (the condition is variable-valued), but
+    // with b=true the runtime collection is empty -> 400, never an
+    // empty-but-200 response / zero-frame SSE stream
+    val (s1, e1) = run(g, body(true))
+    assert(s1 == 400, s"got $e1")
+    assert(e1.get("errors").get(0).get("message").asText()
+      .contains("exactly one root field"))
+    intercept[Exception] {
+      g.subscriptionSseFrames(body(true))
+    }
+    // b=false: the root survives and the stream flows normally
+    val frames = g.subscriptionSseFrames(body(false)).get
+    assert(frames.size == 1, frames.toString)
+    assert(mapper.readTree(frames.head).get("data")
+      .get("searchStream").has("sequence"))
+  }
+
   test("fuzz contract: hostile/random documents never escape the error " +
       "envelope — every response is valid JSON with status 200 or 400") {
     val (g, _) = gql()
