@@ -33,6 +33,24 @@ object FilterQueries {
         .orderBy(col("event_id"))
     },
 
+    // Natural-language filter expression → NlFilterParser → Filter ADT →
+    // the same compiled predicate path as every JSON filter (reference:
+    // src/services/search/nl_filter_parser.rs). Exercises alias
+    // resolution ("length"→"n_chars"), Gte ("at least"), Eq, Ne.
+    "nl_filter_parse" -> Q(
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang = 'en' AND n_chars >= 200 AND source <> 'src3'
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val parsed = graft.filter.NlFilterParser()
+        .addAlias("length", "n_chars")
+        .parse("lang is 'en' and length at least 200 and source is not 'src3'")
+      val df = Tables.load(s, dir, "documents")
+      df.filter(FilterCompiler.compile(parsed.filter.get, df))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // Dot-path descent into a JSON-string column (dynamic metadata model).
     "filter_json_path" -> Q(
       """SELECT event_type, count(*) AS n
