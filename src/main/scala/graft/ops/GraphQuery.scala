@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Distances
+
+/** Graph-augmented vector search (reference: src/services/ai/graph_query.rs
+  * :94-180): the query vector ranks seed nodes, a bounded traversal over
+  * typed directed edges pulls in graph-adjacent nodes, and the fused
+  * score orders the final top-k —
+  * `score = vector_distance * vectorWeight + hops * graphWeight * 0.1`
+  * (seeds at hops = 0 reduce to the pure weighted distance, exactly the
+  * reference's seed insertion at graph_query.rs:135-142).
+  *
+  * Spark-first shape: seeds are one TakeOrderedAndProject over the scored
+  * node scan; each hop is an equi-join frontier expansion (edges on src)
+  * with a left-anti join against already-assigned nodes, so the whole
+  * traversal is maxHops bounded join stages — no cartesian, no driver
+  * recursion, and each node enters the result at most once.
+  *
+  * Two deterministic re-expressions of reference behavior that is
+  * iteration-order dependent (documented per the project's adjudication
+  * discipline):
+  *  - the reference traversal is a DFS whose first-visit-wins depth
+  *    depends on seed iteration and edge insertion order
+  *    (graph_query.rs:158-180); here a non-seed node's `hops` is its
+  *    MINIMUM edge distance from the seed set (level-synchronous BFS),
+  *    with ties between equal-hop arrivals resolved to the smallest
+  *    (path, edge_types) pair — order-free and shuffle-stable;
+  *  - seed ranking tie-breaks on id (the reference's sort is unstable
+  *    on equal distances).
+  *
+  * Edges whose `dst` has no node row are dropped by the inner join with
+  * the scored nodes — the reference skips them the same way
+  * (`nodes.get(&edge.target)` miss, graph_query.rs:166).
+  */
+object GraphQuery {
+
+  /** Top-k of [[assignments]] by fused score (graph_query.rs:146-149).
+    *
+    * Note a consequence of the reference's own formula: a traversed
+    * (non-seed) node has BOTH a worse distance than every seed (seeds
+    * are the 2k closest) and a positive hop penalty, so its score never
+    * beats a seed's — the k ≤ 2k cut returns seeds whenever ≥ 2k nodes
+    * exist, and the hop/path metadata only surfaces through
+    * [[assignments]]. The reference behaves identically (its tests only
+    * ever observe graphs small enough that every node is a seed).
+    *
+    * @param nodes (id: string, vector: array&lt;float&gt;)
+    * @param edges (src: string, dst: string, edge_type: string)
+    * @return (id, vector_distance, hops, path array&lt;string&gt;,
+    *         edge_types array&lt;string&gt;, score), k rows, score asc
+    */
+  def search(nodes: DataFrame, edges: DataFrame, queryVec: Array[Float],
+             k: Int = 10, maxHops: Int = 2, vectorWeight: Double = 0.6,
+             graphWeight: Double = 0.4, metric: String = "cosine",
+             distanceColumn: Column => Column = identity): DataFrame =
+    assignments(nodes, edges, queryVec, k, maxHops, vectorWeight,
+      graphWeight, metric, distanceColumn)
+      .orderBy(col("score").asc, col("id").asc)
+      .limit(k)
+
+  /** The full seed + traversal assignment frame (the reference's internal
+    * `results` map, graph_query.rs:134-145): one row per reached node
+    * with its hop count, witness path, and fused score. Unbounded by k
+    * on the traversal side — callers cut it (as [[search]] does) or
+    * consume the whole reachable set.
+    */
+  def assignments(nodes: DataFrame, edges: DataFrame, queryVec: Array[Float],
+                  k: Int = 10, maxHops: Int = 2, vectorWeight: Double = 0.6,
+                  graphWeight: Double = 0.4, metric: String = "cosine",
+                  distanceColumn: Column => Column = identity): DataFrame = {
+    require(k > 0 && maxHops >= 0, s"k=$k, maxHops=$maxHops")
+    val q = lit(queryVec.map(_.toDouble))
+    // one scored scan, reused by seed ranking and every hop's dst lookup
+    val scored = nodes.select(col("id"),
+      distanceColumn(Distances.distance(metric, col("vector"), q))
+        .as("vector_distance"))
+    // top-(2k) seeds: graph_query.rs:129-133
+    val seeds = scored
+      .orderBy(col("vector_distance").asc, col("id").asc).limit(2 * k)
+      .select(col("id"), col("vector_distance"),
+        lit(0).as("hops"), array(col("id")).as("path"),
+        array().cast("array<string>").as("edge_types"))
+
+    // renamed once so every hop's join resolves purely by (unique) name —
+    // the iterative self-join would otherwise trip ambiguous-attribute
+    // detection when hop h+1 rejoins the edges hop h's frontier came from
+    val e = edges.select(col("src").as("__esrc"), col("dst").as("__edst"),
+      col("edge_type").as("__eet"))
+
+    var assigned = seeds
+    var frontier = seeds.select("id", "path", "edge_types")
+    for (hop <- 1 to maxHops) {
+      val expanded = frontier
+        .join(e, col("id") === col("__esrc"))
+        .select(col("__edst").as("id"),
+          concat(col("path"), array(col("__edst"))).as("path"),
+          concat(col("edge_types"), array(col("__eet")))
+            .as("edge_types"))
+      val fresh = expanded.join(
+        assigned.select(col("id").as("__aid")),
+        col("id") === col("__aid"), "left_anti")
+      // min-(path, edge_types) per node: the BFS tie-break above
+      val chosen = fresh.groupBy("id")
+        .agg(min(struct(col("path"), col("edge_types"))).as("c"))
+        .select(col("id"), col("c.path").as("path"),
+          col("c.edge_types").as("edge_types"))
+      val withDist = chosen.join(scored, "id")
+        .select(col("id"), col("vector_distance"), lit(hop).as("hops"),
+          col("path"), col("edge_types"))
+      assigned = assigned.unionByName(withDist)
+      frontier = withDist.select("id", "path", "edge_types")
+    }
+
+    assigned.withColumn("score",
+      col("vector_distance") * vectorWeight +
+        col("hops") * (graphWeight * 0.1))
+  }
+}

@@ -78,6 +78,80 @@ object MemoryGraphQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    // Graph-augmented vector search (services/ai/graph_query.rs:94-180):
+    // top-(2k) seeds by cosine, 2-hop typed-edge expansion (BFS min-hop,
+    // ties to the smallest (path, edge_types) pair — see GraphQuery's
+    // adjudication note), score = dist·0.6 + hops·0.4·0.1. Edges: 'next'
+    // = vec_id+1, 'skip' = the KG ring (vec_id·7+3) mod n. The oracle
+    // unrolls the two hop levels like kg_context_search does; string-id
+    // paths join with '/', and elementwise array comparison equals the
+    // joined-string comparison because ids are '/'-free and equal-hop
+    // tied paths have equal length. The 0.4·0.1 weight multiplies as
+    // DOUBLE on both sides so the fused scores are bit-identical.
+    "graph_query_search" -> Q(
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |n AS (SELECT count(*) AS c FROM embeddings),
+        |d AS (SELECT CAST(vec_id AS VARCHAR) AS id,
+        |             round(1 - list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6) AS dist
+        |      FROM embeddings, q),
+        |e AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS src,
+        |         CAST(vec_id + 1 AS VARCHAR) AS dst, 'next' AS et
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT CAST(vec_id AS VARCHAR),
+        |         CAST((vec_id * 7 + 3) % (SELECT c FROM n) AS VARCHAR), 'skip'
+        |  FROM embeddings),
+        |seeds AS (SELECT id, dist FROM d ORDER BY dist, id LIMIT 20),
+        |x1 AS (
+        |  SELECT e.dst AS id, s.id || '/' || e.dst AS path, e.et AS etypes
+        |  FROM seeds s JOIN e ON s.id = e.src JOIN d dd ON dd.id = e.dst
+        |  WHERE e.dst NOT IN (SELECT id FROM seeds)),
+        |h1 AS (SELECT id, path, etypes FROM
+        |         (SELECT x1.*, row_number() OVER (PARTITION BY id
+        |            ORDER BY path, etypes) AS rn FROM x1) WHERE rn = 1),
+        |x2 AS (
+        |  SELECT e.dst AS id, h.path || '/' || e.dst AS path,
+        |         h.etypes || '/' || e.et AS etypes
+        |  FROM h1 h JOIN e ON h.id = e.src JOIN d dd ON dd.id = e.dst
+        |  WHERE e.dst NOT IN (SELECT id FROM seeds)
+        |    AND e.dst NOT IN (SELECT id FROM h1)),
+        |h2 AS (SELECT id, path, etypes FROM
+        |         (SELECT x2.*, row_number() OVER (PARTITION BY id
+        |            ORDER BY path, etypes) AS rn FROM x2) WHERE rn = 1),
+        |allr AS (
+        |  SELECT id, 0 AS hops, id AS path, '' AS etypes FROM seeds
+        |  UNION ALL SELECT id, 1, path, etypes FROM h1
+        |  UNION ALL SELECT id, 2, path, etypes FROM h2)
+        |SELECT a.id, d.dist AS vector_distance, a.hops, a.path,
+        |       a.etypes AS edge_types,
+        |       round(d.dist * 0.6::DOUBLE + a.hops * (0.4::DOUBLE * 0.1::DOUBLE), 6) AS score
+        |FROM allr a JOIN d ON d.id = a.id
+        |ORDER BY d.dist * 0.6::DOUBLE + a.hops * (0.4::DOUBLE * 0.1::DOUBLE), a.id
+        |LIMIT 40""".stripMargin
+    ) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val n = emb.count()
+      val nodes = emb.select(col("vec_id").cast("string").as("id"),
+        col("embedding").as("vector"))
+      val edges = emb.select(col("vec_id").cast("string").as("src"),
+          (col("vec_id") + 1).cast("string").as("dst"),
+          lit("next").as("edge_type"))
+        .unionByName(emb.select(col("vec_id").cast("string").as("src"),
+          ((col("vec_id") * 7 + 3) % n).cast("string").as("dst"),
+          lit("skip").as("edge_type")))
+      // assignments, not search: the fused formula makes traversed rows
+      // score behind every seed, so the k-cut would hide the hop/path
+      // columns this gate exists to check (see GraphQuery.search scaladoc)
+      graft.ops.GraphQuery.assignments(nodes, edges, queryVec(s, dir),
+          k = 10, maxHops = 2, distanceColumn = c => round(c, 6))
+        .orderBy(col("score").asc, col("id").asc).limit(40)
+        .select(col("id"), col("vector_distance"), col("hops"),
+          array_join(col("path"), "/").as("path"),
+          array_join(col("edge_types"), "/").as("edge_types"),
+          round(col("score"), 6).as("score"))
+    },
+
     // Memory recall: 0.7·cosine + 0.3·decayed importance, exp half-life
     // 168 h (agentic_memory.rs:452-524), threshold 0 admits positive sims.
     "memory_recall" -> Q(
