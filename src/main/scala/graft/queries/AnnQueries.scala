@@ -65,6 +65,48 @@ object AnnQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    // Encrypted (hash-only) search under a FULL hash oracle
+    // (services/search/encrypted_search.rs): the vec_cluster_fixed trick
+    // — the seeded-LCG hyperplane family is not SQL-replayable, so this
+    // gate pins the first 16 embeddings AS the hyperplane family (the
+    // encoder takes any caller-provided family; the LCG default is
+    // spec-pinned in EncryptedSearchSpec). DuckDB replays sign-of-dot
+    // bit assignment, per-bit XOR as a join on bit index, and the
+    // Hamming top-k. Both engines accumulate the dots in f64 in the
+    // same element order, so the sign bits are bit-identical.
+    "encrypted_search_fixed" -> Q(
+      """WITH h AS (SELECT vec_id AS bit, embedding::DOUBLE[] AS hv
+        |           FROM embeddings WHERE vec_id < 16),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+        |bits AS (
+        |  SELECT v.vec_id, h.bit,
+        |         CASE WHEN list_dot_product(v.ve, h.hv) >= 0
+        |              THEN 1 ELSE 0 END AS b
+        |  FROM v CROSS JOIN h),
+        |q AS (SELECT bit, b AS qb FROM bits WHERE vec_id = 0),
+        |ham AS (
+        |  SELECT bits.vec_id AS id,
+        |         CAST(sum(CASE WHEN b <> qb THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS hamming_distance
+        |  FROM bits JOIN q USING (bit) GROUP BY 1)
+        |SELECT id, hamming_distance,
+        |       round(1.0 - hamming_distance / 16.0::DOUBLE, 6)
+        |         AS estimated_similarity
+        |FROM ham ORDER BY hamming_distance, id LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      import graft.ann.EncryptedSearch
+      val emb = Tables.load(s, dir, "embeddings")
+      val planes = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val enc = EncryptedSearch.encrypt(emb, col("vec_id"),
+        col("embedding"), planes)
+      val qCodes = EncryptedSearch.encodeOne(queryVec(s, dir), planes)
+      EncryptedSearch.search(enc, qCodes, totalBits = 16, k = 20)
+        .withColumn("estimated_similarity",
+          round(col("estimated_similarity"), 6))
+    },
+
     "ivf_knn_full_probe" -> Q(
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, label,

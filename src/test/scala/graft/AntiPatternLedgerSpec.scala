@@ -67,7 +67,8 @@ class AntiPatternLedgerSpec extends AnyFunSuite {
     "pipeline/Sampling.scala" -> 1,
     // oracle query surfaces: bounded ground-truth/query-vector reads
     "queries/AdvancedQueries.scala" -> 3,
-    "queries/AnnQueries.scala" -> 7,
+    // +1 r14: encrypted_search_fixed's 16-row pinned hyperplane read
+    "queries/AnnQueries.scala" -> 8,
     "queries/ExtrasQueries.scala" -> 2,
     "queries/FederatedQueries.scala" -> 2,
     "queries/HookQueries.scala" -> 1,
