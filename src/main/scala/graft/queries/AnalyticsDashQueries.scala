@@ -57,6 +57,73 @@ object AnalyticsDashQueries {
       (lit(1700000000L) + col("event_id") % 5000).as("ts"))
 
   val defs: Map[String, Q] = Map(
+    // Query replay & regression diff (services/search/query_replay.rs):
+    // two deterministic "runs" derive from embeddings — per query_idx
+    // (vec_id mod 10), the original run's ids are the 5 smallest vec_ids
+    // and the replayed run's are ranks 3..7 (partial overlap by
+    // construction); latencies are 1+q vs (1+q)·1.5 (an exact 50%
+    // change). The oracle replays the set arithmetic with anti-join CTEs
+    // and string_agg in the same ascending order the operator sorts its
+    // missing/new arrays. All latency literals cast ::DOUBLE (DuckDB
+    // decimals would otherwise change the dtype and the arithmetic).
+    "query_replay" -> Q(
+      """WITH r AS (
+        |  SELECT vec_id % 10 AS q, vec_id,
+        |         row_number() OVER (PARTITION BY vec_id % 10
+        |            ORDER BY vec_id) AS rn
+        |  FROM embeddings),
+        |o AS (SELECT q, CAST(vec_id AS VARCHAR) AS id FROM r WHERE rn <= 5),
+        |nn AS (SELECT q, CAST(vec_id AS VARCHAR) AS id FROM r
+        |       WHERE rn BETWEEN 3 AND 7),
+        |osz AS (SELECT q, count(*) AS n FROM o GROUP BY q),
+        |ov AS (SELECT o.q, count(nn.id) AS c
+        |       FROM o LEFT JOIN nn ON o.q = nn.q AND o.id = nn.id
+        |       GROUP BY o.q),
+        |missrows AS (SELECT q, id FROM o WHERE NOT EXISTS
+        |  (SELECT 1 FROM nn WHERE nn.q = o.q AND nn.id = o.id)),
+        |miss AS (SELECT q, string_agg(id, '/' ORDER BY id) AS m
+        |         FROM missrows GROUP BY q),
+        |newrows AS (SELECT q, id FROM nn WHERE NOT EXISTS
+        |  (SELECT 1 FROM o WHERE o.q = nn.q AND o.id = nn.id)),
+        |nw AS (SELECT q, string_agg(id, '/' ORDER BY id) AS m
+        |       FROM newrows GROUP BY q)
+        |SELECT osz.q AS query_idx,
+        |       round(ov.c::DOUBLE / osz.n, 6) AS recall,
+        |       (1.0::DOUBLE + osz.q) AS original_latency_ms,
+        |       (1.0::DOUBLE + osz.q) * 1.5::DOUBLE AS new_latency_ms,
+        |       round(((1.0::DOUBLE + osz.q) * 1.5::DOUBLE
+        |              - (1.0::DOUBLE + osz.q))
+        |             / (1.0::DOUBLE + osz.q) * 100.0::DOUBLE, 6)
+        |         AS latency_change_pct,
+        |       coalesce(miss.m, '') AS missing_ids,
+        |       coalesce(nw.m, '') AS new_ids
+        |FROM osz JOIN ov ON osz.q = ov.q
+        |LEFT JOIN miss ON osz.q = miss.q
+        |LEFT JOIN nw ON osz.q = nw.q
+        |ORDER BY query_idx""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ranked = Tables.load(s, dir, "embeddings")
+        .select((col("vec_id") % 10).as("query_idx"),
+          col("vec_id").cast("string").as("id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_idx")).orderBy(col("id").cast("long"))))
+      def run(cond: org.apache.spark.sql.Column, lat: org.apache.spark.sql.Column) =
+        ranked.filter(cond).groupBy("query_idx")
+          .agg(sort_array(collect_list(col("id"))).as("ids"))
+          .withColumn("latency_ms", lat)
+      val original = run(col("rn") <= 5, lit(1.0) + col("query_idx"))
+      val replayed = run(col("rn").between(3, 7),
+        (lit(1.0) + col("query_idx")) * 1.5)
+      graft.ops.QueryReplay.details(original, replayed)
+        .select(col("query_idx"), round(col("recall"), 6).as("recall"),
+          col("original_latency_ms"), col("new_latency_ms"),
+          round(col("latency_change_pct"), 6).as("latency_change_pct"),
+          array_join(col("missing_ids"), "/").as("missing_ids"),
+          array_join(col("new_ids"), "/").as("new_ids"))
+        .orderBy(col("query_idx"))
+    },
+
     // Dashboard insights (analytics.rs:506-577): QPS over the rate
     // window, index-based latency percentiles (p99 = max, the reference's
     // degenerate index expression), op-class totals, slow count, filtered
