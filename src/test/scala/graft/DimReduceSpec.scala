@@ -71,4 +71,71 @@ class DimReduceSpec extends SparkSpec {
     val meanR = ratios.sum / ratios.size
     assert(math.abs(meanR - 1.0) < 0.2, s"mean ratio $meanR")
   }
+
+  test("sparse (Achlioptas) projection: ±√(3/k)/0 entries at 1/6-2/3-1/6, " +
+      "deterministic per seed, JL distortion bounded") {
+    val sp = DimReduce.SparseProjection(inputDims = 64, outputDims = 16)
+    val again = DimReduce.SparseProjection(64, 16)
+    val rnd = new scala.util.Random(5)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val a = vec(); val b = vec()
+    assert(sp.projectOne(a).toSeq == again.projectOne(a).toSeq)
+    def d(x: Array[Float], y: Array[Float]) = math.sqrt(
+      x.zip(y).map { case (p, q) => (p - q).toDouble * (p - q) }.sum)
+    val ratios = (0 until 30).map { _ =>
+      val (x, y) = (vec(), vec()); d(sp.projectOne(x), sp.projectOne(y)) / d(x, y)
+    }
+    assert(math.abs(ratios.sum / ratios.size - 1.0) < 0.25)
+    // entry distribution: only the three legal values, zeros dominate
+    val scale = math.sqrt(3.0 / 16).toFloat
+    val entries = (0 until 16).flatMap(r =>
+      sp.projectOne(Array.tabulate(64)(i => if (i == r * 4) 1f else 0f)))
+    assert(entries.forall(e => e == 0f || math.abs(math.abs(e) - scale) < 1e-6f))
+  }
+
+  test("findOptimalComponents walks the cumulative variance ratio " +
+      "(dimreduce.rs:606-623)") {
+    // the anisotropic cloud: one dominant direction explains ≥ 90%
+    assert(DimReduce.findOptimalComponents(cloud, col("v"), 0.9f) == 1)
+    // demanding everything forces more components (2 captures the noise
+    // floor split across the two minor axes or falls back to the max)
+    val all = DimReduce.findOptimalComponents(cloud, col("v"), 0.9999f)
+    assert(all >= 2 && all <= 3)
+    intercept[IllegalArgumentException](DimReduce.findOptimalComponents(
+      cloud.filter(col("id") < 0), col("v"), 0.9f))
+  }
+
+  test("neighbor embedding separates two planted clusters and centers " +
+      "its output; the DF front-end enforces the driver bound") {
+    val rnd = new scala.util.Random(3)
+    val pts = (0 until 40).map { i =>
+      val base = if (i < 20) 0f else 30f
+      (i.toLong, Array.fill(8)(base + rnd.nextGaussian().toFloat * 0.5f))
+    }
+    val ne = DimReduce.NeighborEmbedding(outputDims = 2, perplexity = 10f,
+      nIter = 300)
+    val y = ne.fitTransform(pts.map(_._2).toArray)
+    assert(y.length == 40 && y.forall(_.length == 2))
+    // deterministic per seed
+    assert(ne.fitTransform(pts.map(_._2).toArray).map(_.toSeq).toSeq ==
+      y.map(_.toSeq).toSeq)
+    // centered
+    assert(math.abs(y.map(_(0).toDouble).sum / 40) < 1e-3)
+    // planted clusters land closer to their own side than to the other:
+    // compare mean intra- vs inter-cluster embedded distance
+    def d(a: Array[Float], b: Array[Float]) = math.sqrt(
+      a.zip(b).map { case (p, q) => (p - q).toDouble * (p - q) }.sum)
+    val (c1, c2) = y.splitAt(20)
+    val intra = (c1.combinations(2).map(p => d(p(0), p(1))) ++
+      c2.combinations(2).map(p => d(p(0), p(1)))).toSeq
+    val inter = (for (a <- c1; b <- c2) yield d(a, b)).toSeq
+    assert(intra.sum / intra.size < inter.sum / inter.size,
+      s"intra ${intra.sum / intra.size} vs inter ${inter.sum / inter.size}")
+    // DF front-end round-trips ids and enforces its bound
+    val df = pts.toDF("id", "v")
+    val out = ne.fitTransformDf(df, col("id"), col("v"))
+    assert(out.count() == 40 && out.columns.toSeq == Seq("id", "y"))
+    intercept[IllegalArgumentException](
+      ne.fitTransformDf(df, col("id"), col("v"), maxDriverRows = 10))
+  }
 }
