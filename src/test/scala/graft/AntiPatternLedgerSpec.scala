@@ -35,7 +35,10 @@ class AntiPatternLedgerSpec extends AnyFunSuite {
     // rows), and the deliberately driver-resident LocalServe snapshot
     "ann/CompressionAdvisor.scala" -> 1,
     "ann/DataProfiler.scala" -> 1,
-    "ann/DimReduce.scala" -> 1,
+    // +2 r14: findOptimalComponents' bounded-sample probe (same recipe
+    // as the fitPca site) and NeighborEmbedding.fitTransformDf's
+    // require-bounded driver read (O(n²) viz utility by contract)
+    "ann/DimReduce.scala" -> 3,
     "ann/Ivf.scala" -> 6,
     "ann/LocalServe.scala" -> 1,
     "ann/Matryoshka.scala" -> 1,
