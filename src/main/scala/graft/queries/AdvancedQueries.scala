@@ -34,6 +34,49 @@ object AdvancedQueries {
       .collect().map(r => (r.getInt(0), r.getFloat(1))).toSeq
 
   val defs: Map[String, Q] = Map(
+    // Typed vector namespaces: weighted RRF across two named vector
+    // fields (services/collection/vector_namespace.rs:271-302 — score =
+    // weight/(rank0+60), per-field k·3 over-fetch). Field "emb" is the
+    // embedding, field "rev" its reversal, weights 1.0 / 0.5, both
+    // cosine; distances round to 6 before ranking so the per-field
+    // ranks (tie-broken by id) are engine-identical, and the two-term
+    // fused sum is commutative so aggregation order cannot matter.
+    "namespace_fusion" -> Q(
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |emb AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |         round(1 - list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6) AS d
+        |  FROM embeddings, q),
+        |rev AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |         round(1 - list_cosine_similarity(list_reverse(embedding)::DOUBLE[], qv::DOUBLE[]), 6) AS d
+        |  FROM embeddings, q),
+        |re AS (SELECT id, row_number() OVER (ORDER BY d, id) - 1 AS r
+        |       FROM emb ORDER BY d, id LIMIT 30),
+        |rr AS (SELECT id, row_number() OVER (ORDER BY d, id) - 1 AS r
+        |       FROM rev ORDER BY d, id LIMIT 30),
+        |scored AS (
+        |  SELECT id, 1.0::DOUBLE / (r + 60.0::DOUBLE) AS s FROM re
+        |  UNION ALL
+        |  SELECT id, 0.5::DOUBLE / (r + 60.0::DOUBLE) AS s FROM rr)
+        |SELECT id, round(sum(s), 6) AS score
+        |FROM scored GROUP BY id
+        |ORDER BY sum(s) DESC, id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      import graft.ops.VectorNamespace
+      import graft.ops.VectorNamespace.FieldQuery
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("emb"), reverse(col("embedding")).as("rev"))
+      val qv = emb.filter(col("id") === "0").select("emb")
+        .collect()(0).getSeq[Float](0).toArray
+      VectorNamespace.fusionSearch(emb, col("id"),
+          Seq(FieldQuery("emb", col("emb"), "cosine", qv, 1.0),
+            FieldQuery("rev", col("rev"), "cosine", qv, 0.5)),
+          k = 10, distanceColumn = c => round(c, 6))
+        .select(col("id"), round(col("score"), 6).as("score"))
+    },
+
     // Sparse dot-product top-k (reference: src/indexing/sparse.rs:511-560).
     "sparse_dot" -> Q(
       s"""WITH $duckSparse

@@ -69,7 +69,8 @@ class AntiPatternLedgerSpec extends AnyFunSuite {
     "pipeline/QualityClassifier.scala" -> 1,
     "pipeline/Sampling.scala" -> 1,
     // oracle query surfaces: bounded ground-truth/query-vector reads
-    "queries/AdvancedQueries.scala" -> 3,
+    // +1 r14: namespace_fusion's 1-row query-vector read
+    "queries/AdvancedQueries.scala" -> 4,
     // +1 r14: encrypted_search_fixed's 16-row pinned hyperplane read
     "queries/AnnQueries.scala" -> 8,
     "queries/ExtrasQueries.scala" -> 2,
