@@ -26,6 +26,64 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(n == 10000L * 5, s"edge count $n")
   }
 
+  test("graph query at 100k nodes: join-BFS stays assigned-bounded, " +
+      "min-hop semantics hold on a known chain+skip structure") {
+    val nodes = spark.range(100000).select(
+      col("id").cast("string").as("id"),
+      array(col("id").cast("float")).as("vector"))
+    val edges = spark.range(100000).select(
+        col("id").cast("string").as("src"),
+        (col("id") + 1).cast("string").as("dst"), lit("next").as("edge_type"))
+      .unionByName(spark.range(100000).select(
+        col("id").cast("string").as("src"),
+        (col("id") + 50000).cast("string").as("dst"),
+        lit("skip").as("edge_type")))
+    // 1-dim euclidean: distance = |i - 777|, so seeds (k=3 → 2k=6) are
+    // exactly 774..779 (the two distance-3 nodes tie; "774" < "780")
+    val assigned = graft.ops.GraphQuery.assignments(nodes, edges,
+      Array(777f), k = 3, maxHops = 2, metric = "euclidean").collect()
+    val byId = assigned.map(r => r.getString(0) -> r).toMap
+    assert((774 to 779).forall(i => byId(i.toString).getAs[Int]("hops") == 0))
+    // skip edge from seed 777 lands at 50777 in one hop
+    assert(byId("50777").getAs[Int]("hops") == 1)
+    assert(byId("50777").getAs[scala.collection.Seq[String]]("path") ==
+      Seq("777", "50777"))
+    // next edge off the seed window: 780 is 1 hop from seed 779
+    assert(byId("780").getAs[Int]("hops") == 1)
+    // two hops: next off the hop-1 frontier (780→781) and skip off it
+    // (780→50780); the skip edges out of the 50k band dangle past the
+    // node table and drop, like the reference's missing-target skip
+    assert(byId("781").getAs[Int]("hops") == 2)
+    assert(byId("50780").getAs[Int]("hops") == 2)
+    assert(!byId.contains("100777"))
+    // assigned set stays frontier-bounded: 6 seeds + ≤12 + ≤24
+    assert(assigned.length <= 6 + 12 + 24, s"assigned ${assigned.length}")
+  }
+
+  test("encrypted search at 30k vectors: planted duplicate recovered at " +
+      "Hamming 0, join-free plan") {
+    import graft.ann.EncryptedSearch
+    // 64-dim vectors so 64-bit sign codes don't collide across rows
+    val planes = EncryptedSearch.generateHyperplanes(64, 64, 42L)
+    val base = spark.range(30000).select(col("id").cast("string").as("id"),
+      transform(sequence(lit(0), lit(63)),
+        i => ((hash(col("id") * 64 + i) % 1000) / 500.0).cast("float"))
+        .as("vec")).repartition(8)
+    // plant an exact duplicate of row 1234's vector under a new id
+    val target = base.filter(col("id") === "1234")
+      .select("vec").collect()(0).getSeq[Float](0).toArray
+    val withDup = base.unionByName(
+      Seq(("dup", target.toSeq)).toDF("id", "vec"))
+    val enc = EncryptedSearch.encrypt(withDup, col("id"), col("vec"), planes)
+    val q = EncryptedSearch.encodeOne(target, planes)
+    val top = EncryptedSearch.search(enc, q, totalBits = 64, k = 5)
+    val rows = top.collect()
+    // the original and its planted duplicate share the code word exactly
+    assert(rows.take(2).map(_.getString(0)).toSet == Set("1234", "dup"))
+    assert(rows.take(2).forall(_.getLong(1) == 0L))
+    assert(!top.queryExecution.executedPlan.toString.contains("Join"))
+  }
+
   test("minhash LSH dedup at 10k docs with 1k planted dups") {
     val docs = ((0 until 10000).map { i =>
       (i.toLong, s"document number $i talks about topic${i % 50} with unique token u$i and filler words")
