@@ -573,6 +573,43 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(hot.agg(max("r")).head().getLong(0) == hotN - 1)
   }
 
+  test("graph query at 10M nodes / 20M edges: join-BFS constants hold " +
+      "an order past the in-suite smoke (opt-in)") {
+    assume(sys.env.get("GRAFT_SCALE_10M").contains("1"),
+      "set GRAFT_SCALE_10M=1 to run the 10M-node graph-BFS smoke")
+    val n = 10000000L
+    val nodes = spark.range(n).select(col("id").cast("string").as("id"),
+      array(col("id").cast("float")).as("vector")).repartition(32)
+    val edges = spark.range(n).select(
+        col("id").cast("string").as("src"),
+        (col("id") + 1).cast("string").as("dst"),
+        lit("next").as("edge_type"))
+      .unionByName(spark.range(n).select(
+        col("id").cast("string").as("src"),
+        (col("id") + n / 2).cast("string").as("dst"),
+        lit("skip").as("edge_type")))
+      .repartition(32)
+    val t0 = System.nanoTime()
+    // NOTE: float precision near 777777 — 1-dim euclidean on f32 ids is
+    // exact below 2^24, and 777777 < 16777216, so seed ranking is exact
+    val assigned = graft.ops.GraphQuery.assignments(nodes, edges,
+      Array(777777f), k = 5, maxHops = 2, metric = "euclidean").collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"10M-node 2-hop graph query: ${assigned.length} assigned in $secs%.1f s")
+    val byId = assigned.map(r => r.getString(0) -> r).toMap
+    // k=5 → 10 seeds: 777772..777781 (ties at distance 5 break to
+    // "777772" < "777782" stringwise)
+    assert((777772 to 777781).forall(i =>
+      byId(i.toString).getAs[Int]("hops") == 0), byId.keys.toSeq.sorted)
+    // hop 1: next off the window end, and the skip band
+    assert(byId("777782").getAs[Int]("hops") == 1)
+    assert(byId((777777 + n / 2).toString).getAs[Int]("hops") == 1)
+    // hop 2: next off the hop-1 skip band
+    assert(byId((777782 + n / 2).toString).getAs[Int]("hops") == 2)
+    // frontier-bounded: 10 seeds + ≤20 + ≤40
+    assert(assigned.length <= 70, s"assigned ${assigned.length}")
+  }
+
   test("scalable epoch shuffle at 100k rows matches the window form") {
     val big = spark.range(100000).select(col("id")).repartition(8)
     val scalable = graft.pipeline.Sampling
