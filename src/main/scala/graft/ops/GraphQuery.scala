@@ -73,15 +73,17 @@ object GraphQuery {
                   distanceColumn: Column => Column = identity): DataFrame = {
     require(k > 0 && maxHops >= 0, s"k=$k, maxHops=$maxHops")
     val q = lit(queryVec.map(_.toDouble))
-    // one scored scan, reused by seed ranking and every hop's dst lookup
-    val scored = nodes.select(col("id"),
-      distanceColumn(Distances.distance(metric, col("vector"), q))
-        .as("vector_distance"))
-    // top-(2k) seeds: graph_query.rs:129-133
-    val seeds = scored
-      .orderBy(col("vector_distance").asc, col("id").asc).limit(2 * k)
-      .select(col("id"), col("vector_distance"),
-        lit(0).as("hops"), array(col("id")).as("path"),
+    def dist(vecCol: Column): Column =
+      distanceColumn(Distances.distance(metric, vecCol, q))
+    // ONE full distance scan, for seed ranking only (graph_query.rs:
+    // 129-133); the traversal below never recomputes corpus distances —
+    // hop existence checks are column-pruned id semi-joins, and
+    // vector_distance attaches at the END for just the assigned rows
+    // (|seeds| + frontier-bounded, not N-per-hop)
+    val seeds = nodes
+      .select(col("id"), dist(col("vector")).as("__d"))
+      .orderBy(col("__d").asc, col("id").asc).limit(2 * k).drop("__d")
+      .select(col("id"), lit(0).as("hops"), array(col("id")).as("path"),
         array().cast("array<string>").as("edge_types"))
 
     // renamed once so every hop's join resolves purely by (unique) name —
@@ -89,6 +91,7 @@ object GraphQuery {
     // detection when hop h+1 rejoins the edges hop h's frontier came from
     val e = edges.select(col("src").as("__esrc"), col("dst").as("__edst"),
       col("edge_type").as("__eet"))
+    val nodeIds = nodes.select(col("id").as("__nid"))
 
     var assigned = seeds
     var frontier = seeds.select("id", "path", "edge_types")
@@ -107,15 +110,25 @@ object GraphQuery {
         .agg(min(struct(col("path"), col("edge_types"))).as("c"))
         .select(col("id"), col("c.path").as("path"),
           col("c.edge_types").as("edge_types"))
-      val withDist = chosen.join(scored, "id")
-        .select(col("id"), col("vector_distance"), lit(hop).as("hops"),
-          col("path"), col("edge_types"))
-      assigned = assigned.unionByName(withDist)
-      frontier = withDist.select("id", "path", "edge_types")
+      // dangling dsts (no node row) drop BEFORE they can expand — the
+      // reference's nodes.get(target) miss (graph_query.rs:166) — via an
+      // id-only semi-join (no vector read, no distance math)
+      val existing = chosen
+        .join(nodeIds, col("id") === col("__nid"), "left_semi")
+        .select(col("id"), lit(hop).as("hops"), col("path"),
+          col("edge_types"))
+      assigned = assigned.unionByName(existing)
+      frontier = existing.select("id", "path", "edge_types")
     }
 
-    assigned.withColumn("score",
-      col("vector_distance") * vectorWeight +
-        col("hops") * (graphWeight * 0.1))
+    assigned
+      .join(nodes.select(col("id"), col("vector")), "id")
+      .withColumn("vector_distance", dist(col("vector")))
+      .drop("vector")
+      .withColumn("score",
+        col("vector_distance") * vectorWeight +
+          col("hops") * (graphWeight * 0.1))
+      .select(col("id"), col("vector_distance"), col("hops"), col("path"),
+        col("edge_types"), col("score"))
   }
 }
