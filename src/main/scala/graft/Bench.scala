@@ -106,8 +106,22 @@ object Bench {
           .flatMap { name =>
             SparkEntry.queries.get(name).flatMap { fn =>
               try {
+                // JSON-safe emission: escape key strings; map null/NaN/
+                // Infinity values to JSON null (NaN is not legal JSON and
+                // would break bench_diff.py's parse of the whole artifact)
                 val kv = fn(spark, sfDir).collect().map { r =>
-                  s""""${r.get(0)}":${r.get(1)}"""
+                  val key = String.valueOf(r.get(0))
+                    .replace("\\", "\\\\").replace("\"", "\\\"")
+                  val v = r.get(1) match {
+                    case null => "null"
+                    case d: java.lang.Double
+                      if d.isNaN || d.isInfinite => "null"
+                    case f: java.lang.Float
+                      if f.isNaN || f.isInfinite => "null"
+                    case n: java.lang.Number => n.toString
+                    case _ => "null" // non-numeric second column
+                  }
+                  s""""$key":$v"""
                 }.mkString("{", ",", "}")
                 Some(s""""$name":$kv""")
               } catch { case _: Throwable => None }

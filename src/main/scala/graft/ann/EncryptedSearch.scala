@@ -88,6 +88,12 @@ object EncryptedSearch {
 
   /** Encode a plaintext vector column to packed code words — one fused
     * compiled pass per row.
+    *
+    * Adjudicated to STAY a UDF (UdfLedgerSpec, closure-model class): a
+    * one-time indexing pass whose hyperplane family rides the closure;
+    * the per-plane `aggregate`+sign+bit-OR expression rewrite bloats the
+    * plan with ~planes×dim nodes for a scan-dominated pass. The query
+    * path (Hamming top-k) is already pure expressions.
     */
   def encodeColumn(hyperplanes: Array[Array[Float]]): Column => Column = {
     val enc = udf((v: Seq[Float]) => encodeOne(v.toArray, hyperplanes))

@@ -111,6 +111,13 @@ final class NlFilterParser private (
     * substring-searched (first occurrence); the LONGEST keyword with
     * non-empty field and value sides wins, first-found on ties
     * (nl_filter_parser.rs:283-330).
+    *
+    * DELIBERATE WART — do not "fix" without a reference-divergence
+    * adjudication: matching is first-occurrence SUBSTRING `indexOf`,
+    * not word-boundary. "distance is 5" matches the `is` INSIDE
+    * "d·ist·ance" (field "d", value "tance is 5"), exactly as the
+    * reference's `text.find(keyword)` does at nl_filter_parser.rs:295.
+    * NlFilterParserSpec pins this behavior both ways.
     */
   private def parseClause(text: String): Option[Clause] = {
     var best: Option[(Clause, Int)] = None

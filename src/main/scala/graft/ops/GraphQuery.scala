@@ -37,6 +37,13 @@ import graft.functions.Distances
   */
 object GraphQuery {
 
+  /** Hop interval at which [[assignments]] truncates plan lineage with a
+    * lazy localCheckpoint (see the in-loop comment). 4 keeps the default
+    * maxHops=2 traversal checkpoint-free (zero behavior change for the
+    * reference's shallow usage) while bounding deep traversals.
+    */
+  private val CheckpointEvery = 4
+
   /** Top-k of [[assignments]] by fused score (graph_query.rs:146-149).
     *
     * Note a consequence of the reference's own formula: a traversed
@@ -119,6 +126,20 @@ object GraphQuery {
           col("edge_types"))
       assigned = assigned.unionByName(existing)
       frontier = existing.select("id", "path", "edge_types")
+      // Lineage bound: each hop's anti-join embeds the whole accumulated
+      // `assigned` plan, so without truncation total plan size is
+      // O(maxHops²) and analysis cost climbs for deep traversals. Every
+      // CheckpointEvery hops the accumulated frame is LAZILY
+      // localCheckpointed (blocks materialize at the caller's first
+      // action; plan-carried — ContextCleaner reclaims them when the
+      // result frame becomes unreachable) and the frontier re-derives
+      // from the flat checkpointed plan, keeping plan growth linear in
+      // maxHops. Skipped at the final hop (nothing further joins it).
+      if (hop % CheckpointEvery == 0 && hop < maxHops) {
+        assigned = assigned.localCheckpoint(false)
+        frontier = assigned.filter(col("hops") === hop)
+          .select("id", "path", "edge_types")
+      }
     }
 
     assigned

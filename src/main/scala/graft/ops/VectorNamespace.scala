@@ -50,9 +50,16 @@ object VectorNamespace {
       .limit(k)
 
   /** Weighted RRF across fields (vector_namespace.rs:271-302):
-    * per-field top-(k·3) legs union, rank within each field, and every
+    * per-field top-(k·3) legs union, rank within each LEG, and every
     * document sums `weight / (rank₀ + 60)` over the legs it appears in;
     * top-k by fused score descending, id ascending.
+    *
+    * Legs are keyed by query INDEX, not field name: the reference
+    * processes each FieldQuery independently, so two legs may legally
+    * name the same vector field (e.g. the same column probed with two
+    * query vectors or two weights) and each contributes its own rank
+    * sequence. Keying by field would merge such legs into one 0..2·3k-1
+    * ranking and collapse their weights to one map entry.
     */
   def fusionSearch(df: DataFrame, idCol: Column, queries: Seq[FieldQuery],
                    k: Int,
@@ -61,16 +68,17 @@ object VectorNamespace {
     if (queries.isEmpty) return df.sparkSession.emptyDataFrame
       .select(lit("").as("id"), lit(0.0).as("score")).limit(0)
     val perFieldK = k * 3
-    val weights = typedLit(queries.map(q => q.field -> q.weight).toMap)
-    val legs = queries.map(q =>
-      searchField(df, idCol, q, perFieldK, distanceColumn))
-      .reduce(_ unionByName _)
+    val legs = queries.zipWithIndex.map { case (q, i) =>
+      searchField(df, idCol, q, perFieldK, distanceColumn)
+        .withColumn("__leg", lit(i))
+        .withColumn("__weight", lit(q.weight))
+    }.reduce(_ unionByName _)
     legs
       .withColumn("__rank0", row_number().over(
-        Window.partitionBy(col("field"))
+        Window.partitionBy(col("__leg"))
           .orderBy(col("distance").asc, col("id").asc)) - 1)
       .groupBy(col("id"))
-      .agg(sum(weights(col("field")) / (col("__rank0") + 60.0)).as("score"))
+      .agg(sum(col("__weight") / (col("__rank0") + 60.0)).as("score"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
   }

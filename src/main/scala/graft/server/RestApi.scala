@@ -435,8 +435,19 @@ class RestApi(spark: SparkSession) {
     // aren't in the index — the documented serve-under-writes behavior).
     // rankedByRange's internal pin is explicitly released; only this one
     // snapshot remains, with the same lifecycle the pre-r14 snapshot
-    // had. On the refusal path the ranking work has already happened —
-    // the price of a race-free guard, paid only on a misuse that 4xxes.
+    // had.
+    // Cheap pre-guard BEFORE any ranking/checkpoint work: a limit(N+1)
+    // count costs one narrow scan and refuses an oversized collection
+    // without materializing it (pre-r14 protective behavior restored —
+    // without this, a single misuse REST call would rank + eagerly
+    // checkpoint the whole corpus before the 4xx). The post-checkpoint
+    // count below stays the authoritative race-free bound.
+    val maxRows = graft.ann.LocalServe.DefaultMaxRows
+    val preCount = liveRows(c).limit(maxRows.toInt + 1).count()
+    Predef.require(preCount <= maxRows,
+      s"build_index('$name'): collection exceeds the in-process serving " +
+        s"bound ($maxRows); use Ivf.batchSearchPacked for collections " +
+        "this large")
     val snap = {
       val (ranked, release) = graft.ops.DistributedRank.rankedByRange(
         liveRows(c).select(col("id"), col("vector")),

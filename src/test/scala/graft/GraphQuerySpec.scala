@@ -98,6 +98,27 @@ class GraphQuerySpec extends SparkSpec {
     assert(sorted.sameElements(sorted.sorted))
   }
 
+  test("deep traversal crosses the lineage checkpoint boundary with " +
+      "correct hop counts (maxHops=6 > CheckpointEvery=4)") {
+    // chain a→b→c→d→e→f→g; query sits on a so seeds = {a, b} (k=1 → 2k)
+    val chain = Seq("a", "b", "c", "d", "e", "f", "g")
+    val vecs = nodes(
+      "a" -> Seq(1f, 0f, 0f), "b" -> Seq(0.9f, 0.1f, 0f),
+      "c" -> Seq(0f, 0f, 1f), "d" -> Seq(0f, 0.1f, 1f),
+      "e" -> Seq(0f, 0.2f, 1f), "f" -> Seq(0f, 0.3f, 1f),
+      "g" -> Seq(0f, 0.4f, 1f))
+    val es = edges(chain.sliding(2).map(p => (p(0), p(1), "next")).toSeq: _*)
+    val r = GraphQuery.assignments(vecs, es, Array(1f, 0f, 0f),
+      k = 1, maxHops = 6).collect()
+    val hops = r.map(x => x.getString(0) -> x.getAs[Int]("hops")).toMap
+    // b is a seed (hop 0); c..g arrive at BFS distance from b
+    assert(hops == Map("a" -> 0, "b" -> 0, "c" -> 1, "d" -> 2, "e" -> 3,
+      "f" -> 4, "g" -> 5), hops.toString)
+    val g = r.find(_.getString(0) == "g").get
+    assert(g.getAs[scala.collection.Seq[String]]("path") ==
+      Seq("b", "c", "d", "e", "f", "g"))
+  }
+
   test("the plan stays cartesian-free across hops") {
     val n = spark.range(100).select(col("id").cast("string").as("id"),
       array(col("id").cast("float"), lit(1f)).as("vector"))

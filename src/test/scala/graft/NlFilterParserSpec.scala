@@ -93,6 +93,19 @@ class NlFilterParserSpec extends AnyFunSuite {
     assert(r.clauses.head.value == JStr("deleted"))
   }
 
+  test("substring keyword matching wart is reference-faithful: the 'is' " +
+      "INSIDE 'distance' splits the clause (nl_filter_parser.rs:295)") {
+    // first-occurrence indexOf, not word boundaries: "distance is 5"
+    // finds "is" at index 1 of "d·is·tance" → field "d", value
+    // "tance is 5". Pinned BOTH WAYS: a word-boundary "fix" would
+    // produce field "distance" / value 5 and must fail here until a
+    // reference-divergence adjudication retires this case.
+    val c = NlFilterParser().parse("distance is 5").clauses.head
+    assert(c.field == "d")
+    assert(c.op == FilterOp.Eq)
+    assert(c.value == JStr("tance is 5"))
+  }
+
   test("float value parses numerically") {
     assert(NlFilterParser().parse("score greater than 0.85")
       .clauses.head.value == JNum(0.85))

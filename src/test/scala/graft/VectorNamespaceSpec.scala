@@ -56,6 +56,21 @@ class VectorNamespaceSpec extends SparkSpec {
     assert(r.head.getString(0) == "x") // wins both legs
   }
 
+  test("two legs may share a field name: each keeps its own rank sequence " +
+      "and weight (reference processes FieldQuerys independently)") {
+    // same text_vec column probed with two different query vectors
+    val r = VectorNamespace.fusionSearch(ns, col("id"), Seq(
+      FieldQuery("text", col("text_vec"), "cosine", Array(1f, 0f), 1.0),
+      FieldQuery("text", col("text_vec"), "cosine", Array(0f, 1f), 0.5)),
+      k = 3).collect()
+    val scores = r.map(x => x.getString(0) -> x.getDouble(1)).toMap
+    // leg0 ranks (query [1,0]): a(0), b(1), c(2)
+    // leg1 ranks (query [0,1]): c(0), b(1), a(2)
+    assert(math.abs(scores("a") - (1.0 / 60 + 0.5 / 62)) < 1e-12)
+    assert(math.abs(scores("b") - (1.0 / 61 + 0.5 / 61)) < 1e-12)
+    assert(math.abs(scores("c") - (1.0 / 62 + 0.5 / 60)) < 1e-12)
+  }
+
   test("empty query list yields an empty frame; fusion plans no cartesian") {
     assert(VectorNamespace.fusionSearch(ns, col("id"), Nil, 5).count() == 0)
     val plan = VectorNamespace.fusionSearch(ns, col("id"), Seq(
