@@ -610,6 +610,30 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(assigned.length <= 70, s"assigned ${assigned.length}")
   }
 
+  test("graph query at 1M nodes, maxHops=6: lineage checkpoint (every 4 " +
+      "hops) holds BFS semantics and bounded wall-clock at depth (opt-in)") {
+    assume(sys.env.get("GRAFT_SCALE_10M").contains("1"),
+      "set GRAFT_SCALE_10M=1 to run the deep-hop graph-BFS smoke")
+    val n = 1000000L
+    val nodes = spark.range(n).select(col("id").cast("string").as("id"),
+      array(col("id").cast("float")).as("vector")).repartition(32)
+    val edges = spark.range(n - 1).select(
+      col("id").cast("string").as("src"),
+      (col("id") + 1).cast("string").as("dst"),
+      lit("next").as("edge_type")).repartition(32)
+    val t0 = System.nanoTime()
+    val assigned = graft.ops.GraphQuery.assignments(nodes, edges,
+      Array(500000f), k = 2, maxHops = 6, metric = "euclidean").collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"1M-node 6-hop graph query: ${assigned.length} assigned in $secs%.1f s")
+    val byId = assigned.map(r => r.getString(0) -> r.getAs[Int]("hops")).toMap
+    // k=2 → 4 seeds 499998..500001 (d≤2; ties at 2 break stringwise);
+    // chain walks right: 500002 at hop 1 … 500007 at hop 6
+    assert((499998 to 500001).forall(i => byId(i.toString) == 0), byId)
+    (1 to 6).foreach(h => assert(byId((500001 + h).toString) == h, byId))
+    assert(assigned.length == 10, s"assigned ${assigned.length}")
+  }
+
   test("scalable epoch shuffle at 100k rows matches the window form") {
     val big = spark.range(100000).select(col("id")).repartition(8)
     val scalable = graft.pipeline.Sampling
