@@ -107,10 +107,6 @@ class AntiPatternLedgerSpec extends AnyFunSuite {
     "queries/AnnQueries.scala" -> 2,
     "queries/EnterpriseQueries.scala" -> 3,
     "queries/FilterQueries.scala" -> 1,
-    // +1 r15: withCorpusSize — broadcast 1-row count() aggregate joined
-    // onto the corpus so the KG/graph ring modulus needs no eager
-    // plan-build-time count job (BroadcastNestedLoopJoin, 1-row side)
-    "queries/MemoryGraphQueries.scala" -> 1,
     "queries/MoreSearchQueries.scala" -> 4,
     "queries/PipelineQueries.scala" -> 1,
     "queries/SearchPipelineQueries.scala" -> 2,

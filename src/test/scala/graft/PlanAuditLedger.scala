@@ -19,8 +19,8 @@ object PlanAuditLedger {
     "federated_rrf", "federated_consensus", "bandit_rerank",
     "seq_drift", "seq_trend", "trajectory_centroid", "trajectory_dtw",
     "feedback_adjust", "ab_report", "memory_recall",
-    "memory_context_recall", "memory_consolidate",
-    "crdt_converge", "crdt_merkle_diff",
+    "memory_context_recall", "memory_consolidate", "kg_search",
+    "kg_context_search", "crdt_converge", "crdt_merkle_diff",
     "hooked_pipeline", "query_patterns",
     "collection_analytics", "drift_dimensions", "drift_report",
     // round-5 surfaces: deterministic corpus plumbing + dedup groups —
@@ -79,14 +79,7 @@ object PlanAuditLedger {
     // 1-row broadcast query-vector frames (round-9 enterprise gates)
     "acl_search", "dp_search", "dp_search_gaussian",
     // 1-row broadcast per-language totals frame (round-10)
-    "code_index_status",
-    // r15: moved from strict — the KG ring modulus now rides a 1-row
-    // broadcast corpus-count frame (withCorpusSize) instead of an eager
-    // plan-build-time count() job, which plans as the blessed
-    // BroadcastNestedLoopJoin-with-1-row-build shape; all other joins
-    // in these queries remain hash equi-joins (verified in the plan at
-    // the time of adjudication)
-    "kg_search", "kg_context_search")
+    "code_index_status")
 
   /** queries with a bespoke named test in PlanAuditSpec (shape-specific
     * invariants beyond cartesian-freedom), already counted above or
