@@ -418,8 +418,16 @@ class RestApi(spark: SparkSession) {
     * collection), fit IVF centroids, collect into a LocalServe snapshot.
     * After this, `{"mode":"ann"}` searches answer in-process with zero
     * Spark jobs — the reference's in-memory serving model.
+    *
+    * `maxRows` exists as a parameter (route calls always pass the 2M
+    * default) solely so the refusal branch is executable in-suite —
+    * RestApiSpec pins that the CHEAP pre-guard fires (its "collection
+    * exceeds" message, distinct from the post-checkpoint guard's
+    * "N rows exceeds") before any ranking/checkpoint work.
     */
-  private def buildIndex(name: String, body: String): (Int, String) = {
+  private[graft] def buildIndex(name: String, body: String,
+      maxRows: Long = graft.ann.LocalServe.DefaultMaxRows)
+      : (Int, String) = {
     val c = coll(name)
     val req = if (body == null || body.isBlank) mapper.createObjectNode()
               else mapper.readTree(body)
@@ -442,7 +450,6 @@ class RestApi(spark: SparkSession) {
     // without this, a single misuse REST call would rank + eagerly
     // checkpoint the whole corpus before the 4xx). The post-checkpoint
     // count below stays the authoritative race-free bound.
-    val maxRows = graft.ann.LocalServe.DefaultMaxRows
     val preCount = liveRows(c).limit(maxRows.toInt + 1).count()
     Predef.require(preCount <= maxRows,
       s"build_index('$name'): collection exceeds the in-process serving " +
@@ -458,9 +465,9 @@ class RestApi(spark: SparkSession) {
       finally release()
     }
     val nLive = snap.count() // counts checkpointed blocks — no rescan
-    Predef.require(nLive <= graft.ann.LocalServe.DefaultMaxRows,
+    Predef.require(nLive <= maxRows,
       s"build_index('$name'): $nLive rows exceeds the in-process serving " +
-        s"bound (${graft.ann.LocalServe.DefaultMaxRows}); use " +
+        s"bound ($maxRows); use " +
         "Ivf.batchSearchPacked for collections this large")
     val ix = graft.ann.Ivf.build(snap, col("vector"), numCells, c.metric)
     val li = graft.ann.LocalServe.fromIndex(ix, "__sid", "vector")

@@ -375,6 +375,26 @@ class RestApiSpec extends SparkSpec {
       .forall(id => id.stripPrefix("r").toInt >= 5), "expired rows excluded")
   }
 
+  test("build_index refuses an oversized collection via the CHEAP " +
+      "pre-guard, before any ranking/checkpoint work") {
+    val a = api
+    (1 to 6).foreach(i => insert(a, s"v$i", Seq(i.toDouble, 0, 0)))
+    // 6 live rows > bound 5: the limit(N+1)-count pre-guard fires. Its
+    // message ("collection exceeds") is distinct from the post-checkpoint
+    // guard's ("<n> rows exceeds"), so this pins WHICH guard refused —
+    // the cheap one, before the rank + whole-collection localCheckpoint
+    // (the ADVICE r14 resource-amplification fix).
+    val e = intercept[IllegalArgumentException] {
+      a.buildIndex("docs", """{"num_cells":2}""", maxRows = 5L)
+    }
+    assert(e.getMessage.contains("collection exceeds the in-process " +
+      "serving bound (5)"), e.getMessage)
+    // exactly at the bound the same request builds
+    val (s, body) = a.buildIndex("docs", """{"num_cells":2}""", maxRows = 6L)
+    assert(s == 200, body)
+    assert(mapper.readTree(body).get("indexed").asInt() == 6)
+  }
+
   test("ann serving tier: build, full-probe parity with exact search, " +
       "serve-under-writes") {
     val a = api
