@@ -67,15 +67,20 @@ object Federated {
     */
   private def pool(sources: Seq[(String, DataFrame)], idCol: String,
                    distCol: String): DataFrame =
-    sources.map { case (name, df) =>
+    sources.zipWithIndex.map { case ((name, df), i) =>
       val w = Window.partitionBy(lit(1))
         .orderBy(col(distCol).asc, col(idCol).asc)
       // per-source lists are k-bounded: the single-partition window is a
       // deliberate, bounded sort — not a scale hazard
       df.withColumn("__source", lit(name))
         .withColumn("__source_rank", row_number().over(w))
-        .withColumn("__source_idx",
-          lit(sources.indexWhere(_._1 == name)))
+        // POSITIONAL index, not name-keyed: the reference merger ignores
+        // source names entirely (merger.rs:67-75 destructures
+        // `(_, results)`), so two sources may legally share a name and
+        // stay independent — an indexWhere-by-name here would collapse
+        // them to the first position, skewing FirstResponse/FirstSeen
+        // (the same duplicate-key class as the r15 fusionSearch fix)
+        .withColumn("__source_idx", lit(i))
     }.reduce(_ unionByName _)
 
   /** Merge per-source ranked lists into one top-k (merger.rs:53-66). */

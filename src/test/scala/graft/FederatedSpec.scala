@@ -45,6 +45,24 @@ class FederatedSpec extends SparkSpec {
     assert(m == Set(2L, 4L)) // srcB's best two, srcC never consulted
   }
 
+  test("duplicate source names stay positionally independent: the " +
+      "reference merger never reads the name (merger.rs:67-75)") {
+    val empty = Seq.empty[(Long, Double)].toDF("id", "distance")
+    // two sources BOTH named "n": first-response must return only the
+    // first non-empty one's rows (srcB), never the union of same-named
+    // legs — an indexWhere-by-name pool would merge them
+    val m = Federated.merge(
+        Seq("x" -> empty, "n" -> srcB, "n" -> srcC),
+        k = 10, Strategy.FirstResponse)
+      .select("id").as[Long].collect().toSet
+    assert(m == Set(2L, 3L, 4L)) // all of srcB, none of srcC's id 9
+    // and RRF across same-named legs still sums both contributions
+    val rrf = Federated.merge(Seq("n" -> srcB, "n" -> srcC), k = 10,
+        Strategy.ReciprocalRankFusion)
+      .select("id", "rrf_score").as[(Long, Double)].collect().toMap
+    assert(math.abs(rrf(2L) - (1.0 / 61 + 1.0 / 62)) < 1e-12)
+  }
+
   test("priority weights divide distance before the merge; weight 1 = plain") {
     val weighted = Federated.merge(sources, k = 1, Strategy.PriorityWeighted,
         weights = Map("a" -> 10.0))
