@@ -110,8 +110,18 @@ object Bench {
                 // Infinity values to JSON null (NaN is not legal JSON and
                 // would break bench_diff.py's parse of the whole artifact)
                 val kv = fn(spark, sfDir).collect().map { r =>
-                  val key = String.valueOf(r.get(0))
-                    .replace("\\", "\\\\").replace("\"", "\\\"")
+                  // full JSON string escape: a control char (\n, \t, …)
+                  // in a group-by key would otherwise emit invalid JSON
+                  // and break bench_diff.py's parse of the whole artifact
+                  val key = String.valueOf(r.get(0)).flatMap {
+                    case '"'  => "\\\""
+                    case '\\' => "\\\\"
+                    case '\n' => "\\n"
+                    case '\r' => "\\r"
+                    case '\t' => "\\t"
+                    case c if c < ' ' => f"\\u${c.toInt}%04x"
+                    case c => c.toString
+                  }
                   val v = r.get(1) match {
                     case null => "null"
                     case d: java.lang.Double

@@ -135,6 +135,12 @@ object GraphQuery {
       // result frame becomes unreachable) and the frontier re-derives
       // from the flat checkpointed plan, keeping plan growth linear in
       // maxHops. Skipped at the final hop (nothing further joins it).
+      // Cluster caveat: localCheckpoint blocks are NOT recomputable —
+      // once lineage is truncated, losing an executor (crash or dynamic
+      // allocation reclaim) fails the deep traversal's action with a
+      // lost-block error instead of recomputing. On a deployment with a
+      // checkpoint dir and dynamic allocation, prefer reliable
+      // `checkpoint()` here; local-mode (single JVM) cannot lose blocks.
       if (hop % CheckpointEvery == 0 && hop < maxHops) {
         assigned = assigned.localCheckpoint(false)
         frontier = assigned.filter(col("hops") === hop)

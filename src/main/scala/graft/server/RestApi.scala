@@ -450,7 +450,10 @@ class RestApi(spark: SparkSession) {
     // without this, a single misuse REST call would rank + eagerly
     // checkpoint the whole corpus before the 4xx). The post-checkpoint
     // count below stays the authoritative race-free bound.
-    val preCount = liveRows(c).limit(maxRows.toInt + 1).count()
+    // limit() takes an Int: clamp a Long maxRows at or above Int.MaxValue
+    // instead of letting .toInt overflow into a tiny/negative limit.
+    val preCount =
+      liveRows(c).limit(math.min(maxRows, Int.MaxValue - 1L).toInt + 1).count()
     Predef.require(preCount <= maxRows,
       s"build_index('$name'): collection exceeds the in-process serving " +
         s"bound ($maxRows); use Ivf.batchSearchPacked for collections " +

@@ -122,8 +122,9 @@ class AntiPatternLedgerSpec extends AnyFunSuite {
     t.startsWith("*") || t.startsWith("//") || t.startsWith("/*")
   }
 
-  private def scan(pattern: scala.util.matching.Regex): Map[String, Int] =
-    Files.walk(root).iterator().asScala
+  private def scan(pattern: scala.util.matching.Regex): Map[String, Int] = {
+    val walk = Files.walk(root)
+    try walk.iterator().asScala
       .filter(p => p.toString.endsWith(".scala") && Files.isRegularFile(p))
       .map { p: Path =>
         val rel = root.relativize(p).toString.replace('\\', '/')
@@ -132,6 +133,8 @@ class AntiPatternLedgerSpec extends AnyFunSuite {
         rel -> pattern.findAllIn(text).size
       }
       .filter(_._2 > 0).toMap
+    finally walk.close()
+  }
 
   private def check(name: String, pattern: scala.util.matching.Regex,
                     ledger: Map[String, Int]): Unit = {

@@ -103,15 +103,18 @@ class UdfLedgerSpec extends AnyFunSuite {
   test("every udf( construction site in main is on the ledger with its " +
       "exact count and adjudication") {
     assert(Files.isDirectory(root), s"lint root missing: $root")
-    val found: Map[String, Int] = Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala") && Files.isRegularFile(p))
-      .map { p: Path =>
-        val rel = root.relativize(p).toString.replace('\\', '/')
-        val text = Files.readAllLines(p).asScala
-          .filterNot(isComment).mkString("\n")
-        rel -> sitePattern.findAllIn(text).size
-      }
-      .filter(_._2 > 0).toMap
+    val walk = Files.walk(root)
+    val found: Map[String, Int] =
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".scala") && Files.isRegularFile(p))
+        .map { p: Path =>
+          val rel = root.relativize(p).toString.replace('\\', '/')
+          val text = Files.readAllLines(p).asScala
+            .filterNot(isComment).mkString("\n")
+          rel -> sitePattern.findAllIn(text).size
+        }
+        .filter(_._2 > 0).toMap
+      finally walk.close()
     val newSites = found.filter { case (f, n) => n > ledger.getOrElse(f, 0) }
     assert(newSites.isEmpty,
       s"NEW udf( site(s) — adjudicate procedural-single-pass / " +

@@ -66,17 +66,20 @@ class WindowLintSpec extends AnyFunSuite {
   test("every unpartitioned ranking window in main is on the allowlist " +
       "with its exact count") {
     assert(Files.isDirectory(root), s"lint root missing: $root")
-    val found: Map[String, Int] = Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala") && Files.isRegularFile(p))
-      .map { p: Path =>
-        val rel = root.relativize(p).toString.replace('\\', '/')
-        // join non-comment lines so a site split across lines
-        // (`Window\n  .partitionBy(lit(1))`) still matches — \s spans \n
-        val text = Files.readAllLines(p).asScala
-          .filterNot(isComment).mkString("\n")
-        rel -> sitePattern.findAllIn(text).size
-      }
-      .filter(_._2 > 0).toMap
+    val walk = Files.walk(root)
+    val found: Map[String, Int] =
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".scala") && Files.isRegularFile(p))
+        .map { p: Path =>
+          val rel = root.relativize(p).toString.replace('\\', '/')
+          // join non-comment lines so a site split across lines
+          // (`Window\n  .partitionBy(lit(1))`) still matches — \s spans \n
+          val text = Files.readAllLines(p).asScala
+            .filterNot(isComment).mkString("\n")
+          rel -> sitePattern.findAllIn(text).size
+        }
+        .filter(_._2 > 0).toMap
+      finally walk.close()
     val newSites = found.filter { case (f, n) => n > allowlist.getOrElse(f, 0) }
     assert(newSites.isEmpty,
       s"NEW unpartitioned window site(s) — use DistributedRank.rankedByRange " +
