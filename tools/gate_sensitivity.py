@@ -1,0 +1,208 @@
+#!/usr/bin/env python3
+"""Gate-sensitivity (mutation) audit of the oracle harness.
+
+The 165/165 oracle sweep proves the gates are CONSISTENT with the
+implementation; this script proves they can FAIL. For each entry in
+MUTATIONS it applies one deliberate semantic mutation to main source,
+recompiles, re-runs ONLY that family's queries through graft.Verify,
+compares against the DuckDB oracle (tools/check_oracle.py — the same
+gate the driver runs), asserts the family goes RED, and reverts. A
+mutation whose gate stays green is a tautological oracle and is
+reported as AUDIT-FAIL.
+
+Usage: python3 tools/gate_sensitivity.py [mutation-name ...]
+  (no args = run all; names filter the table)
+
+Writes a markdown table to stdout and a JSON artifact to
+bench_history/gate_sensitivity_r16.json.
+
+Prereq: clean working tree (the script reverts via `git checkout --`).
+"""
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = "/root/testdata/sf0.01"
+OUT_BASE = "/tmp/gate_sensitivity"
+
+# Each mutation: one semantic constant/rule change a careless edit could
+# plausibly make, chosen to span the gate taxonomy (plain oracle,
+# pinned-twin full-hash, governance, text, dedup, analytics).
+MUTATIONS = [
+    dict(
+        name="bm25_idf_smoothing",
+        family="plain oracle / text scoring",
+        file="src/main/scala/graft/text/Bm25.scala",
+        old="val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)",
+        new="val idf = math.log((n - df + 0.5) / (df + 0.4) + 1.0)",
+        queries=["bm25_search"],
+    ),
+    dict(
+        name="rrf_k_60_to_59",
+        family="rank fusion",
+        file="src/main/scala/graft/text/Rrf.scala",
+        old="lit(config.vectorWeight) / (lit(config.k) + col(\"vector_rank\"))",
+        new="lit(config.vectorWeight) / (lit(config.k) - lit(1.0) + col(\"vector_rank\"))",
+        queries=["hybrid_rrf"],
+    ),
+    dict(
+        name="span_window_off_by_one",
+        family="span dedup windowing",
+        file="src/main/scala/graft/pipeline/Dedup.scala",
+        old="i => array_join(slice(words, i * spanWords + 1, lit(spanWords)), \" \"))",
+        new="i => array_join(slice(words, i * spanWords + 2, lit(spanWords)), \" \"))",
+        queries=["span_dedup"],
+    ),
+    dict(
+        name="hamming_bound_relaxed",
+        family="simhash near-dup bound",
+        file="src/main/scala/graft/pipeline/Dedup.scala",
+        old=".filter(col(\"hamming\") <= maxHamming)",
+        new=".filter(col(\"hamming\") <= maxHamming + 1)",
+        queries=["simhash_near_dup"],
+    ),
+    dict(
+        name="lcg_multiplier",
+        family="governance / DP noise stream",
+        file="src/main/scala/graft/ops/Privacy.scala",
+        old="val s0 = pmod(pmod(key, lit(m)) * lit(48271L) + lit(seed % m), lit(m))",
+        new="val s0 = pmod(pmod(key, lit(m)) * lit(48270L) + lit(seed % m), lit(m))",
+        queries=["dp_search", "dp_search_gaussian"],
+    ),
+    dict(
+        name="dp_noise_scale",
+        family="governance / DP scale",
+        file="src/main/scala/graft/ops/Privacy.scala",
+        old="case NoiseMechanism.Laplace => sensitivity / config.epsilon",
+        new="case NoiseMechanism.Laplace => sensitivity / (config.epsilon + 0.01)",
+        queries=["dp_search"],
+    ),
+    dict(
+        name="semdedup_keep_rule",
+        family="pinned-twin full-hash (SemDeDup)",
+        file="src/main/scala/graft/pipeline/SemDedup.scala",
+        old=".orderBy(col(\"centroid_dist\").desc, col(\"id\").asc)",
+        new=".orderBy(col(\"centroid_dist\").asc, col(\"id\").asc)",
+        queries=["semantic_dedup_fixed"],
+    ),
+    dict(
+        name="decay_half_life",
+        family="time-decay rerank",
+        file="src/main/scala/graft/ops/Pipeline.scala",
+        old="else exp(age * lit(-math.log(2.0) / halfLifeSeconds))",
+        new="else exp(age * lit(-math.log(2.2) / halfLifeSeconds))",
+        queries=["pipeline_full"],
+    ),
+    dict(
+        name="percentile_index",
+        family="analytics quantile cut",
+        file="src/main/scala/graft/ops/QueryAnalytics.scala",
+        old="max(when(rnk0 === floor(n * p / 100), col(latCol)))",
+        new="max(when(rnk0 === floor(n * p / 100) + 1, col(latCol)))",
+        queries=["query_patterns", "query_insights"],
+    ),
+    dict(
+        name="minhash_permutation",
+        family="MinHash/LSH signature",
+        file="src/main/scala/graft/pipeline/Dedup.scala",
+        old="val v = (pm * params(i)._1 + params(i)._2) % P",
+        new="val v = (pm * params(i)._1 + params(i)._2 + 1) % P",
+        queries=["minhash_lsh_dedup"],
+    ),
+]
+
+
+def run(cmd, **kw):
+    return subprocess.run(cmd, cwd=REPO, capture_output=True, text=True, **kw)
+
+
+def oracle_status(out_dir, queries):
+    """Run check_oracle and return {query: 'PASS'|'FAIL'|'MISSING'}."""
+    r = run(["python3", "tools/check_oracle.py", SF_DIR, out_dir])
+    status = {}
+    for line in r.stdout.splitlines():
+        for q in queries:
+            if line.startswith(f"PASS {q} ") or line == f"PASS {q}":
+                status[q] = "PASS"
+            elif line.startswith(f"FAIL {q}:") or line.startswith(f"FAIL {q} "):
+                status[q] = "FAIL"
+    for q in queries:
+        status.setdefault(q, "MISSING")
+    return status
+
+
+def main():
+    sel = set(sys.argv[1:])
+    muts = [m for m in MUTATIONS if not sel or m["name"] in sel]
+    dirty = run(["git", "status", "--porcelain"]).stdout.strip()
+    if dirty:
+        print("ERROR: working tree not clean; commit or stash first.")
+        print(dirty)
+        sys.exit(2)
+
+    results = []
+    for m in muts:
+        path = os.path.join(REPO, m["file"])
+        with open(path) as fh:
+            src = fh.read()
+        n = src.count(m["old"])
+        if n != 1:
+            results.append(dict(m, verdict="SITE-ERROR",
+                                detail=f"old string occurs {n} times"))
+            print(f"[{m['name']}] SITE-ERROR: pattern occurs {n}x in {m['file']}")
+            continue
+        with open(path, "w") as fh:
+            fh.write(src.replace(m["old"], m["new"]))
+        try:
+            c = run(["sbt", "-batch", "compile"])
+            # sbt relays Spark stderr as [error] lines; trust the exit code
+            # + the explicit compile-failure marker, not line grepping
+            compiled = c.returncode == 0 and "compilation failed" not in \
+                (c.stdout + c.stderr).lower()
+            if not compiled:
+                results.append(dict(m, verdict="COMPILE-ERROR", detail=""))
+                print(f"[{m['name']}] COMPILE-ERROR")
+                continue
+            out_dir = f"{OUT_BASE}_{m['name']}"
+            v = run(["tools/run_main.sh", "graft.Verify", SF_DIR, out_dir]
+                    + m["queries"])
+            if v.returncode != 0:
+                # A mutation may legitimately make the query THROW — that is
+                # a red gate too (the driver records an execution error).
+                results.append(dict(m, verdict="RED (verify error)",
+                                    detail=(v.stderr or "")[-200:]))
+                print(f"[{m['name']}] RED — Verify itself failed (rc="
+                      f"{v.returncode}); driver would record an error")
+                continue
+            status = oracle_status(out_dir, m["queries"])
+            reds = [q for q, s in status.items() if s != "PASS"]
+            verdict = "RED" if len(reds) == len(m["queries"]) else (
+                "PARTIAL-RED" if reds else "GREEN (TAUTOLOGICAL!)")
+            results.append(dict(m, verdict=verdict, detail=str(status)))
+            print(f"[{m['name']}] {verdict}: {status}")
+        finally:
+            run(["git", "checkout", "--", m["file"]])
+
+    print("\nrestoring clean build ...")
+    run(["sbt", "-batch", "compile"])
+
+    print("\n| mutation | family | gate queries | verdict |")
+    print("|---|---|---|---|")
+    ok = True
+    for r in results:
+        print(f"| {r['name']} | {r['family']} | "
+              f"{', '.join(r['queries'])} | {r['verdict']} |")
+        if not r["verdict"].startswith(("RED", "PARTIAL-RED")):
+            ok = False
+    art = os.path.join(REPO, "bench_history", "gate_sensitivity_r16.json")
+    with open(art, "w") as fh:
+        json.dump([{k: v for k, v in r.items()} for r in results], fh,
+                  indent=1)
+    print(f"\nartifact: {art}")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
