@@ -455,6 +455,16 @@ object PipelineQueries {
     // fixed centroid set is): DuckDB replays assignment → centroid
     // distance → within-cell pairs → connected components (recursive CTE
     // min-propagation) → keep-farthest-from-centroid representative.
+    // Planted rows are NEAR-dups, not exact copies: each perturbs its
+    // base by +(1/128)·((i−1) mod 3) per element — pair distance ~3e-3
+    // (under the 0.02 threshold) while the two members' centroid
+    // distances DIFFER, so the keep-farthest rule decides every
+    // component and a keep-rule mutation turns this gate red (the r16
+    // gate-sensitivity audit caught the exact-copy fixture as
+    // keep-rule-insensitive: identical vectors ⇒ identical centroid
+    // dists ⇒ the id tiebreak decided everything). 1/128 is a binary
+    // power, so float(v)+inc is bit-identical to DuckDB's
+    // double-compute-then-cast replay.
     "semantic_dedup_fixed" -> Q(
       """WITH RECURSIVE cents AS (
         |  SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
@@ -462,7 +472,11 @@ object PipelineQueries {
         |base AS (
         |  SELECT vec_id AS id, embedding FROM embeddings
         |  UNION ALL
-        |  SELECT vec_id + 10000 AS id, embedding FROM embeddings WHERE vec_id < 20
+        |  SELECT vec_id + 10000 AS id,
+        |         list_transform(range(1, len(embedding) + 1),
+        |           i -> (embedding[i] + 0.0078125 * ((i - 1) % 3))::FLOAT)
+        |           AS embedding
+        |  FROM embeddings WHERE vec_id < 20
         |),
         |v AS (SELECT id, embedding::DOUBLE[] AS ve FROM base),
         |assigned AS (
@@ -478,7 +492,7 @@ object PipelineQueries {
         |pairs AS (
         |  SELECT a.id AS id_a, b.id AS id_b
         |  FROM wd a JOIN wd b ON a.cell = b.cell AND a.id < b.id
-        |  WHERE round(1 - list_cosine_similarity(a.ve, b.ve), 6) <= 0.000001),
+        |  WHERE round(1 - list_cosine_similarity(a.ve, b.ve), 6) <= 0.02),
         |und AS (SELECT id_a AS s, id_b AS t FROM pairs
         |        UNION ALL SELECT id_b, id_a FROM pairs),
         |nodes AS (SELECT DISTINCT s AS id FROM und),
@@ -502,13 +516,17 @@ object PipelineQueries {
       val emb = Tables.load(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val planted = emb.unionAll(emb.filter(col("id") < 20)
-        .select((col("id") + 10000).as("id"), col("vec")))
+        .select((col("id") + 10000).as("id"),
+          transform(sequence(lit(1), size(col("vec"))),
+            i => element_at(col("vec"), i) +
+              lit(0.0078125f) * pmod(i - 1, lit(3)).cast("float"))
+            .as("vec")))
       val cents = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 8)
         .orderBy("vec_id").select("embedding").collect()
         .map(_.getSeq[Float](0).toArray)
       val ix = graft.ann.Ivf.Index(cents, planted.withColumn("cell",
         graft.ann.Ivf.cellOf(col("vec"), cents, "cosine")), "cosine")
-      SemDedup.semDedupWithIndex(ix, maxDistance = 1e-6)
+      SemDedup.semDedupWithIndex(ix, maxDistance = 0.02)
         .select(col("id"), col("cell").cast("long").as("cell"),
           col("centroid_dist"), col("canonical"),
           col("keep").cast("long").as("keep"))

@@ -98,6 +98,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(12L)._2 == 1L)
   }
 
+  test("semdedup keep rule: the member FARTHEST from its centroid is the " +
+      "representative (hand-computed, r16 gate-sensitivity pin)") {
+    import graft.pipeline.SemDedup
+    // Pinned centroids so the centroid distances are exact: cell 0 at
+    // (1,0,0), cell 1 at (0,0,1). Component {1,2}: id 1 sits ON the
+    // centroid (dist 0), id 2 is a near-dup ~0.005 away — both under the
+    // 0.01 pair threshold, but with DISTINCT centroid dists, so only the
+    // keep-least-prototypical rule (not the id tiebreak) decides: keep 2,
+    // drop 1. The exact-duplicate case above can never distinguish
+    // keep-farthest from keep-nearest (identical vectors ⇒ identical
+    // dists) — the r16 mutation audit caught that gap.
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val rows = Seq(
+      (1L, v(1, 0, 0)), (2L, v(0.995, 0.1, 0)),
+      (3L, v(0, 0, 1)))
+      .toDF("id", "vec")
+    val cents = Array(Array(1f, 0f, 0f), Array(0f, 0f, 1f))
+    val ix = graft.ann.Ivf.Index(cents, rows.withColumn("cell",
+      graft.ann.Ivf.cellOf(col("vec"), cents, "cosine")), "cosine")
+    val out = SemDedup.semDedupWithIndex(ix, maxDistance = 0.01)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("canonical"), r.getAs[Long]("keep"))).toMap
+    assert(out(2L) == ((1L, 1L)), "farther member is the representative")
+    assert(out(1L) == ((1L, 0L)), "on-centroid member is dropped")
+    assert(out(3L) == ((3L, 1L)))
+  }
+
   test("unigram perplexity: repetitive docs score lower, unseen floor, " +
       "quantile filter keeps the head") {
     import graft.pipeline.Perplexity

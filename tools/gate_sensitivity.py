@@ -103,12 +103,20 @@ MUTATIONS = [
         new="max(when(rnk0 === floor(n * p / 100) + 1, col(latCol)))",
         queries=["query_patterns", "query_insights"],
     ),
+    # NOTE: the first r16 run mutated the ADDITIVE constant
+    # (`+ params(i)._2 + 1`) and stayed GREEN — correctly: a constant
+    # shift inside a per-permutation min is argmin-invariant (min(v)+1),
+    # and signature EQUALITY between two docs is therefore preserved
+    # everywhere except the measure-zero mod-P wrap, so that mutation is
+    # semantics-preserving, not a gate gap. The multiplier mutation below
+    # reorders the permutation (changes which shingle attains each min)
+    # and must go red.
     dict(
         name="minhash_permutation",
         family="MinHash/LSH signature",
         file="src/main/scala/graft/pipeline/Dedup.scala",
         old="val v = (pm * params(i)._1 + params(i)._2) % P",
-        new="val v = (pm * params(i)._1 + params(i)._2 + 1) % P",
+        new="val v = (pm * (params(i)._1 + 1) + params(i)._2) % P",
         queries=["minhash_lsh_dedup"],
     ),
 ]
