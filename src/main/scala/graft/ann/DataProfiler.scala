@@ -26,23 +26,27 @@ object DataProfiler {
   private val emptyProfile =
     DataProfile(0, 0L, 0.0, 0.0, 0.0, 0.0, appearsNormalized = false, 0, 0.0)
 
-  /** Per-row (dim, magnitude, nearZero<0.001 count) in one compiled pass —
-    * per-element HOF expressions are interpreted per value (see
-    * Dedup.minhashSignature for the measured gap).
+  /** Per-row (dim, magnitude, nearZero<0.001 count) as `aggregate`
+    * expressions, NOT a UDF. Measured on this engine (UdfVsHofBench,
+    * bench_history/udf_vs_hof_r16.json): the compiled-UDF formulation is
+    * 1.6× SLOWER at 64-dim and ~9× slower at 384-dim than these
+    * higher-order aggregates — a `Seq[Float]` UDF boxes every element on
+    * deserialization, and that allocation cost grows faster with dim
+    * than the interpreted-lambda overhead the UDF was meant to avoid.
+    * (String-input UDFs are a different regime: no boxing — see the
+    * gopher/tokenizer rows of the same artifact.) The aggregate runs
+    * left-to-right over the array, so magnitude reproduces the UDF's
+    * sequential double accumulation bit-for-bit; near-zero compares in
+    * double exactly as the UDF did.
     */
-  private val rowStatsUdf = udf((v: Seq[Float]) => {
-    if (v == null) (0, 0.0, 0)
-    else {
-      var ss = 0.0; var nz = 0; var i = 0
-      while (i < v.length) {
-        val x = v(i).toDouble
-        ss += x * x
-        if (math.abs(x) < 0.001) nz += 1
-        i += 1
-      }
-      (v.length, math.sqrt(ss), nz)
-    }
-  })
+  private[graft] def rowStatsCols(v: Column): (Column, Column, Column) = {
+    val nn = coalesce(v, typedLit(Seq.empty[Float])) // null vec = empty, as the UDF did
+    (size(nn),
+      sqrt(aggregate(nn, lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))),
+      aggregate(nn, lit(0),
+        (acc, x) => acc + when(abs(x.cast("double")) < 0.001, 1).otherwise(0)))
+  }
 
   /** Profile a vector corpus: distributed moments + sampled pair stats. */
   def profile(df: DataFrame, vecCol: Column,
@@ -53,8 +57,8 @@ object DataProfiler {
     // partitioning, which would make profiles non-reproducible across runs
     val magE6 = round(col("mag") * 1e6, 0).cast("long")
     val magSqE6 = round(col("mag") * col("mag") * 1e6, 0).cast("long")
-    val stats = df.select(rowStatsUdf(vecCol.cast("array<float>")).as("s"))
-      .select(col("s._1").as("dim"), col("s._2").as("mag"), col("s._3").as("nz"))
+    val (dimC, magC, nzC) = rowStatsCols(vecCol.cast("array<float>"))
+    val stats = df.select(dimC.as("dim"), magC.as("mag"), nzC.as("nz"))
       .agg(count(lit(1)).as("n"), first(col("dim")).as("dim"),
         sum(magE6).as("s1"), sum(magSqE6).as("s2"),
         sum(col("nz")).as("nz"), sum(col("dim")).as("total_vals"))

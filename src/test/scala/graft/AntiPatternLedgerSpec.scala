@@ -30,6 +30,8 @@ class AntiPatternLedgerSpec extends AnyFunSuite {
     "Bench.scala" -> 3,
     "Cli.scala" -> 4,
     "DriftBench.scala" -> 2,
+    // measurement main: force() drains each timed plan to the driver
+    "UdfVsHofBench.scala" -> 1,
     "Explorer.scala" -> 9,
     // ANN tiers: k-bounded result reads, centroid tables (numCells
     // rows), and the deliberately driver-resident LocalServe snapshot
@@ -95,6 +97,9 @@ class AntiPatternLedgerSpec extends AnyFunSuite {
   // BroadcastNestedLoopJoin with the 1-row side broadcast) or an
   // oracle-query equivalent
   private val crossJoinLedger: Map[String, Int] = Map(
+    // measurement main: range(k) × sf-table replication of the timed
+    // input — bounded by construction (100k rows), never a query path
+    "UdfVsHofBench.scala" -> 2,
     "ops/AdvancedSearch.scala" -> 2,
     "ops/CodeSearch.scala" -> 1,
     "ops/CollaborativeFiltering.scala" -> 2,

@@ -17,11 +17,25 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   *  - procedural-single-pass: a stateful or multi-output algorithm over
   *    one value that has no expression equivalent, or whose HOF
-  *    "equivalent" is a per-element interpreted lambda measured 100-1000×
-  *    slower than one compiled pass (Porter stemmer, tokenizer,
+  *    "equivalent" is a per-element interpreted lambda measured slower
+  *    than one compiled pass (Porter stemmer, tokenizer,
   *    simhash/minhash/rolling-hash, Gopher/C4/langID counting passes,
   *    RFC-7386 JSON merge, JSON-schema validation, sentence chunking,
-  *    entity extraction, per-row vector stats);
+  *    entity extraction). Measured on THIS engine, r16
+  *    (bench_history/udf_vs_hof_r16.json, UdfVsHofBench, min of 5 at
+  *    100k rows): gopherCounts UDF beats the per-token/per-line rlike
+  *    formulation ~7× even while computing strictly more; the
+  *    tokenizer UDF is at parity with split+filter(isInCollection) and
+  *    stays a UDF for the Porter pass, which has no expression form;
+  *    minhashSignature's HOF form re-evaluates the shingle subtree per
+  *    permutation (60 ms/row vs µs/row, measured r9). CLASS BOUNDARY
+  *    (r16): this rationale holds for STRING-input UDFs only — a
+  *    numeric-ARRAY-input UDF boxes every element at deserialization
+  *    and measured SLOWER than aggregate expressions (1.6× at 64-dim,
+  *    ~9× at 384-dim), which is why DataProfiler.rowStats was rewritten
+  *    as expressions in r16; simhash/minhash take Seq[Long] hash arrays
+  *    but their counterfactual is the per-permutation subtree
+  *    re-evaluation above, not a single aggregate;
   *  - closure-model: the function closes over driver-fit model state
   *    (PCA/projection matrices, quantization codebooks, anomaly model,
   *    cross-encoder scorer, LSH hyperplane family, the multimodal
@@ -42,9 +56,11 @@ import org.scalatest.funsuite.AnyFunSuite
   *    worse: it bloats the plan quadratically with the plane count for
   *    a pass whose cost is dominated by the scan. The query path
   *    (Hamming top-k) is already pure expressions.
-  *  - ann/DataProfiler.scala `rowStatsUdf`: three stats in ONE compiled
-  *    pass; the HOF equivalent is three interpreted `aggregate` lambdas
-  *    per row (see the Dedup.minhashSignature measured gap).
+  *  - UdfVsHofBench.scala `rowStatsCounterfactualUdf`: the RETIRED
+  *    DataProfiler rowStats UDF, kept only as the timed strawman the
+  *    r16 measurement beat (boxing — see the class-boundary note
+  *    above). It is never on a query path; a production re-use of it
+  *    would need a fresh adjudication here.
   *
   * Growth fails until the new site is adjudicated here; shrinkage fails
   * until the stale entry is retired. Counting rules shared with the
@@ -79,8 +95,10 @@ class UdfLedgerSpec extends AnyFunSuite {
     "core/Validation.scala" -> 1,
     // closure-model: hyperplane encode — see header adjudication
     "ann/EncryptedSearch.scala" -> 1,
-    // procedural-single-pass: see header adjudication
-    "ann/DataProfiler.scala" -> 1,
+    // measured counterfactual ONLY (not a production operator): the
+    // retired rowStats UDF formulation, kept solely as UdfVsHofBench's
+    // timed strawman — see header adjudication
+    "UdfVsHofBench.scala" -> 1,
     // byte-packing: fp16/bf16 encode + decode
     "ann/HalfPrecision.scala" -> 2,
     // closure-model: fitted projection/PCA matrix-vector transforms
