@@ -479,6 +479,65 @@ class ScaleSmokeSpec extends SparkSpec {
     } finally { pairs.unpersist(); () }
   }
 
+  // opt-in, its own gate (an order past the 10M smokes — minutes of wall
+  // and several GB of shuffle): the simhash BANDING join at 100M 64-bit
+  // signatures. Signatures are generated arithmetically (xxhash64 of the
+  // row id — ~1.6 GB of fingerprint data) so corpus/shingle generation
+  // doesn't dominate what this smoke measures: the pigeonhole equi-join
+  // that is the scale path of the flagship dedup operator. maxHamming=1
+  // (2×32-bit chunks) is the bound the operator scaladoc prescribes for
+  // the ≥10M-corpus regime: at 100M random signatures the expected
+  // 32-bit-chunk birthday collisions are ~2.3M candidate pairs (n²/2³³
+  // per chunk), which the exact-hamming filter prunes to ~zero — while
+  // 16-bit banding (maxHamming=3) would put ~1,500 ids in every bucket
+  // and explode the candidate set quadratically.
+  test("simhash banding at 100M signatures: planted near-dups recovered " +
+      "exactly, incidental candidates pruned, shuffle bounded (opt-in)") {
+    assume(sys.env.get("GRAFT_SCALE_100M").contains("1"),
+      "set GRAFT_SCALE_100M=1 to run the 100M-signature banding smoke")
+    val n = 100000000L
+    val planted = 10000L
+    val src = when(col("id") >= n, col("id") - n).otherwise(col("id"))
+    val baseFp = xxhash64(src)
+    // the planted twin of id k carries xxhash64(k) with bit (k mod 64)
+    // flipped → exact hamming 1, flip position varying across the word
+    val fp = when(col("id") >= n,
+        baseFp.bitwiseXOR(call_function("shiftleft", lit(1L),
+          pmod(src, lit(64)).cast("int"))))
+      .otherwise(baseFp)
+    val fps = spark.range(n + planted)
+      .select(col("id"), fp.as("fp")).repartition(256)
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        shuffleWrite.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    val pairs = graft.pipeline.Dedup
+      .simhashNearDupFromFps(fps, col("id"), col("fp"), maxHamming = 1)
+      .persist()
+    try {
+      val total = pairs.count()
+      val hit = pairs.filter(col("id_b") === col("id_a") + n &&
+        col("hamming") === 1).count()
+      val wallSec = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.removeSparkListener(listener)
+      info(f"100M banding: wall=$wallSec%.1f s, " +
+        f"shuffleWrite=${shuffleWrite.get / 1e9}%.2f GB, " +
+        s"pairs=$total, planted-hit=$hit")
+      assert(hit == planted, s"planted near-dups recovered: $hit")
+      // incidental hamming<=1 survivors among random 64-bit signatures
+      // are ~0 even at 100M; anything near-quadratic means the banding
+      // width no longer matches the corpus size
+      assert(total < planted * 5, s"pair count exploded: $total")
+    } finally { pairs.unpersist(); () }
+  }
+
   // opt-in (same gate): the two-phase prefix-sum twins stay row-identical
   // to their single-partition oracle forms at 10M rows — the equivalence
   // the 100k in-suite specs prove, one order past the in-suite envelope
