@@ -103,6 +103,60 @@ MUTATIONS = [
         new="max(when(rnk0 === floor(n * p / 100) + 1, col(latCol)))",
         queries=["query_patterns", "query_insights"],
     ),
+    # --- second wave (r16, families 11-16). Porter was considered and
+    # EXCLUDED with an adjudication: the synthetic corpus is a tech-term
+    # word-salad with zero inflected English (checked: no token matches
+    # [a-z]+(sses|ing|ed)\b at sf0.01), so no stemmer mutation can reach
+    # the BM25 oracle — Porter's sensitivity evidence is its golden-corpus
+    # ScalaTest spec, which is executable and exact-match.
+    dict(
+        name="filter_between_hi",
+        family="filter compiler boundary",
+        file="src/main/scala/graft/filter/FilterCompiler.scala",
+        old="numCmp(r, lo, _ >= _) && numCmp(r, hi, _ <= _)",
+        new="numCmp(r, lo, _ >= _) && numCmp(r, hi, _ < _)",
+        queries=["filter_in_between"],
+    ),
+    dict(
+        name="cosine_offset",
+        family="distance kernel",
+        file="src/main/scala/graft/functions/DistanceKernels.scala",
+        old="else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))",
+        new="else 1.0001 - dot / (math.sqrt(na) * math.sqrt(nb))",
+        queries=["knn_cosine", "radius_cosine"],
+    ),
+    dict(
+        name="federated_rrf_k",
+        family="federated merger algebra",
+        file="src/main/scala/graft/ops/Federated.scala",
+        old="lit(1.0) / (lit(60.0) + col(\"__source_rank\"))",
+        new="lit(1.0) / (lit(59.0) + col(\"__source_rank\"))",
+        queries=["federated_rrf"],
+    ),
+    dict(
+        name="namespace_fusion_k",
+        family="typed vector namespaces",
+        file="src/main/scala/graft/ops/VectorNamespace.scala",
+        old="sum(col(\"__weight\") / (col(\"__rank0\") + 60.0)).as(\"score\")",
+        new="sum(col(\"__weight\") / (col(\"__rank0\") + 61.0)).as(\"score\")",
+        queries=["namespace_fusion"],
+    ),
+    dict(
+        name="ttl_sweep_boundary",
+        family="TTL expiry boundary",
+        file="src/main/scala/graft/ops/Mutations.scala",
+        old="coll.filter(col(ttlCol).isNull || col(ttlCol) > nowEpochS)",
+        new="coll.filter(col(ttlCol).isNull || col(ttlCol) >= nowEpochS)",
+        queries=["ttl_compact"],
+    ),
+    dict(
+        name="graph_hop_label",
+        family="graph traversal hop count",
+        file="src/main/scala/graft/ops/GraphQuery.scala",
+        old=".select(col(\"id\"), lit(hop).as(\"hops\"), col(\"path\"),",
+        new=".select(col(\"id\"), lit(hop + 1).as(\"hops\"), col(\"path\"),",
+        queries=["graph_query_search"],
+    ),
     # NOTE: the first r16 run mutated the ADDITIVE constant
     # (`+ params(i)._2 + 1`) and stayed GREEN — correctly: a constant
     # shift inside a per-permutation min is argmin-invariant (min(v)+1),
