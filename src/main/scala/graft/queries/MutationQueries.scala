@@ -59,13 +59,21 @@ object MutationQueries {
 
     // Tombstone + TTL sweep + physical compaction
     // (reference: mutations.rs:27, ttl.rs:52, accessors.rs:166).
+    // Three TTL classes so the expiry BOUNDARY is load-bearing: %5 rows
+    // expired in the past (ttl 100 < now), %3 rows expire exactly AT now
+    // (ttl 200 == now — expired, the reference drops at `now >=
+    // expiration`, ttl.rs:52), rest never expire. The r16
+    // gate-sensitivity audit caught the old two-class fixture as
+    // boundary-insensitive (a `>` → `>=` sweep mutation stayed green).
     "ttl_compact" -> Q(
       """SELECT count(*) AS n FROM events
-        |WHERE event_id % 5 <> 0 AND event_id % 7 <> 0""".stripMargin
+        |WHERE event_id % 5 <> 0 AND event_id % 3 <> 0 AND event_id % 7 <> 0""".stripMargin
     ) { (s, dir) =>
       val coll = Tables.load(s, dir, "events")
         .withColumn("ttl_expires_at",
-          when(col("event_id") % 5 === 0, 100L).otherwise(lit(null).cast("long")))
+          when(col("event_id") % 5 === 0, 100L)
+            .when(col("event_id") % 3 === 0, 200L)
+            .otherwise(lit(null).cast("long")))
         .withColumn("deleted", lit(false))
       val tombstoned = Mutations.tombstone(coll, col("event_id") % 7 === 0)
       Mutations.compact(tombstoned, nowEpochS = 200L)
