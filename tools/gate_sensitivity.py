@@ -157,6 +157,58 @@ MUTATIONS = [
         new=".select(col(\"id\"), lit(hop + 1).as(\"hops\"), col(\"path\"),",
         queries=["graph_query_search"],
     ),
+    # --- third wave (r16): one mutation per pinned-twin self-check gate.
+    # The pinned twins back the no_oracle queries, so they are exactly
+    # where a SemDeDup-style tautology would hide — each must be
+    # independently falsifiable through its DuckDB replay.
+    dict(
+        name="ivf_probe_skip",
+        family="pinned-twin (IVF probe selection)",
+        file="src/main/scala/graft/ann/Ivf.scala",
+        old="transform(slice(array_sort(scored), 1, nprobe), s => s.getField(\"cell\"))",
+        new="transform(slice(array_sort(scored), 2, nprobe), s => s.getField(\"cell\"))",
+        queries=["ivf_pruned_fixed"],
+    ),
+    dict(
+        name="pca_projection_scale",
+        family="pinned-twin (PCA transform)",
+        file="src/main/scala/graft/ann/DimReduce.scala",
+        old="out(c) = s.toFloat; c += 1",
+        new="out(c) = (s * 1.001).toFloat; c += 1",
+        queries=["pca_transform_fixed"],
+    ),
+    dict(
+        name="quality_sigmoid_scale",
+        family="pinned-twin (quality classifier)",
+        file="src/main/scala/graft/pipeline/QualityClassifier.scala",
+        old="lit(1.0) / (lit(1.0) + exp(-col(\"quality_margin\"))))",
+        new="lit(1.0) / (lit(1.0) + exp(-col(\"quality_margin\") * 1.01)))",
+        queries=["quality_classifier_fixed"],
+    ),
+    dict(
+        name="query_builder_keyword",
+        family="pinned-twin (NL query classification)",
+        file="src/main/scala/graft/needleql/QueryBuilder.scala",
+        old="\"aggregation\" -> Seq(\"count\", \"how many\", \"total\", \"sum\", \"average\", \"group by\"),",
+        new="\"aggregation\" -> Seq(\"count\", \"total\", \"sum\", \"average\", \"group by\"),",
+        queries=["query_builder_fixed"],
+    ),
+    dict(
+        name="cf_dot_scale",
+        family="pinned-twin (CF recommend)",
+        file="src/main/scala/graft/ops/CollaborativeFiltering.scala",
+        old="aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d),\n      (acc, x) => acc + x)",
+        new="aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d),\n      (acc, x) => acc + x * 1.001)",
+        queries=["cf_recommend_fixed"],
+    ),
+    dict(
+        name="euclidean_scale",
+        family="pinned-twin (k-means WCSS) + distance kernel",
+        file="src/main/scala/graft/functions/DistanceKernels.scala",
+        old="math.sqrt(sqEuclidean(a, b))",
+        new="math.sqrt(sqEuclidean(a, b) * 1.0001)",
+        queries=["vec_cluster_fixed", "knn_euclidean"],
+    ),
     # NOTE: the first r16 run mutated the ADDITIVE constant
     # (`+ params(i)._2 + 1`) and stayed GREEN — correctly: a constant
     # shift inside a per-permutation min is argmin-invariant (min(v)+1),
