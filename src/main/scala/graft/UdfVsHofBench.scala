@@ -104,7 +104,6 @@ object UdfVsHofBench {
     // stemming off so both sides compute the same function — Porter has
     // no expression form at all) vs built-in split + per-token
     // length/isin lambda over the same stopword set
-    val stops = graft.text.Tokenizer.defaultStopWords.toSeq.map(lit(_))
     val udf2 = timeMinSec(runs) {
       force(docs.select(size(graft.text.Tokenizer.tokens(col("text"),
         stemming = false)).as("a")))
@@ -115,7 +114,6 @@ object UdfVsHofBench {
         t => length(t) > 1 && !t.isInCollection(
           graft.text.Tokenizer.defaultStopWords))).as("a")))
     }
-    require(stops.nonEmpty)
 
     // ---- site 3: TextAnalysis.gopherCountsUdf via the production
     // gopherFlags path (9 counts + 8 flags, one character-level pass)

@@ -526,7 +526,6 @@ class ScaleSmokeSpec extends SparkSpec {
       val hit = pairs.filter(col("id_b") === col("id_a") + n &&
         col("hamming") === 1).count()
       val wallSec = (System.nanoTime() - t0) / 1e9
-      spark.sparkContext.removeSparkListener(listener)
       info(f"100M banding: wall=$wallSec%.1f s, " +
         f"shuffleWrite=${shuffleWrite.get / 1e9}%.2f GB, " +
         s"pairs=$total, planted-hit=$hit")
@@ -535,7 +534,12 @@ class ScaleSmokeSpec extends SparkSpec {
       // are ~0 even at 100M; anything near-quadratic means the banding
       // width no longer matches the corpus size
       assert(total < planted * 5, s"pair count exploded: $total")
-    } finally { pairs.unpersist(); () }
+    } finally {
+      // remove in finally: a failed count/assert must not leave the
+      // listener registered, accumulating into later tests in this suite
+      spark.sparkContext.removeSparkListener(listener)
+      pairs.unpersist(); ()
+    }
   }
 
   // opt-in (same gate): the two-phase prefix-sum twins stay row-identical

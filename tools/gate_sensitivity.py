@@ -14,7 +14,14 @@ Usage: python3 tools/gate_sensitivity.py [mutation-name ...]
   (no args = run all; names filter the table)
 
 Writes a markdown table to stdout and a JSON artifact to
-bench_history/gate_sensitivity_r16.json.
+bench_history/gate_sensitivity_<GRAFT_ROUND>.json (default r17).
+
+Verdicts: RED (all gate queries fail — audit pass), PARTIAL-RED
+(some fail; audit pass ONLY when every green query is listed in the
+mutation's partial_ok, logging the tolerated gap), GREEN
+(tautological — audit FAIL), MISSING-QUERY (check_oracle never
+evaluated a listed query, i.e. a typo'd name — audit FAIL; a broken
+audit must not report success).
 
 Prereq: clean working tree (the script reverts via `git checkout --`).
 """
@@ -291,9 +298,31 @@ def main():
                       f"{v.returncode}); driver would record an error")
                 continue
             status = oracle_status(out_dir, m["queries"])
-            reds = [q for q, s in status.items() if s != "PASS"]
-            verdict = "RED" if len(reds) == len(m["queries"]) else (
-                "PARTIAL-RED" if reds else "GREEN (TAUTOLOGICAL!)")
+            # MISSING means check_oracle never evaluated the query (typo'd
+            # name in MUTATIONS, or Verify silently skipped it). That is an
+            # audit-harness defect, NOT a red gate: counting it as red would
+            # let a misspelled entry "pass" without exercising any gate.
+            missing = [q for q, s in status.items() if s == "MISSING"]
+            fails = [q for q, s in status.items() if s == "FAIL"]
+            if missing:
+                verdict = "MISSING-QUERY (AUDIT DEFECT)"
+            elif len(fails) == len(m["queries"]):
+                verdict = "RED"
+            elif fails:
+                # some sibling queries stayed green. Only acceptable when the
+                # mutation declares which gates it is EXPECTED to reach
+                # (partial_ok lists tolerated-green queries); otherwise an
+                # insensitive gate hides behind a sensitive sibling.
+                tolerated = set(m.get("partial_ok", []))
+                greens = {q for q, s in status.items() if s == "PASS"}
+                if greens and greens <= tolerated:
+                    verdict = "PARTIAL-RED (tolerated: " + \
+                        ", ".join(sorted(greens)) + ")"
+                else:
+                    verdict = "PARTIAL-RED (UNTOLERATED GREEN: " + \
+                        ", ".join(sorted(greens - tolerated)) + ")"
+            else:
+                verdict = "GREEN (TAUTOLOGICAL!)"
             results.append(dict(m, verdict=verdict, detail=str(status)))
             print(f"[{m['name']}] {verdict}: {status}")
         finally:
@@ -308,9 +337,13 @@ def main():
     for r in results:
         print(f"| {r['name']} | {r['family']} | "
               f"{', '.join(r['queries'])} | {r['verdict']} |")
-        if not r["verdict"].startswith(("RED", "PARTIAL-RED")):
+        # ok iff fully RED, or PARTIAL-RED whose every green gate is
+        # explicitly tolerated via partial_ok (logged in the verdict).
+        if not (r["verdict"].startswith("RED")
+                or r["verdict"].startswith("PARTIAL-RED (tolerated")):
             ok = False
-    art = os.path.join(REPO, "bench_history", "gate_sensitivity_r16.json")
+    rnd = os.environ.get("GRAFT_ROUND", "r17")
+    art = os.path.join(REPO, "bench_history", f"gate_sensitivity_{rnd}.json")
     with open(art, "w") as fh:
         json.dump([{k: v for k, v in r.items()} for r in results], fh,
                   indent=1)
