@@ -25,9 +25,38 @@ import org.apache.spark.sql.SparkSession
   * normalize by the suite total before comparing.
   */
 object Bench {
+
+  /** One host-load sample: (1-min loadavg, runnable-entity count from
+    * /proc/loadavg's 4th field). Two driver rounds in a row (r15 1.09×,
+    * r16 2.04×) produced bench artifacts that were host contamination —
+    * adjudicated after the fact by re-running on a quiet host. Recording
+    * load WITH the measurement lets the artifact self-adjudicate:
+    * `load_start` is sampled before the SparkSession exists, so anything
+    * substantial there is foreign work (the 1-min EMA decays slowly —
+    * a suite that just finished still shows); `load_max`/`runnable_max`
+    * across per-query samples catch work arriving mid-run. The bench's
+    * own contribution is bounded by its `cpus` thread budget, so
+    * tools/bench_diff.py flags a run as SUSPECT when these exceed
+    * cpus + a host-size margin.
+    */
+  private def hostLoad(): (Double, Int) = {
+    try {
+      val line = scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      val f = line.split("\\s+")
+      (f(0).toDouble, f(3).split("/")(0).toInt)
+    } catch {
+      case _: Throwable =>
+        val mx = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        (mx.getSystemLoadAverage, -1)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val (loadStart, runnableStart) = hostLoad()
+    var loadMax = loadStart
+    var runnableMax = runnableStart
     // 3 runs: the first absorbs warm-up, the median of 3 is stable, and
     // 100 queries x 5 runs was brushing against the driver's time budget
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
@@ -68,6 +97,9 @@ object Bench {
         }
         val med = median(times)
         val spread = if (med > 0) (times.max - times.min) / med else 0.0
+        // per-query load sample: catches contamination arriving mid-run
+        val (l, r) = hostLoad()
+        loadMax = math.max(loadMax, l); runnableMax = math.max(runnableMax, r)
         (name, med, times.min, spread)
       }
     // The driver keeps only the LAST ~2000 characters of stdout and parses
@@ -148,7 +180,8 @@ object Bench {
           f""""$k":{"median":$med%.4f,"min":$mn%.4f,"spread":$sp%.3f}"""
         }.mkString(",")
         val recall = recallBlock.map(r => s""","recall":$r""").getOrElse("")
-        w.println(f"""{"total":$total%.2f,"sf":"${new java.io.File(sfDir).getName}","cpus":$cpus,"runs":$runs$recall%s,"queries":{$qs}}""")
+        val host = f""""host":{"cpus_host":${Runtime.getRuntime.availableProcessors},"load_start":$loadStart%.2f,"load_max":$loadMax%.2f,"runnable_start":$runnableStart,"runnable_max":$runnableMax}"""
+        w.println(f"""{"total":$total%.2f,"sf":"${new java.io.File(sfDir).getName}","cpus":$cpus,"runs":$runs,$host$recall%s,"queries":{$qs}}""")
       } finally w.close()
     } catch { case _: Throwable => () } // bench output must never fail the run
     val sfName = new java.io.File(sfDir).getName
@@ -185,7 +218,7 @@ object Bench {
     def line(dec: Int): String = {
       val qs = shown.map { case (k, v, _, _) => "\"" + k + "\":" + short(v, dec) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${short(total, 2)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${short(total, 2)},"unit":"sec","n_queries":${results.size},"load_start":${short(loadStart, 1)},"load_max":${short(loadMax, 1)},"queries":$qs,"sf":"$sfName"}"""
     }
     println(Seq(line(2), line(1)).find(_.length <= 1900).getOrElse(line(1)))
     spark.stop()

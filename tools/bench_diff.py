@@ -20,6 +20,33 @@ import re
 import sys
 
 
+def suspect(doc):
+    """Host-contamination verdict for one run (r16 forensics: two driver
+    rounds in a row read 1.09x/2.04x suite "regressions" that re-benched
+    at 1.0x on a quiet host). graft.Bench records /proc/loadavg samples:
+    load_start precedes SparkSession creation, so foreign work shows
+    there; load_max/runnable_max are per-query samples. The bench's own
+    contribution is bounded by its `cpus` budget, so anything well past
+    that is another process. Returns a list of reason strings (empty =
+    clean or no host block)."""
+    host = doc.get("host") if isinstance(doc, dict) else None
+    if not host:
+        return []
+    ncpu = host.get("cpus_host") or 1
+    bench_cpus = float(doc.get("cpus", ncpu))
+    reasons = []
+    if host.get("load_start", 0) > max(2.0, 0.15 * ncpu):
+        reasons.append(f"load_start={host['load_start']} before the bench "
+                       f"did any work (host has {ncpu} cpus)")
+    if host.get("load_max", 0) > bench_cpus + max(2.0, 0.25 * ncpu):
+        reasons.append(f"load_max={host['load_max']} exceeds the bench's "
+                       f"own {bench_cpus:.0f}-thread budget + margin")
+    if host.get("runnable_max", 0) > 1.5 * ncpu:
+        reasons.append(f"runnable_max={host['runnable_max']} threads vs "
+                       f"{ncpu} cpus: host oversubscribed mid-run")
+    return reasons
+
+
 def load(path):
     """Return (queries: {name: min_or_median_sec}, total: float|None, precise: bool)."""
     with open(path) as fh:
@@ -31,6 +58,8 @@ def load(path):
     if isinstance(doc, dict) and "queries" in doc and isinstance(
             next(iter(doc["queries"].values()), None), dict):
         # graft.Bench detail file: {"total":..,"queries":{q:{median,min,spread}}}
+        for r in suspect(doc):
+            print(f"# SUSPECT RUN {path}: {r}")
         return ({q: v["min"] for q, v in doc["queries"].items()},
                 doc.get("total"), True)
     # driver artifact: scavenge the stdout tail
@@ -49,6 +78,15 @@ def load(path):
             total = d.get("value")
             for q, v in d.get("queries", {}).items():
                 qs.setdefault(q, v)  # 2-decimal medians: better than nothing
+            # the headline line carries load_start/load_max (r17+): give the
+            # tail-scavenged path the same contamination verdict
+            host = {"cpus_host": doc.get("cpus") if isinstance(doc, dict)
+                    else None,
+                    "load_start": d.get("load_start", 0),
+                    "load_max": d.get("load_max", 0)}
+            if host["cpus_host"] and "load_start" in d:
+                for r in suspect({"host": host, "cpus": doc.get("cpus")}):
+                    print(f"# SUSPECT RUN {path}: {r}")
         except ValueError:
             pass
     return qs, total, False
