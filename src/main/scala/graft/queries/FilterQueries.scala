@@ -20,15 +20,38 @@ object FilterQueries {
     }
 
   val defs: Map[String, Q] = Map(
-    // $in + $between + $and over typed columns.
+    // $in + $between + $and over typed columns. `$between` is INCLUSIVE on
+    // both ends (reference: src/metadata.rs:1301-1312), and the natural
+    // sf* corpora hold no row exactly AT the lo bound (and only one lucky
+    // row at the hi bound), which left a `>=`→`>` mutation invisible to
+    // this gate (r16 audit finding). Rows are therefore PLANTED at value
+    // == 10 and == 100 identically on both sides, so both boundary
+    // comparisons are falsifiable regardless of the generated data.
     "filter_in_between" -> Q(
-      """SELECT event_id, event_type, value FROM events
+      """WITH corpus AS (
+        |  SELECT event_id, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT event_id + 100000, 'click', 10.0 FROM events WHERE event_id < 2
+        |  UNION ALL
+        |  SELECT event_id + 100010, 'purchase', 100.0 FROM events WHERE event_id < 2)
+        |SELECT event_id, event_type, value FROM corpus
         |WHERE event_type IN ('click', 'purchase') AND value BETWEEN 10 AND 100
         |ORDER BY event_id""".stripMargin
     ) { (s, dir) =>
-      filtered("events",
+      val ev = Tables.load(s, dir, "events")
+      val planted = ev
+        .unionAll(ev.filter(col("event_id") < 2)
+          .withColumn("event_id", col("event_id") + 100000)
+          .withColumn("event_type", lit("click"))
+          .withColumn("value", lit(10.0)))
+        .unionAll(ev.filter(col("event_id") < 2)
+          .withColumn("event_id", col("event_id") + 100010)
+          .withColumn("event_type", lit("purchase"))
+          .withColumn("value", lit(100.0)))
+      planted.filter(FilterCompiler.compile(Filter.parse(
         """{"$and": [{"event_type": {"$in": ["click", "purchase"]}},
-          |          {"value": {"$between": [10, 100]}}]}""".stripMargin)(s, dir)
+          |          {"value": {"$between": [10, 100]}}]}""".stripMargin),
+        planted))
         .select(col("event_id"), col("event_type"), col("value"))
         .orderBy(col("event_id"))
     },

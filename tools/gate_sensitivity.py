@@ -124,6 +124,17 @@ MUTATIONS = [
         new="numCmp(r, lo, _ >= _) && numCmp(r, hi, _ < _)",
         queries=["filter_in_between"],
     ),
+    # r17: the lo bound was gate-INVISIBLE until the fixture planted a
+    # row exactly at value == lo (the r16 audit found the natural corpus
+    # holds none); this mutation proves the planted row now reaches it.
+    dict(
+        name="filter_between_lo",
+        family="filter compiler boundary",
+        file="src/main/scala/graft/filter/FilterCompiler.scala",
+        old="numCmp(r, lo, _ >= _) && numCmp(r, hi, _ <= _)",
+        new="numCmp(r, lo, _ > _) && numCmp(r, hi, _ <= _)",
+        queries=["filter_in_between"],
+    ),
     dict(
         name="cosine_offset",
         family="distance kernel",
