@@ -421,6 +421,73 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Incremental SimHash dedup through the STORED-FINGERPRINT seam
+    // (Dedup.simhashNearDupFromFps): the base corpus (doc_id < 300) has
+    // its fingerprints materialized up front — as a stored fingerprint
+    // column would be — and a new batch (planted copies of doc_id < 20
+    // under +10000) is fingerprinted and banded against them; reported
+    // pairs are those touching the new batch (id_b >= 10000, since new
+    // ids exceed all stored ids and pairs are id_a < id_b). The oracle
+    // replays fingerprints via XxHash64Sql and brute-forces all pairs —
+    // identical by the pigeonhole argument (any pair within hamming 3
+    // agrees on one of the 4 16-bit chunks). This puts the seam that the
+    // 100M smoke drives (and that incremental-dedup callers use) under
+    // the same full-hash driver gate as the one-shot path.
+    "simhash_incremental" -> Q(
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 20),
+        |toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        |                     x -> length(x) > 0) AS tk
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_transform(range(0, len(tk) - 2),
+        |                i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) END)) AS s
+        |  FROM toks),
+        |hx AS ${XxHash64Sql.wrap("SELECT doc_id, s FROM sh", "s")},
+        |hs AS (SELECT doc_id, list(__xxh) AS hl FROM hx GROUP BY doc_id),
+        |fps AS (
+        |  SELECT doc_id,
+        |    CAST((fpu + 9223372036854775808) % 18446744073709551616
+        |         - 9223372036854775808 AS BIGINT) AS fp
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_sum(list_transform(range(0, 64), bb ->
+        |        CASE WHEN 2 * len(list_filter(hl, x ->
+        |               (((CAST(x AS HUGEINT) + 18446744073709551616) % 18446744073709551616)
+        |                // (${XxHash64Sql.pow2Sql})[bb+1]) % 2 = 1))
+        |               - len(hl) > 0
+        |             THEN (${XxHash64Sql.pow2Sql})[bb+1]
+        |             ELSE CAST(0 AS HUGEINT) END)) AS fpu
+        |    FROM hs))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3 AND b.doc_id >= 10000
+        |ORDER BY id_a, id_b""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val fpOf = (df: org.apache.spark.sql.DataFrame) => df.select(
+        col("doc_id").as("id"),
+        Dedup.simhash(Dedup.shingles(col("text"), 3)).as("fp"))
+      // stored side: fingerprints only, the text never re-enters the plan
+      val stored = fpOf(d.filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text")))
+      val batch = fpOf(d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.simhashNearDupFromFps(stored.unionAll(batch),
+          col("id"), col("fp"), maxHamming = 3)
+        .filter(col("id_b") >= 10000)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long")
+          .as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // SemDeDup (Abbas et al. 2023): cluster embeddings, dedup within
     // clusters, keep the least-prototypical member per group. Rows-only
     // (k-means is not SQL-reproducible); check_passed asserts that every
