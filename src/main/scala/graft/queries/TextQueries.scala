@@ -8,33 +8,35 @@ import graft.text.{Bm25, Rrf, Tokenizer}
 
 /** BM25 + RRF hybrid-search queries (SURVEY.md §2.4) over `documents`.
   *
-  * Oracle parity: these entries run with `stemming = false` so DuckDB can
-  * reproduce the token stream with pure SQL (lower → regex split → len>1 →
-  * stop-word removal); the stemming leg of the pipeline is covered by the
-  * PorterStemmer/Bm25 ScalaTest specs instead. Scores are rounded to 6
-  * decimals on both sides, and all orderings use the rounded score with id
-  * tie-breaks.
+  * Oracle parity: the corpus-scale entries run with `stemming = false` so
+  * DuckDB can reproduce the token stream with pure SQL (lower → regex split
+  * → len>1 → stop-word removal). The stemming leg runs under its own driver
+  * gate, `bm25_stemmed`, whose closed inflected fixture lets the oracle use
+  * PINNED pre-stemmed twin texts (plus the PorterStemmer golden-corpus
+  * spec). Scores are rounded to 6 decimals on both sides, and all orderings
+  * use the rounded score with id tie-breaks.
   */
 object TextQueries {
 
   private val stopList = Tokenizer.defaultStopWords.toSeq.sorted
     .map(w => s"'$w'").mkString(", ")
 
-  /** DuckDB replica of the reference tokenizer, minus stemming. */
-  private def duckToks: String =
+  /** DuckDB replica of the reference tokenizer, minus stemming.
+    * `src` is the corpus relation (a table or an earlier CTE). */
+  private def duckToks(src: String = "documents"): String =
     s"""toks AS (
        |  SELECT doc_id, unnest(list_filter(
        |           string_split_regex(lower(text), '[^a-z0-9]+'),
        |           t -> len(t) > 1 AND t NOT IN ($stopList))) AS term
-       |  FROM documents
+       |  FROM $src
        |)""".stripMargin
 
   /** DuckDB BM25 score CTEs for the given query terms (k1=1.5, b=0.75). */
-  private def duckBm25(queryTermsSql: String): String =
-    s"""$duckToks,
+  private def duckBm25(queryTermsSql: String, src: String = "documents"): String =
+    s"""${duckToks(src)},
        |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
        |dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
-       |       FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id GROUP BY d.doc_id),
+       |       FROM $src d LEFT JOIN toks t ON d.doc_id = t.doc_id GROUP BY d.doc_id),
        |corpus AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
        |qt AS (SELECT term, count(*)::DOUBLE AS qc FROM (SELECT unnest([$queryTermsSql]) AS term) GROUP BY term),
        |dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
@@ -52,6 +54,48 @@ object TextQueries {
 
   private val query = "spark query batch"
   private val queryTermsSql = "'spark', 'query', 'batch'"
+
+  /** Closed inflected-English fixture for the `bm25_stemmed` gate:
+    * (doc_id, raw text, Porter-stemmed text). The sf* corpora are
+    * inflection-free tech word-salad (verified r16: no token matches
+    * `[a-z]+(sses|ing|ed)\b`), so the stemming leg of the tokenizer
+    * (reference: src/hybrid.rs:258-267) was unreachable from any driver
+    * gate. This plants a corpus where stemming CHANGES the token stream:
+    * Spark indexes the raw texts with `stemming = true`; the oracle runs
+    * the same BM25 CTEs over the PINNED pre-stemmed twins. The stems are
+    * frozen literals cross-checked against the published Porter
+    * vocabulary pairs (caresses→caress, ponies→poni, agreed→agre,
+    * plastered→plaster, motoring→motor, hopping→hop, tanned→tan,
+    * conflated→conflat, troubled→troubl, sized→size, happy→happi,
+    * relational→relat, conditional→condit, …), so a stemmer mutation
+    * changes Spark's postings but not the oracle — RED. Stopwords are
+    * left intact in the stemmed twins (both tokenizers drop them), and
+    * every pinned stem is >1 char and not a stop word, so filter order
+    * cannot diverge.
+    */
+  private val stemFixture: Seq[(Int, String, String)] = Seq(
+    (0, "the ponies are running and hopping in the field",
+        "the poni are run and hop in the field"),
+    (1, "a tanned cat was motoring and singing",
+        "a tan cat was motor and sing"),
+    (2, "caresses from the troubled ponies agreed with the happy cats",
+        "caress from the troubl poni agre with the happi cat"),
+    (3, "plastered walls are falling and failing badly",
+        "plaster wall are fall and fail bad"),
+    (4, "the relational database was conflated with a conditional query engine",
+        "the relat databas was conflat with a condit queri engin"),
+    (5, "computers are filing sized reports and the reports fizzed",
+        "comput are file size report and the report fizz"),
+    (6, "running quickly is easily the happiest habit",
+        "run quick is easili the happiest habit"),
+    (7, "the cat and the ponies have agreed to feed",
+        "the cat and the poni have agre to feed"),
+    (8, "hissing snakes are falling in the sized field",
+        "hiss snake are fall in the size field"),
+    (9, "motoring computers feed the relational engine",
+        "motor comput feed the relat engin"))
+
+  private val stemQuery = "running ponies caresses" // stems: run poni caress
 
   val defs: Map[String, Q] = Map(
     // Okapi BM25 top-k (reference: src/hybrid.rs:349-416).
@@ -92,6 +136,32 @@ object TextQueries {
           col("doc_id"), col("text")).persisted()
       }
       Bm25.scoreTerms(ix, Tokenizer.tokenize(query, stemming = false))
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)
+    },
+
+    // Okapi BM25 with the FULL tokenizer — Porter stemming on — over the
+    // planted inflected-English fixture (see stemFixture). This is the
+    // driver gate for the stemmer itself: queries and documents inflect
+    // differently ("running" vs "run"-stem matches via poni/run/caress),
+    // so scoring only works if stemming conflates them, and the oracle's
+    // pre-stemmed twins make every stem falsifiable through the hash gate.
+    "bm25_stemmed" -> Q(
+      s"""WITH fixture(doc_id, text) AS (VALUES
+         |${stemFixture.map { case (i, _, st) => s"  ($i, '$st')" }.mkString(",\n")}),
+         |${duckBm25("'run', 'poni', 'caress'", "fixture")}
+         |SELECT doc_id, round(score, 6) AS score FROM bm25
+         |WHERE round(score, 6) > 0
+         |ORDER BY round(score, 6) DESC, doc_id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val docs = stemFixture.map { case (i, raw, _) => (i, raw) }
+        .toDF("doc_id", "text")
+      val ix = Bm25.index(docs, col("doc_id"), col("text"),
+        Bm25.Config(stemming = true))
+      Bm25.scoreTerms(ix, Tokenizer.tokenize(stemQuery, stemming = true))
         .select(col("doc_id"), round(col("score"), 6).as("score"))
         .filter(col("score") > 0)
         .orderBy(col("score").desc, col("doc_id").asc)

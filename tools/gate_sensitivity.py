@@ -124,6 +124,20 @@ MUTATIONS = [
         new="numCmp(r, lo, _ >= _) && numCmp(r, hi, _ < _)",
         queries=["filter_in_between"],
     ),
+    # r17: Porter was adjudicated OUT of the r16 audit (the sf corpus has
+    # zero inflected English, so no BM25 gate could see it). bm25_stemmed
+    # now plants a closed inflected fixture whose oracle uses pinned
+    # pre-stemmed twins — this mutation (plural -sses handled like a bare
+    # -s) proves the stemmer is finally oracle-reachable: "caresses" stems
+    # to "caresse" instead of "caress", missing the query stem.
+    dict(
+        name="porter_sses_rule",
+        family="Porter stemmer (step 1a)",
+        file="src/main/scala/graft/text/PorterStemmer.scala",
+        old='if (w.endsWith("sses")) w.dropRight(2)',
+        new='if (w.endsWith("sses")) w.dropRight(1)',
+        queries=["bm25_stemmed"],
+    ),
     # r17: the lo bound was gate-INVISIBLE until the fixture planted a
     # row exactly at value == lo (the r16 audit found the natural corpus
     # holds none); this mutation proves the planted row now reaches it.
