@@ -72,24 +72,34 @@ object TextQueries {
     * left intact in the stemmed twins (both tokenizers drop them), and
     * every pinned stem is >1 char and not a stop word, so filter order
     * cannot diverge.
+    *
+    * CRITICALLY, the query's inflections differ from the documents'
+    * ("running" queries docs saying "runs"/"run"; "ponies" queries
+    * "pony"; "caresses" queries "caress"/"caressing"): scoring works
+    * only because stemming CONFLATES distinct surface forms. A first
+    * fixture draft used the SAME form on both sides and was proven
+    * tautological by the audit — a mutation that renames an equivalence
+    * class consistently (query and doc inflect identically) is
+    * score-invariant; only a class SPLIT between query-side and doc-side
+    * forms is observable.
     */
   private val stemFixture: Seq[(Int, String, String)] = Seq(
-    (0, "the ponies are running and hopping in the field",
-        "the poni are run and hop in the field"),
+    (0, "the pony runs and hops in the field",
+        "the poni run and hop in the field"),
     (1, "a tanned cat was motoring and singing",
         "a tan cat was motor and sing"),
-    (2, "caresses from the troubled ponies agreed with the happy cats",
-        "caress from the troubl poni agre with the happi cat"),
+    (2, "a caress from the troubled pony agreed with the happy cats",
+        "a caress from the troubl poni agre with the happi cat"),
     (3, "plastered walls are falling and failing badly",
         "plaster wall are fall and fail bad"),
     (4, "the relational database was conflated with a conditional query engine",
         "the relat databas was conflat with a condit queri engin"),
     (5, "computers are filing sized reports and the reports fizzed",
         "comput are file size report and the report fizz"),
-    (6, "running quickly is easily the happiest habit",
-        "run quick is easili the happiest habit"),
-    (7, "the cat and the ponies have agreed to feed",
-        "the cat and the poni have agre to feed"),
+    (6, "caressing the cat runs quickly and easily in the happiest habit",
+        "caress the cat run quick and easili in the happiest habit"),
+    (7, "the cat and the pony have agreed to run",
+        "the cat and the poni have agre to run"),
     (8, "hissing snakes are falling in the sized field",
         "hiss snake are fall in the size field"),
     (9, "motoring computers feed the relational engine",
