@@ -126,16 +126,22 @@ MUTATIONS = [
     ),
     # r17: Porter was adjudicated OUT of the r16 audit (the sf corpus has
     # zero inflected English, so no BM25 gate could see it). bm25_stemmed
-    # now plants a closed inflected fixture whose oracle uses pinned
-    # pre-stemmed twins — this mutation (plural -sses handled like a bare
-    # -s) proves the stemmer is finally oracle-reachable: "caresses" stems
-    # to "caresse" instead of "caress", missing the query stem.
+    # now plants a closed cross-inflected fixture whose oracle uses pinned
+    # pre-stemmed twins. Two earlier candidates were adjudicated GREEN for
+    # real reasons, not gate gaps: (a) same-form fixtures make any
+    # class-RENAMING mutation score-invariant (fixed by cross-inflecting
+    # query vs docs); (b) an -sses mutation ("caresses"→"caresse") is
+    # REPAIRED by step 5's e-deletion — Porter's later steps partially
+    # self-correct, so only mutations outside the repair range are
+    # observable. This one (step 1b undoubling skipped: "running"→"runn"
+    # while docs' "runs"→"run") survives every later step and splits the
+    # query-side class.
     dict(
-        name="porter_sses_rule",
-        family="Porter stemmer (step 1a)",
+        name="porter_undoubling",
+        family="Porter stemmer (step 1b)",
         file="src/main/scala/graft/text/PorterStemmer.scala",
-        old='if (w.endsWith("sses")) w.dropRight(2)',
-        new='if (w.endsWith("sses")) w.dropRight(1)',
+        old='else if (w.length >= 2 && doubles(w.takeRight(2))) w.dropRight(1)',
+        new='else if (w.length >= 2 && doubles(w.takeRight(2))) w',
         queries=["bm25_stemmed"],
     ),
     # r17: the lo bound was gate-INVISIBLE until the fixture planted a
