@@ -476,6 +476,35 @@ object AdvancedQueries {
         .limit(10)
     },
 
+    // Matryoshka COARSE-DISTANCE REPORTING with level correction
+    // (reference: quantization.rs:810-823): the two-phase query above
+    // re-ranks exactly and needs no correction, but the adaptive path
+    // reports corrected coarse distances — raw / variance_ratio for the
+    // level. The engine here carries a PINNED ratio (0.28125 = 9/32,
+    // exactly representable in binary, so the division is bit-identical
+    // in Spark and DuckDB); calibration itself is covered by the
+    // MatryoshkaSpec sample tests. This puts Engine.correctDistance —
+    // previously ScalaTest-only — under the driver hash gate.
+    "matryoshka_corrected" -> Q(
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |       round((1 - list_cosine_similarity(e.embedding[1:16]::DOUBLE[], q.qv[1:16]::DOUBLE[])) * (1.0 / 0.28125), 6) AS corrected
+        |FROM embeddings e, q
+        |ORDER BY corrected, e.vec_id LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      val engine = graft.ann.Matryoshka(fullDims = 64, levels = Seq(16))
+        .copy(varianceRatios = Seq(0.28125))
+      val emb = Tables.load(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      emb.crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          round(engine.correctDistanceCol(
+            Distances.cosine(slice(col("embedding"), 1, 16),
+              slice(col("qv"), 1, 16)), 16), 6).as("corrected"))
+        .orderBy(col("corrected").asc, col("vec_id").asc)
+        .limit(10)
+    },
+
     // TF-IDF term-overlap rerank (reference: src/search/reranker.rs:362-466).
     "term_overlap_rerank" -> Q(
       """WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 100),

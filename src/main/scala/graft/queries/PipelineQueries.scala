@@ -825,7 +825,8 @@ object PipelineQueries {
         |    coalesce(array_to_string(ws[9:12], ' '), ''),
         |    coalesce(array_to_string(ws[13:18], ' '), '') || ' uses javascript here.',
         |    CASE WHEN doc_id % 5 = 0 THEN 'lorem ipsum dolor sit amet.' END,
-        |    CASE WHEN doc_id % 7 = 0 THEN 'function() { return 1; }' END) AS text
+        |    CASE WHEN doc_id % 7 = 0 THEN 'function() { return 1; }' END,
+        |    'exactly five words kept here.') AS text
         |  FROM w),
         |r AS (SELECT doc_id, text,
         |    list_filter(string_split(text, chr(10)),
@@ -853,7 +854,11 @@ object PipelineQueries {
         array_join(slice(words, 9, 4), " "),
         concat(array_join(slice(words, 13, 6), " "), lit(" uses javascript here.")),
         when(col("doc_id") % 5 === 0, lit("lorem ipsum dolor sit amet.")),
-        when(col("doc_id") % 7 === 0, lit("function() { return 1; }")))
+        when(col("doc_id") % 7 === 0, lit("function() { return 1; }")),
+        // exactly minLineWords words + terminal punct: the planted line AT
+        // the >= 5 boundary, so a minLineWords mutation is gate-visible
+        // (every other fixture line is comfortably above or below it)
+        lit("exactly five words kept here."))
       val paged = Tables.load(s, dir, "documents")
         .filter(col("doc_id") < 150)
         .select(col("doc_id"), page.as("text"))

@@ -247,6 +247,74 @@ MUTATIONS = [
         new="math.sqrt(sqEuclidean(a, b) * 1.0001)",
         queries=["vec_cluster_fixed", "knn_euclidean"],
     ),
+    # --- fourth wave (r17): families untouched by earlier audits.
+    dict(
+        name="matryoshka_correction",
+        family="matryoshka coarse-distance correction",
+        file="src/main/scala/graft/ann/Matryoshka.scala",
+        old="if (idx >= 0 && idx < varianceRatios.size) raw / varianceRatios(idx)",
+        new="if (idx >= 0 && idx < varianceRatios.size) raw * varianceRatios(idx)",
+        queries=["matryoshka_corrected"],
+    ),
+    dict(
+        name="sq8_decode_mask",
+        family="SQ8 asymmetric-distance decode",
+        file="src/main/scala/graft/ann/Quantization.scala",
+        old="val decoded = (codes(i) & 0xff).toFloat / sq.scale(i) + sq.minVals(i)",
+        new="val decoded = (codes(i) & 0x7f).toFloat / sq.scale(i) + sq.minVals(i)",
+        queries=["sq8_two_phase_fixed"],
+    ),
+    dict(
+        name="dsir_bucket_count",
+        family="DSIR hashed-feature bucketing",
+        file="src/main/scala/graft/pipeline/Dsir.scala",
+        old="pmod(xxhash64(col(\"term\")), lit(buckets.toLong)).as(\"bucket\"))",
+        new="pmod(xxhash64(col(\"term\")), lit(buckets.toLong - 1)).as(\"bucket\"))",
+        queries=["dsir_select"],
+    ),
+    dict(
+        name="perplexity_smoothing",
+        family="CCNet add-one smoothing",
+        file="src/main/scala/graft/pipeline/Perplexity.scala",
+        old="log((col(\"c\") + lit(1L)).cast(\"double\") / lit((n + v).toDouble))",
+        new="log((col(\"c\") + lit(2L)).cast(\"double\") / lit((n + v).toDouble))",
+        queries=["unigram_perplexity"],
+    ),
+    dict(
+        name="contamination_gram_size",
+        family="decontamination n-gram plumbing",
+        file="src/main/scala/graft/pipeline/Contamination.scala",
+        old="array_distinct(Dedup.shinglesStrict(textCol, n))",
+        new="array_distinct(Dedup.shinglesStrict(textCol, n + 1))",
+        queries=["contamination_ngram"],
+    ),
+    # reachable because the c4_rules fixture now plants a line with
+    # EXACTLY minLineWords words (r17) — every other line sits
+    # comfortably away from the >= 5 boundary.
+    dict(
+        name="c4_min_line_words",
+        family="C4 line-filter boundary",
+        file="src/main/scala/graft/pipeline/TextAnalysis.scala",
+        old="def c4Flags(text: Column, minLineWords: Int = 5, minSentences: Int = 3)",
+        new="def c4Flags(text: Column, minLineWords: Int = 6, minSentences: Int = 3)",
+        queries=["c4_rules"],
+    ),
+    dict(
+        name="pii_ip_octet",
+        family="PII regex family",
+        file="src/main/scala/graft/pipeline/Pii.scala",
+        old="(\"ip\", \"\\\\b(?:[0-9]{1,3}\\\\.){3}[0-9]{1,3}\\\\b\", \"|||IP|||\"),",
+        new="(\"ip\", \"\\\\b(?:[0-9]{1,2}\\\\.){3}[0-9]{1,3}\\\\b\", \"|||IP|||\"),",
+        queries=["pii_scrub"],
+    ),
+    dict(
+        name="pack_budget",
+        family="sequence-packing token budget",
+        file="src/main/scala/graft/pipeline/Sampling.scala",
+        old=".withColumn(\"window_id\", floor((offsetCol + withinBefore) / lit(budget)))",
+        new=".withColumn(\"window_id\", floor((offsetCol + withinBefore) / lit(budget + 1)))",
+        queries=["pack_sequential"],
+    ),
     # NOTE: the first r16 run mutated the ADDITIVE constant
     # (`+ params(i)._2 + 1`) and stayed GREEN — correctly: a constant
     # shift inside a per-permutation min is argmin-invariant (min(v)+1),
