@@ -1,0 +1,220 @@
+#!/usr/bin/env python3
+"""Fixture boundary-coverage lint (VERDICT r16 item 3).
+
+Three r15/r16 audit findings were the same failure class: a boundary
+comparison in main source (`<=`, `>=`, a threshold constant) whose gate
+fixture held NO row exactly AT the boundary, so an off-by-one mutation
+of the comparison was invisible to the oracle (SemDeDup keep-tie, TTL
+expires-at-now, $between lo bound). This lint pins the class:
+
+For each entry it asserts
+  1. the boundary comparison still exists in main source (`greps`) —
+     so the table cannot silently go stale when code moves, and
+  2. the sf0.01 fixture population contains >= 1 row AT the boundary
+     (`probe` — DuckDB SQL over the same parquet tables and fixture
+     constructions the gates use, returning a single count), or the
+     entry carries an explicit `adjudicated` explanation of why the
+     boundary is unreachable and what covers it instead.
+
+Inverse checks (`expect_zero`) pin standing ADJUDICATIONS: e.g. Porter
+was excluded from BM25-oracle reach because the corpus is
+inflection-free — if that ever stops being true, the adjudication is
+stale and should be revisited (informational failure).
+
+Usage: python3 tools/boundary_lint.py [sf_dir]   (default sf0.01)
+Exit 0 = every entry green; 1 = a boundary lost its row or a grep went
+stale.
+"""
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+CHECKS = [
+    dict(
+        name="between_lo_bound",
+        why="$between is inclusive [lo, hi] (reference src/metadata.rs:"
+            "1301-1312); a planted value==10 row makes >= falsifiable",
+        greps=[
+            ("src/main/scala/graft/filter/FilterCompiler.scala",
+             "numCmp(r, lo, _ >= _) && numCmp(r, hi, _ <= _)"),
+            # the plant itself (r17): literal lo-bound rows
+            ("src/main/scala/graft/queries/FilterQueries.scala",
+             '.withColumn("value", lit(10.0))'),
+        ],
+        # the plant copies rows event_id < 2 — they must exist
+        probe="SELECT count(*) FROM events WHERE event_id < 2",
+    ),
+    dict(
+        name="between_hi_bound",
+        why="hi-bound row must not depend on the generated data "
+            "(r16 relied on one lucky natural value==100 row)",
+        greps=[
+            ("src/main/scala/graft/queries/FilterQueries.scala",
+             '.withColumn("value", lit(100.0))'),
+        ],
+        probe="SELECT count(*) FROM events WHERE event_id < 2",
+    ),
+    dict(
+        name="ttl_expires_at_now",
+        why="lazy expiry keeps rows with ttl > now (strict); the fixture "
+            "class ttl==200 at nowEpochS=200 sits exactly at the boundary "
+            "(r16 fix)",
+        greps=[
+            ("src/main/scala/graft/ops/Mutations.scala",
+             "col(ttlCol).isNull || col(ttlCol) > nowEpochS"),
+            ("src/main/scala/graft/queries/MutationQueries.scala",
+             '.when(col("event_id") % 3 === 0, 200L)'),
+            ("src/main/scala/graft/queries/MutationQueries.scala",
+             "nowEpochS = 200L"),
+        ],
+        # the ttl==now class: %3 rows not already claimed by the %5 class
+        probe="SELECT count(*) FROM events "
+              "WHERE event_id % 3 = 0 AND event_id % 5 <> 0",
+    ),
+    dict(
+        name="c4_min_line_words",
+        why="the kept/dropped line-length rule is >= minLineWords (5); "
+            "the fixture plants a line with EXACTLY five words "
+            "(r17, proven RED by c4_min_line_words mutation)",
+        greps=[
+            ("src/main/scala/graft/pipeline/TextAnalysis.scala",
+             "minLineWords: Int = 5"),
+            ("src/main/scala/graft/queries/PipelineQueries.scala",
+             'lit("exactly five words kept here.")'),
+        ],
+        # static: the planted literal really has 5 words and terminal punct
+        static=lambda: len("exactly five words kept here.".split()) == 5
+        and "exactly five words kept here.".endswith("."),
+    ),
+    dict(
+        name="semdedup_keep_tiebreak",
+        why="keep-farthest needs centroid distances that DIFFER within a "
+            "duplicate group; exact copies tie and the rule is "
+            "unfalsifiable (r16 fix: near-dup plants at +1/128)",
+        greps=[
+            ("src/main/scala/graft/pipeline/SemDedup.scala",
+             '.orderBy(col("centroid_dist").desc, col("id").asc)'),
+            # the near-dup plant: binary-power increment, not exact copy
+            ("src/main/scala/graft/queries/PipelineQueries.scala",
+             "1/128"),
+        ],
+        probe="SELECT count(*) FROM embeddings WHERE vec_id < 20",
+    ),
+    dict(
+        name="pack_window_edge",
+        why="window_id = floor(before / budget): a doc whose cumulative "
+            "'before' is an exact multiple of 512 exercises the edge "
+            "(first doc of a window)",
+        greps=[
+            ("src/main/scala/graft/pipeline/Sampling.scala",
+             "floor((offsetCol + withinBefore) / lit(budget))"),
+        ],
+        probe="""
+WITH t AS (SELECT doc_id, len(list_filter(
+             string_split_regex(trim(lower(text)), '\\s+'),
+             x -> len(x) > 0)) AS n_tok FROM documents),
+c AS (SELECT doc_id, coalesce(sum(n_tok) OVER (
+        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        0) AS before FROM t)
+SELECT count(*) FROM c WHERE before % 512 = 0 AND doc_id > 0""",
+    ),
+    dict(
+        name="span_window_edge",
+        why="span slicing cuts ceil(words/20) windows; a doc with word "
+            "count an exact multiple of 20 exercises the last-full-span "
+            "edge (no ragged tail)",
+        greps=[
+            ("src/main/scala/graft/pipeline/Dedup.scala",
+             "i => array_join(slice(words, i * spanWords + 1, lit(spanWords)), \" \"))"),
+        ],
+        probe="""
+WITH t AS (SELECT len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> len(x) > 0)) AS n FROM documents)
+SELECT count(*) FROM t WHERE n % 20 = 0 AND n > 0""",
+    ),
+    dict(
+        name="pii_three_digit_octet",
+        why="the IP regex octet class is [0-9]{1,3}; planted IPs "
+            "(192.168.1.{doc_id%255}) include 3-digit octets so a {1,2} "
+            "mutation is visible (proven RED r17)",
+        greps=[
+            ("src/main/scala/graft/pipeline/Pii.scala",
+             "(?:[0-9]{1,3}\\\\.){3}"),
+        ],
+        probe="SELECT count(*) FROM documents "
+              "WHERE doc_id % 10 = 0 AND doc_id % 255 >= 100 AND doc_id < 200",
+    ),
+    dict(
+        name="porter_inflection_free_corpus",
+        why="STANDING ADJUDICATION (r16): corpus-scale BM25 gates cannot "
+            "see the stemmer because the sf corpus has no inflected "
+            "English; Porter is gated by bm25_stemmed's closed fixture "
+            "instead. If inflections ever appear here, revisit.",
+        greps=[
+            ("src/main/scala/graft/queries/TextQueries.scala",
+             "\"bm25_stemmed\""),
+        ],
+        probe="""
+SELECT count(*) FROM (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+  FROM documents) WHERE regexp_matches(t, '(sses|ing|ed)$')""",
+        expect_zero=True,
+    ),
+]
+
+
+def main():
+    import duckdb
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    ok = True
+    print(f"# boundary_lint over {SF_DIR}")
+    print("| check | greps | boundary rows | verdict |")
+    print("|---|---|---|---|")
+    for c in CHECKS:
+        stale = []
+        for path, needle in c.get("greps", []):
+            full = os.path.join(REPO, path)
+            try:
+                with open(full) as fh:
+                    if needle not in fh.read():
+                        stale.append(f"{path}: {needle!r} gone")
+            except OSError:
+                stale.append(f"{path}: unreadable")
+        n = None
+        if "probe" in c:
+            n = con.execute(c["probe"]).fetchone()[0]
+        static_ok = c["static"]() if "static" in c else True
+        if stale:
+            verdict = "STALE-GREP"
+        elif not static_ok:
+            verdict = "STATIC-FAIL"
+        elif n is not None and c.get("expect_zero"):
+            verdict = "OK (still zero)" if n == 0 else \
+                f"ADJUDICATION-STALE ({n} rows)"
+        elif n is not None:
+            verdict = "OK" if n >= 1 else "NO BOUNDARY ROW"
+        else:
+            verdict = "OK (static)"
+        if not verdict.startswith("OK"):
+            ok = False
+        grep_n = len(c.get("greps", []))
+        print(f"| {c['name']} | {grep_n} | "
+              f"{'-' if n is None else n} | {verdict} |")
+        if stale:
+            for s in stale:
+                print(f"#   stale: {s}")
+    print(f"\n{'ALL GREEN' if ok else 'LINT FAILED'}")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
