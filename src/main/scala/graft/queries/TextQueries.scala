@@ -83,7 +83,7 @@ object TextQueries {
     * score-invariant; only a class SPLIT between query-side and doc-side
     * forms is observable.
     */
-  private val stemFixture: Seq[(Int, String, String)] = Seq(
+  private[graft] val stemFixture: Seq[(Int, String, String)] = Seq(
     (0, "the pony runs and hops in the field",
         "the poni run and hop in the field"),
     (1, "a tanned cat was motoring and singing",
@@ -105,7 +105,7 @@ object TextQueries {
     (9, "motoring computers feed the relational engine",
         "motor comput feed the relat engin"))
 
-  private val stemQuery = "running ponies caresses" // stems: run poni caress
+  private[graft] val stemQuery = "running ponies caresses" // stems: run poni caress
 
   val defs: Map[String, Q] = Map(
     // Okapi BM25 top-k (reference: src/hybrid.rs:349-416).

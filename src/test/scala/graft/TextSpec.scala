@@ -109,3 +109,32 @@ class RrfSpec extends SparkSpec {
     assert(Rrf.Config.keyword.bm25Weight == 0.7)
   }
 }
+
+/** Pins the bm25_stemmed fixture's pre-stemmed twin texts to the live
+  * tokenizer: the DRIVER gate stays falsifiable because the twins are
+  * frozen literals, and this spec makes accidental drift (editing one
+  * side of the fixture) a test-time failure instead of a driver-round
+  * surprise. A real stemmer change fails BOTH this spec and the gate.
+  */
+class StemFixtureSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("pinned stemmed twins equal the live tokenizer's stemmed stream") {
+    graft.queries.TextQueries.stemFixture.foreach { case (id, raw, twin) =>
+      val live = graft.text.Tokenizer.tokenize(raw, stemming = true)
+      val pinned = graft.text.Tokenizer.tokenize(twin, stemming = false)
+      assert(live == pinned, s"doc $id: live=$live pinned=$pinned")
+    }
+    assert(graft.text.Tokenizer.tokenize(
+      graft.queries.TextQueries.stemQuery, stemming = true) ==
+      Seq("run", "poni", "caress"))
+  }
+
+  test("no pinned stem is a stop word or single char (filter-order safety)") {
+    graft.queries.TextQueries.stemFixture.foreach { case (id, _, twin) =>
+      graft.text.Tokenizer.tokenize(twin, stemming = false).foreach { t =>
+        assert(t.length > 1, s"doc $id stem '$t'")
+        assert(!graft.text.Tokenizer.defaultStopWords.contains(t),
+          s"doc $id stem '$t' is a stop word")
+      }
+    }
+  }
+}
