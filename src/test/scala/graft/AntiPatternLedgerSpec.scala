@@ -108,7 +108,10 @@ class AntiPatternLedgerSpec extends AnyFunSuite {
     "ops/Search.scala" -> 4,
     "ops/VectorAnalytics.scala" -> 4,
     "pipeline/Sampling.scala" -> 1,
-    "queries/AdvancedQueries.scala" -> 3,
+    // 4th site r17: matryoshka_corrected — crossJoin(broadcast(qv)) with a
+    // single-row query vector, the same bounded broadcast shape as the
+    // file's other three
+    "queries/AdvancedQueries.scala" -> 4,
     "queries/AnnQueries.scala" -> 2,
     "queries/EnterpriseQueries.scala" -> 3,
     "queries/FilterQueries.scala" -> 1,
