@@ -199,20 +199,43 @@ MUTATIONS = [
     # The pinned twins back the no_oracle queries, so they are exactly
     # where a SemDeDup-style tautology would hide — each must be
     # independently falsifiable through its DuckDB replay.
+    # ivf_pruned_fixed exercises Ivf.search, whose probe set comes from the
+    # DRIVER-side probeCells ranking (Ivf.scala:198-217) — the first r17
+    # draft of this entry mutated probeCellsOf (the multi-probe Column used
+    # by blocked self-joins) and came back GREEN because the gate query
+    # never executes that path. Mutation: skip the nearest cell.
     dict(
         name="ivf_probe_skip",
         family="pinned-twin (IVF probe selection)",
         file="src/main/scala/graft/ann/Ivf.scala",
-        old="transform(slice(array_sort(scored), 1, nprobe), s => s.getField(\"cell\"))",
-        new="transform(slice(array_sort(scored), 2, nprobe), s => s.getField(\"cell\"))",
+        old=".take(nprobe).map(_._2).toSeq",
+        new=".drop(1).take(nprobe).map(_._2).toSeq",
         queries=["ivf_pruned_fixed"],
     ),
+    # The multi-probe Column path (probeCellsOf → nearDupBlocked blocking):
+    # near-identical twins share their full cell ranking, so a fixed slice
+    # shift keeps them co-bucketed — only a pair whose PRIMARY cells differ
+    # (meeting in the runner-up cell) can observe it. graph_knn_edges
+    # builds a kNN edge list from the blocked pairs, which is
+    # candidate-set-sensitive.
+    dict(
+        name="multiprobe_slice",
+        family="multi-probe blocking (nearDupBlocked)",
+        file="src/main/scala/graft/ann/Ivf.scala",
+        old="transform(slice(array_sort(scored), 1, nprobe), s => s.getField(\"cell\"))",
+        new="transform(slice(array_sort(scored), 2, nprobe), s => s.getField(\"cell\"))",
+        queries=["graph_knn_edges", "semantic_dedup_fixed"],
+    ),
+    # transformOne is the PCA projection pca_transform_fixed replays; the
+    # first r17 anchor (`out(c) = s.toFloat`) also matched both
+    # RandomProjection bodies → SITE-ERROR. Anchor on the mean-centered
+    # multiply-add, which only PCA has.
     dict(
         name="pca_projection_scale",
         family="pinned-twin (PCA transform)",
         file="src/main/scala/graft/ann/DimReduce.scala",
-        old="out(c) = s.toFloat; c += 1",
-        new="out(c) = (s * 1.001).toFloat; c += 1",
+        old="s += (v(i) - mean(i)) * components(c)(i); i += 1",
+        new="s += (v(i) - mean(i)) * components(c)(i) * 1.001; i += 1",
         queries=["pca_transform_fixed"],
     ),
     dict(
