@@ -50,13 +50,29 @@ object AnnQueries {
     "0.28053835 -0.13715907 -0.04126692 0.07332610 -0.01915856 -0.14848892 -0.11300437 0.08889732 -0.01738314 0.09350298 0.15384332 -0.09533876 0.10336994 0.02293488 0.07543843 0.18178214 -0.16023108 0.02863289 -0.05134799 -0.01784053 -0.00998433 0.16671737 -0.00360416 0.25852724 -0.15791551 0.05612739 -0.09822172 -0.04030024 -0.01482240 0.04401134 0.04823681 -0.08010612 0.02962549 0.04561400 0.10346269 -0.20726140 -0.14479500 -0.11211549 -0.03295227 0.02750180 -0.10105638 -0.12730957 -0.19101634 -0.08899295 0.11129272 0.06580294 -0.14256339 0.21676374 0.14131254 -0.01800817 0.23205686 -0.19508721 0.01013901 0.01670622 -0.18769487 -0.04931119 0.01293983 -0.04592994 0.31640769 0.13303037 0.00327328 0.05165376 -0.15850983 -0.20279568",
   )
 
+  /** Replays [[graft.ann.DimReduce.Pca.transformOne]] EXACTLY: the model
+    * stores f32 mean/components, so each term `(v(i) − mean(i)) ·
+    * component(i)` is f32 arithmetic (widened to f64 only for the
+    * accumulator), and the finished sum is cast back to f32. DuckDB REAL
+    * arithmetic is IEEE-754 binary32 like the JVM's, so
+    * `(ve[i]::REAL - m::REAL) * w::REAL` then `::DOUBLE` accumulation then
+    * `::REAL` reproduces the production projection bit-for-bit before the
+    * final round. (The first form of this oracle folded in pure f64 —
+    * numerically equal at round-6 but replaying arithmetic the production
+    * code never runs; the r17 mutation audit exposed that the Spark side
+    * ALSO inlined the formula instead of calling the production transform,
+    * making the gate blind to DimReduce mutations.)
+    */
   private def pcaTransformSql: String = {
     val m = pcaMeanStr.split(" ")
     val cols = pcaCompStrs.zipWithIndex.map { case (cs, ci) =>
+      // literals are QUOTED: '0.41405653'::REAL is a direct text→binary32
+      // parse (same result as JVM .toFloat), while a bare 0.41405653::REAL
+      // goes through DECIMAL and double-rounds to a different f32
       val terms = cs.split(" ").zipWithIndex.map { case (w, i) =>
-        s"(ve[${i + 1}] - ${m(i)}) * $w"
+        s"((ve[${i + 1}]::REAL - '${m(i)}'::REAL) * '$w'::REAL)::DOUBLE"
       }.mkString(" + ")
-      s"round($terms, 6) AS pc$ci"
+      s"round(($terms)::REAL::DOUBLE, 6) AS pc$ci"
     }.mkString(",\n       ")
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings)
        |SELECT vec_id,
@@ -459,21 +475,27 @@ object AnnQueries {
 
     // PCA transform under a FULL hash oracle via pinned parameters (the
     // pinned-parameter replay trick): power iteration is not
-    // SQL-reproducible, but a FROZEN mean + component matrix is — DuckDB
-    // replays the centering and the 8 projection dot-products as explicit
-    // f64 arithmetic in the same fold order, so values are bit-identical
-    // before the final round. The trained-path spectral self-check
+    // SQL-reproducible, but a FROZEN mean + component matrix is. This
+    // gate drives the PRODUCTION transform — a Pca model constructed
+    // from the pinned parameters, projected through Pca.transform /
+    // transformOne (DimReduce.scala) — while DuckDB replays the same f32
+    // per-term arithmetic (see pcaTransformSql). The r17 mutation audit
+    // caught the previous form re-deriving the projection inline in
+    // query code: a DimReduce mutation was invisible, the gate only
+    // validated its own arithmetic. The trained-path spectral self-check
     // (`pca_components`) stays beside this gate.
     "pca_transform_fixed" -> Q(pcaTransformSql) { (s, dir) =>
-      val mean = pcaMeanStr.split(" ").map(_.toDouble)
-      val comps = pcaCompStrs.map(_.split(" ").map(_.toDouble))
-      val centered = zip_with(col("embedding").cast("array<double>"),
-        lit(mean), (x, m) => x - m)
-      val pcs = comps.zipWithIndex.map { case (c, ci) =>
-        round(aggregate(zip_with(centered, lit(c), (x, w) => x * w),
-          lit(0.0), (acc, x) => acc + x), 6).as(s"pc$ci")
+      val pca = graft.ann.DimReduce.Pca(
+        components = pcaCompStrs.map(_.split(" ").map(_.toFloat)).toArray,
+        mean = pcaMeanStr.split(" ").map(_.toFloat),
+        explainedVariance = Array.fill(pcaCompStrs.length)(0f),
+        totalVariance = 1f)
+      val pcs = pcaCompStrs.indices.map { ci =>
+        round(element_at(col("__proj"), ci + 1).cast("double"), 6)
+          .as(s"pc$ci")
       }
       Tables.load(s, dir, "embeddings")
+        .withColumn("__proj", pca.transform(col("embedding")))
         .select((col("vec_id") +: pcs): _*)
         .orderBy("vec_id")
     },

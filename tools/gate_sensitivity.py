@@ -212,19 +212,25 @@ MUTATIONS = [
         new=".drop(1).take(nprobe).map(_._2).toSeq",
         queries=["ivf_pruned_fixed"],
     ),
-    # The multi-probe Column path (probeCellsOf → nearDupBlocked blocking):
-    # near-identical twins share their full cell ranking, so a fixed slice
-    # shift keeps them co-bucketed — only a pair whose PRIMARY cells differ
-    # (meeting in the runner-up cell) can observe it. graph_knn_edges
-    # builds a kNN edge list from the blocked pairs, which is
-    # candidate-set-sensitive.
+    # The multi-probe Column path (probeCellsOf → blocked candidate
+    # generation). ADJUDICATED GREEN variant, recorded here like the Porter
+    # argmin-invariant case: a slice SHIFT (rank 1..n → 2..n+1) is
+    # structurally invisible to every pair-meeting gate — (a) near-dup
+    # pairs share their whole cell ranking, so any fixed shift keeps them
+    # co-bucketed (semantic_dedup_fixed stayed green), and (b) at
+    # graph_knn_edges' settings (nprobe 6 of 8 cells) pigeonhole gives any
+    # two rows ≥4 shared probe cells whatever single rank is dropped. The
+    # run below is in bench_history/gate_sensitivity_r17_p7.json. What IS
+    # observable is multi-probe being DISABLED — boundary candidates then
+    # only meet in a shared primary cell, and graph_knn_edges needs
+    # nprobe=6 for recall 1.0 against its exact all-pairs oracle:
     dict(
-        name="multiprobe_slice",
-        family="multi-probe blocking (nearDupBlocked)",
+        name="multiprobe_collapsed",
+        family="multi-probe blocking (probeCellsOf)",
         file="src/main/scala/graft/ann/Ivf.scala",
         old="transform(slice(array_sort(scored), 1, nprobe), s => s.getField(\"cell\"))",
-        new="transform(slice(array_sort(scored), 2, nprobe), s => s.getField(\"cell\"))",
-        queries=["graph_knn_edges", "semantic_dedup_fixed"],
+        new="transform(slice(array_sort(scored), 1, 1), s => s.getField(\"cell\"))",
+        queries=["graph_knn_edges"],
     ),
     # transformOne is the PCA projection pca_transform_fixed replays; the
     # first r17 anchor (`out(c) = s.toFloat`) also matched both
