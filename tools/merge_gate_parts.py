@@ -23,10 +23,25 @@ def main():
         print(__doc__)
         sys.exit(2)
     rnd, parts = sys.argv[1], sys.argv[2:]
+    # The consolidated artifact describes the CURRENT mutation table:
+    # entries whose name was retired mid-round (e.g. a structurally
+    # unobservable variant replaced by an observable one, with the
+    # adjudication recorded in the table comments) stay in their part
+    # files for the audit trail but are dropped here.
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from gate_sensitivity import MUTATIONS
+    current = {m["name"] for m in MUTATIONS}
     merged = {}
     for p in parts:
         for m in json.load(open(p)):
             merged[m["name"]] = m
+    dropped = sorted(set(merged) - current)
+    missing = sorted(current - set(merged))
+    for n in dropped:
+        print(f"# dropped (not in current MUTATIONS table): {n} "
+              f"[{merged.pop(n)['verdict']}]")
+    for n in missing:
+        print(f"# WARNING: current mutation never ran in any part: {n}")
     out = list(merged.values())
     art = os.path.join(REPO, "bench_history", f"gate_sensitivity_{rnd}.json")
     with open(art, "w") as fh:
