@@ -360,6 +360,102 @@ MUTATIONS = [
         new="val v = (pm * (params(i)._1 + 1) + params(i)._2) % P",
         queries=["minhash_lsh_dedup"],
     ),
+    # --- fourth wave (r17): families with no mutation yet, one per
+    # distinct formula — DTW recurrence, MMR tradeoff, MaxSim reduction,
+    # sparse scoring, Jaccard algebra, split/window/chunk boundaries,
+    # incremental-index maintenance, RFC-7386 null-delete, Gopher rule.
+    dict(
+        name="dtw_recurrence",
+        family="temporal DTW",
+        file="src/main/scala/graft/ops/Temporal.scala",
+        # drop the diagonal move — the classic DTW recurrence bug
+        old="val best = math.min(prev(j), math.min(curr(j - 1), prev(j - 1)))",
+        new="val best = math.min(prev(j), curr(j - 1))",
+        queries=["trajectory_dtw"],
+    ),
+    dict(
+        name="mmr_redundancy_scale",
+        family="MMR diversification",
+        file="src/main/scala/graft/ops/AdvancedSearch.scala",
+        old="val score = lambda * qSim - (1.0 - lambda) * maxSel",
+        new="val score = lambda * qSim - (1.0 - lambda) * 0.5 * maxSel",
+        queries=["mmr_diversify"],
+    ),
+    dict(
+        name="maxsim_agg_mean",
+        family="MaxSim late interaction",
+        file="src/main/scala/graft/ops/AdvancedSearch.scala",
+        old=".agg(max(col(\"sim\")).as(\"max_sim\"))",
+        new=".agg(avg(col(\"sim\")).as(\"max_sim\"))",
+        queries=["maxsim", "maxsim_two_stage"],
+    ),
+    dict(
+        name="sparse_cosine_scale",
+        family="sparse-vector scoring",
+        file="src/main/scala/graft/ops/AdvancedSearch.scala",
+        old="when(col(\"norm\") > 0, col(\"dot\") / (col(\"norm\") * qNorm)).otherwise(0.0)",
+        new="when(col(\"norm\") > 0, col(\"dot\") / (col(\"norm\") * qNorm * 1.001)).otherwise(0.0)",
+        queries=["sparse_cosine"],
+    ),
+    dict(
+        name="jaccard_union_denominator",
+        family="n-gram Jaccard",
+        file="src/main/scala/graft/pipeline/Dedup.scala",
+        # |A∩B| / (|A|+|B|−|A∩B|) → |A∩B| / (|A|+|B|): Dice-denominator slip
+        old="(size(col(\"sh_a\")) + size(col(\"sh_b\")) - col(\"inter\")))",
+        new="(size(col(\"sh_a\")) + size(col(\"sh_b\"))))",
+        queries=["ngram_jaccard"],
+    ),
+    dict(
+        name="split_threshold_incl",
+        family="deterministic split boundary",
+        file="src/main/scala/graft/pipeline/Sampling.scala",
+        old="when(h < lit(threshold(trainFrac, 2)), \"train\")",
+        new="when(h <= lit(threshold(trainFrac, 2)), \"train\")",
+        queries=["split_assign"],
+    ),
+    dict(
+        name="gopher_alpha_threshold",
+        family="Gopher quality rule",
+        file="src/main/scala/graft/pipeline/TextAnalysis.scala",
+        old="g.getField(\"_3\").cast(\"double\") / nWords >= 0.8",
+        new="g.getField(\"_3\").cast(\"double\") / nWords >= 0.95",
+        queries=["gopher_rules"],
+    ),
+    dict(
+        name="bm25_incremental_antijoin",
+        family="incremental index maintenance",
+        file="src/main/scala/graft/text/Bm25.scala",
+        # keep stale postings of re-added docs instead of replacing them
+        old="val keptTf = ix.termFreqs.join(fresh.docLens.select(\"doc_id\"),\n      Seq(\"doc_id\"), \"left_anti\")",
+        new="val keptTf = ix.termFreqs.join(fresh.docLens.select(\"doc_id\"),\n      Seq(\"doc_id\"), \"left_semi\")",
+        queries=["bm25_incremental"],
+    ),
+    dict(
+        name="merge_patch_null_keep",
+        family="RFC-7386 merge patch",
+        file="src/main/scala/graft/ops/Mutations.scala",
+        # null must REMOVE the key, not store a null
+        old="if (e.getValue.isNull) merged.remove(e.getKey)",
+        new="if (e.getValue.isNull) merged.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue)",
+        queries=["merge_patch"],
+    ),
+    dict(
+        name="window_offset_shift",
+        family="streaming windowed aggregation",
+        file="src/main/scala/graft/streaming/Streams.scala",
+        old=".groupBy(window(col(timeCol), windowDur).as(\"win\"), col(keyCol))",
+        new=".groupBy(window(col(timeCol), windowDur, windowDur, \"1 second\").as(\"win\"), col(keyCol))",
+        queries=["windowed_agg"],
+    ),
+    dict(
+        name="chunk_step_off_by_one",
+        family="fixed-size chunking",
+        file="src/main/scala/graft/pipeline/Chunking.scala",
+        old="val step = if (size > overlap) size - overlap else 1",
+        new="val step = if (size > overlap) size - overlap + 1 else 1",
+        queries=["chunk_fixed"],
+    ),
 ]
 
 
