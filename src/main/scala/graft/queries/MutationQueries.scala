@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
 
 import graft.core.Tables
 import graft.ops.Mutations
@@ -40,10 +41,15 @@ object MutationQueries {
 
     // Shallow JSON merge-patch (reference: metadata.rs:538-561): null
     // removes a key, new keys insert. Output extracted fields, not raw JSON
-    // (string formatting differs between engines).
+    // (string formatting differs between engines). `k_present` asserts the
+    // REMOVAL itself: value extraction returns NULL for both a removed key
+    // and a stored JSON null, so without it a null-keeping mutation is
+    // invisible (r17 mutation-audit finding) — key presence is read from
+    // map_keys/json_keys, which do distinguish.
     "merge_patch" -> Q(
       """SELECT event_id,
         |       json_extract_string(json_merge_patch(props, '{"k": null, "added": 7}'), '$.k') AS k_after,
+        |       CAST(coalesce(list_contains(json_keys(json_merge_patch(props, '{"k": null, "added": 7}')), 'k'), false) AS BIGINT) AS k_present,
         |       json_extract_string(json_merge_patch(props, '{"k": null, "added": 7}'), '$.added') AS added_after
         |FROM events WHERE event_id < 50 ORDER BY event_id""".stripMargin
     ) { (s, dir) =>
@@ -53,6 +59,9 @@ object MutationQueries {
       Mutations.mergePatch(ev, patches, "event_id", "props")
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").as("k_after"),
+          coalesce(array_contains(
+            map_keys(from_json(col("props"), MapType(StringType, StringType))),
+            "k"), lit(false)).cast("long").as("k_present"),
           get_json_object(col("props"), "$.added").as("added_after"))
         .orderBy(col("event_id"))
     },

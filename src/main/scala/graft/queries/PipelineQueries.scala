@@ -61,6 +61,19 @@ object PipelineQueries {
     * deterministic corpus with planted exact duplicates, built identically
     * on both sides.
     */
+  /** Planted Gopher boundary doc (see `gopher_rules`): exactly 50 words
+    * (word-count lo bound), 45 alphabetic (ratio 0.9 ∈ [0.8, 0.95)),
+    * exactly 2 of the 8 reference stopwords ("the", "and") — the
+    * word-salad corpus holds no row at any of these three boundaries,
+    * which left the r17 alpha-threshold mutation unobservable.
+    */
+  private val gopherBoundaryText =
+    "the and pony river stone cloud maple ember quiet forest meadow " +
+      "copper winter salmon harbor violet timber faint marble garden " +
+      "sunset prairie willow canyon thunder breeze orchard crystal " +
+      "lantern pebble shadow spruce falcon harvest juniper cobalt amber " +
+      "raven tundra velvet saffron indigo myrtle walnut cedar 11 22 33 44 55"
+
   private def withPlantedDups(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents")
     d.select(col("doc_id"), col("text"))
@@ -774,12 +787,19 @@ object PipelineQueries {
 
     // Gopher/MassiveText quality-filter rule set (Rae et al. 2021 A1) —
     // one 0/1 column per rule so the gate checks each rule's semantics.
+    // doc 900001 is PLANTED at two rule boundaries the word-salad corpus
+    // never reaches (r17 mutation-audit finding: an alpha-threshold
+    // 0.8→0.95 mutation stayed green): exactly 50 words (the word-count
+    // lo bound) of which 45 are alphabetic (ratio 0.9 ∈ [0.8, 0.95)) and
+    // exactly 2 of the 8 reference stopwords.
     "gopher_rules" -> Q(
       """WITH w AS (
         |  SELECT doc_id, text,
         |         list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS ws,
         |         string_split(text, chr(10)) AS lines
-        |  FROM documents),
+        |  FROM (SELECT doc_id, text FROM documents
+        |        UNION ALL SELECT 900001, '""".stripMargin +
+        gopherBoundaryText + """')),
         |m AS (
         |  SELECT doc_id, text, ws, lines,
         |         len(ws) AS n_words,
@@ -806,7 +826,9 @@ object PipelineQueries {
         |FROM m ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
       val flags = TextAnalysis.gopherFlags(col("text"))
-      Tables.load(s, dir, "documents")
+      Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionAll(s.range(1).select(lit(900001L).as("doc_id"),
+          lit(gopherBoundaryText).as("text")))
         .select(col("doc_id") +: flags.map { case (n, c) => c.as(n) }: _*)
         .orderBy(col("doc_id"))
     },

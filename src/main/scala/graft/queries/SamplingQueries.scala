@@ -20,15 +20,28 @@ object SamplingQueries {
   val defs: Map[String, Q] = Map(
     // Deterministic 80/10/10 train/val/test split on md5(doc_id) buckets;
     // the gate checks the per-split counts AND per-split lang mix (a split
-    // keyed on a biased column would skew it).
+    // keyed on a biased column would skew it). Both threshold buckets are
+    // PLANTED (r17 mutation-audit finding: with 500 docs over 256 buckets
+    // neither boundary bucket was populated, so a `<`→`<=` threshold
+    // mutation stayed green): md5('1000133') starts 'cc' (the train/val
+    // edge, floor(256·0.8) = 0xcc) and md5('1000020') starts 'e6' (the
+    // val/test edge, floor(256·0.9) = 0xe6).
     "split_assign" -> Q(
-      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+      """WITH docs AS (
+        |  SELECT doc_id, lang FROM documents
+        |  UNION ALL SELECT 1000133, 'zz'
+        |  UNION ALL SELECT 1000020, 'zz')
+        |SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
         |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
         |            ELSE 'test' END AS split,
         |       lang, count(*) AS n
-        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM docs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     ) { (s, dir) =>
-      Tables.load(s, dir, "documents")
+      Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .unionAll(s.range(1).select(lit(1000133L).as("doc_id"),
+          lit("zz").as("lang")))
+        .unionAll(s.range(1).select(lit(1000020L).as("doc_id"),
+          lit("zz").as("lang")))
         .select(Sampling.splitLabel(col("doc_id"), 0.8, 0.1).as("split"),
           col("lang"))
         .groupBy(col("split"), col("lang")).agg(count(lit(1)).as("n"))

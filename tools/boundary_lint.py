@@ -164,6 +164,65 @@ SELECT count(*) FROM (
   FROM documents) WHERE regexp_matches(t, '(sses|ing|ed)$')""",
         expect_zero=True,
     ),
+    dict(
+        name="split_threshold_buckets",
+        why="splitLabel's `<` thresholds need rows AT both boundary "
+            "buckets; 500 docs over 256 buckets left both empty (r17 "
+            "finding: split_threshold_incl mutation was GREEN) — the "
+            "gate plants ids whose md5 prefixes are exactly 'cc' "
+            "(train/val edge) and 'e6' (val/test edge)",
+        greps=[
+            ("src/main/scala/graft/pipeline/Sampling.scala",
+             'when(h < lit(threshold(trainFrac, 2)), "train")'),
+            ("src/main/scala/graft/queries/SamplingQueries.scala",
+             "UNION ALL SELECT 1000133, 'zz'"),
+            ("src/main/scala/graft/queries/SamplingQueries.scala",
+             "UNION ALL SELECT 1000020, 'zz'"),
+        ],
+        static=lambda: __import__("hashlib").md5(b"1000133")
+        .hexdigest()[:2] == "cc" and __import__("hashlib").md5(b"1000020")
+        .hexdigest()[:2] == "e6",
+    ),
+    dict(
+        name="gopher_alpha_and_count_boundary",
+        why="the word-salad corpus holds no doc with alpha-word ratio in "
+            "[0.8, 0.95), none with exactly minWords=50 words, and none "
+            "with exactly 2 stopwords (r17 finding: alpha-threshold "
+            "mutation was GREEN) — doc 900001 is planted at all three",
+        greps=[
+            ("src/main/scala/graft/pipeline/TextAnalysis.scala",
+             'g.getField("_3").cast("double") / nWords >= 0.8'),
+            ("src/main/scala/graft/queries/PipelineQueries.scala",
+             "gopherBoundaryText"),
+        ],
+        static=lambda: (lambda ws: len(ws) == 50 and sum(
+            1 for w in ws if any(c.isalpha() for c in w)) == 45 and sum(
+            1 for s in ("the", "be", "to", "of", "and", "that", "have",
+                        "with") if s in ws) == 2)(
+            ("the and pony river stone cloud maple ember quiet forest "
+             "meadow copper winter salmon harbor violet timber faint "
+             "marble garden sunset prairie willow canyon thunder breeze "
+             "orchard crystal lantern pebble shadow spruce falcon harvest "
+             "juniper cobalt amber raven tundra velvet saffron indigo "
+             "myrtle walnut cedar 11 22 33 44 55").split()),
+    ),
+    dict(
+        name="merge_patch_key_presence",
+        why="value extraction (get_json_object / json_extract_string) "
+            "returns NULL for both a REMOVED key and a stored JSON null, "
+            "so the RFC-7386 null-delete rule needs the k_present column "
+            "read from map_keys/json_keys (r17 finding: null-keep "
+            "mutation was GREEN before it)",
+        greps=[
+            ("src/main/scala/graft/ops/Mutations.scala",
+             "if (e.getValue.isNull) merged.remove(e.getKey)"),
+            ("src/main/scala/graft/queries/MutationQueries.scala",
+             "json_keys(json_merge_patch"),
+            ("src/main/scala/graft/queries/MutationQueries.scala",
+             "map_keys(from_json("),
+        ],
+        probe="SELECT count(*) FROM events WHERE event_id < 50",
+    ),
 ]
 
 

@@ -406,12 +406,24 @@ MUTATIONS = [
         new="(size(col(\"sh_a\")) + size(col(\"sh_b\"))))",
         queries=["ngram_jaccard"],
     ),
+    # both split thresholds got planted boundary rows in r17: with 500
+    # docs over 256 hex buckets neither threshold bucket was naturally
+    # populated (the first run of split_threshold_incl was GREEN), so the
+    # gate unions ids whose md5 prefixes are exactly 'cc' and 'e6'.
     dict(
         name="split_threshold_incl",
         family="deterministic split boundary",
         file="src/main/scala/graft/pipeline/Sampling.scala",
         old="when(h < lit(threshold(trainFrac, 2)), \"train\")",
         new="when(h <= lit(threshold(trainFrac, 2)), \"train\")",
+        queries=["split_assign"],
+    ),
+    dict(
+        name="split_val_threshold_incl",
+        family="deterministic split boundary (val edge)",
+        file="src/main/scala/graft/pipeline/Sampling.scala",
+        old=".when(h < lit(threshold(trainFrac + valFrac, 2)), \"val\")",
+        new=".when(h <= lit(threshold(trainFrac + valFrac, 2)), \"val\")",
         queries=["split_assign"],
     ),
     dict(
