@@ -542,6 +542,67 @@ class ScaleSmokeSpec extends SparkSpec {
     }
   }
 
+  // opt-in (same gate as the banding smoke): the two-phase prefix-sum
+  // pack one order past the 10M twin check, with an ANALYTIC exactness
+  // oracle — tok(id) = (id·40503 mod 211) + 1 is periodic, so the exact
+  // global prefix sum is (id div 211)·22366 + partial(id mod 211), a
+  // narrow per-row expression. Every one of the 100M window ids is
+  // checked against it; the single-partition window-form oracle that the
+  // 10M test compares against would be the bottleneck here, which is the
+  // point of the scalable form.
+  test("sequence packing at 100M docs: every window id matches the " +
+      "analytic prefix sum, shuffle bounded, driver holds only partition " +
+      "totals (opt-in)") {
+    assume(sys.env.get("GRAFT_SCALE_100M").contains("1"),
+      "set GRAFT_SCALE_100M=1 to run the 100M-row packing smoke")
+    val n = 100000000L
+    val budget = 512
+    val docs = spark.range(n).select(col("id"),
+      (pmod(col("id") * 40503L, lit(211)) + 1).cast("int").as("n_tok"))
+    // partial prefix within one 211-long period of tok(id); period total
+    // = 211·210/2 + 211 = 22366 (40503 is coprime to the prime 211, so
+    // each residue appears once per period)
+    val partial = Array.iterate((0L, 0L), 211) { case (m, acc) =>
+      (m + 1, acc + (m * 40503L) % 211L + 1L)
+    }.map(_._2)
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        shuffleWrite.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    val packed = graft.pipeline.Sampling
+      .packSequentialScalable(docs, "id", col("n_tok"), budget = budget,
+        numPartitions = 256)
+    try {
+      val prefix = floor(col("id") / 211L) * 22366L +
+        element_at(typedLit(partial.toSeq), (pmod(col("id"), lit(211L)) + 1).cast("int"))
+      val expected = floor(prefix / lit(budget.toLong))
+      val bad = packed.filter(col("window_id") =!= expected).count()
+      val windows = packed.agg(countDistinct(col("window_id"))).head.getLong(0)
+      val wallSec = (System.nanoTime() - t0) / 1e9
+      info(f"100M pack: wall=$wallSec%.1f s, " +
+        f"shuffleWrite=${shuffleWrite.get / 1e9}%.2f GB, windows=$windows")
+      assert(bad == 0L, s"$bad rows diverge from the analytic prefix sum")
+      // every window up to the last doc's is occupied (tok < budget, so
+      // consecutive floors step by at most 1); the last window is the one
+      // the LAST doc starts in — its start offset is total − tok(n−1)
+      val totalTok = (n / 211L) * 22366L + partial((n % 211L).toInt)
+      val tokLast = (n - 1) * 40503L % 211L + 1L
+      val expectedWindows = (totalTok - tokLast) / budget + 1
+      assert(windows == expectedWindows,
+        s"window count $windows vs expected $expectedWindows")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      packed.unpersist(); ()
+    }
+  }
+
   // opt-in (same gate): the two-phase prefix-sum twins stay row-identical
   // to their single-partition oracle forms at 10M rows — the equivalence
   // the 100k in-suite specs prove, one order past the in-suite envelope
