@@ -44,6 +44,20 @@ def suspect(doc):
     if host.get("runnable_max", 0) > 1.5 * ncpu:
         reasons.append(f"runnable_max={host['runnable_max']} threads vs "
                        f"{ncpu} cpus: host oversubscribed mid-run")
+    # Intra-run instability: contamination the loadavg samples MISS (the
+    # r17 final-tree fluke read load_start 0.6 yet ran 2.5x slow). On a
+    # quiet host min and median of 3 runs hug each other for every query
+    # (clean r17: 0 of 178 queries with median > 1.5x min); a run where
+    # several queries' medians detach from their own mins was externally
+    # disturbed mid-run, whatever the load samples say.
+    qs = doc.get("queries") or {}
+    unstable = [q for q, v in qs.items()
+                if isinstance(v, dict) and v.get("min", 0) > 0
+                and v.get("median", 0) > 1.5 * v["min"]]
+    if len(unstable) >= 5:
+        reasons.append(f"{len(unstable)} queries with median >1.5x their "
+                       f"own min (e.g. {', '.join(sorted(unstable)[:3])}): "
+                       "intra-run instability")
     return reasons
 
 
