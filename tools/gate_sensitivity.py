@@ -468,6 +468,108 @@ MUTATIONS = [
         new="val step = if (size > overlap) size - overlap + 1 else 1",
         queries=["chunk_fixed"],
     ),
+    # --- fifth wave (r17): reranking, fusion, analytics, graph, CRDT,
+    # governance, NeedleQL front-end — one mutation per remaining formula.
+    dict(
+        name="term_overlap_idf",
+        family="term-overlap rerank scoring",
+        file="src/main/scala/graft/ops/AdvancedSearch.scala",
+        old=".withColumn(\"idf\", log((lit(n) + 1.0) / (col(\"df\") + 1.0)) + 1.0)",
+        new=".withColumn(\"idf\", log((lit(n) + 1.0) / (col(\"df\") + 1.0)) + 1.1)",
+        queries=["term_overlap_rerank"],
+    ),
+    dict(
+        name="normalize_minmax_inverted",
+        family="score normalization",
+        file="src/main/scala/graft/ops/Search.scala",
+        # the classic inversion slip: distance ASC must map to score DESC
+        old="when(mx === mn, lit(1.0)).otherwise((mx - col(distCol)) / (mx - mn))",
+        new="when(mx === mn, lit(1.0)).otherwise((col(distCol) - mn) / (mx - mn))",
+        queries=["normalize_scores"],
+    ),
+    dict(
+        name="adaptive_blend_denominator",
+        family="adaptive fusion learning",
+        file="src/main/scala/graft/ops/AdaptiveFusion.scala",
+        old="val blend = math.min(l.samples.toDouble / (l.samples + minSamples), 0.8)",
+        new="val blend = math.min(l.samples.toDouble / (l.samples + minSamples + 1), 0.8)",
+        queries=["adaptive_fusion"],
+    ),
+    dict(
+        name="langid_profile_word",
+        family="language ID profiles",
+        file="src/main/scala/graft/pipeline/TextAnalysis.scala",
+        old="\"en\" -> Seq(\"the\", \"and\", \"of\", \"to\", \"is\", \"in\", \"that\", \"it\"),",
+        new="\"en\" -> Seq(\"and\", \"of\", \"to\", \"is\", \"in\", \"that\", \"it\"),",
+        queries=["lang_id"],
+    ),
+    dict(
+        name="medoid_pair_half",
+        family="vector analytics (medoid)",
+        file="src/main/scala/graft/ops/VectorAnalytics.scala",
+        # sum distances to ALL others, not only to higher ids
+        old="a.join(b, col(\"id\") =!= col(\"id_b\"))",
+        new="a.join(b, col(\"id\") < col(\"id_b\"))",
+        queries=["vec_medoid"],
+    ),
+    dict(
+        name="kg_weight_swap",
+        family="knowledge-graph scoring",
+        file="src/main/scala/graft/ops/KnowledgeGraph.scala",
+        old="col(\"similarity\") * config.similarityWeight +\n          col(\"graph_score\") * config.graphWeight",
+        new="col(\"similarity\") * config.graphWeight +\n          col(\"graph_score\") * config.similarityWeight",
+        queries=["kg_search"],
+    ),
+    dict(
+        name="merkle_hash_multiplier",
+        family="CRDT merkle hashing",
+        file="src/main/scala/graft/ops/Crdt.scala",
+        old="id.getBytes(\"UTF-8\").foreach(b => h = h * 31L + (b & 0xff).toLong)",
+        new="id.getBytes(\"UTF-8\").foreach(b => h = h * 33L + (b & 0xff).toLong)",
+        queries=["crdt_merkle_diff"],
+    ),
+    dict(
+        name="replay_keep_oldest",
+        family="event replay arbitration",
+        file="src/main/scala/graft/streaming/Streams.scala",
+        old="val w = Window.partitionBy(col(idCol))\n      .orderBy(col(\"seq\").desc)\n    log.withColumn(\"__rn\", row_number().over(w))\n      .filter(col(\"__rn\") === 1 && col(\"op\") =!= \"delete\")",
+        new="val w = Window.partitionBy(col(idCol))\n      .orderBy(col(\"seq\").asc)\n    log.withColumn(\"__rn\", row_number().over(w))\n      .filter(col(\"__rn\") === 1 && col(\"op\") =!= \"delete\")",
+        queries=["event_replay"],
+    ),
+    dict(
+        name="gdpr_null_unsafe",
+        family="governance (GDPR erasure)",
+        file="src/main/scala/graft/ops/Tenancy.scala",
+        # the null-unsafe slip: =!= drops null-tenant rows silently
+        old="df.filter(col(tenantCol) =!= tenantId || col(tenantCol).isNull)",
+        new="df.filter(col(tenantCol) =!= tenantId)",
+        queries=["gdpr_delete"],
+    ),
+    dict(
+        name="outlier_zscore_scale",
+        family="vector analytics (outliers)",
+        file="src/main/scala/graft/ops/VectorAnalytics.scala",
+        old=".withColumn(\"z_score\", (col(\"distance\") - col(\"mean_d\")) / col(\"std_d\"))",
+        new=".withColumn(\"z_score\", (col(\"distance\") - col(\"mean_d\")) / (col(\"std_d\") * 1.01))",
+        queries=["vec_outliers"],
+    ),
+    dict(
+        name="repetition_top_bigram",
+        family="repetition signals",
+        file="src/main/scala/graft/pipeline/Repetition.scala",
+        old=".agg(round(max(col(\"c\")).cast(\"double\") / sum(col(\"c\")), 6)",
+        new=".agg(round(max(col(\"c\")).cast(\"double\") / (sum(col(\"c\")) + 1), 6)",
+        queries=["repetition_signals"],
+    ),
+    dict(
+        name="needleql_like_trim",
+        family="NeedleQL LIKE compilation",
+        file="src/main/scala/graft/needleql/Compiler.scala",
+        # keep the trailing '%' in the contains needle
+        old="JStr(pattern.replaceAll(\"^%+|%+$\", \"\"))",
+        new="JStr(pattern.replaceAll(\"^%+\", \"\"))",
+        queries=["needleql_like_in"],
+    ),
 ]
 
 
