@@ -144,18 +144,28 @@ object EnterpriseQueries {
     // partition, fingerprint what remains per tenant. On a
     // tenant-partitioned lake the delete rewrites only t2's files.
     "gdpr_delete" -> Q(
-      """SELECT 't' || CAST(doc_id % 4 AS VARCHAR) AS tenant_id,
+      // doc 900002 is PLANTED with a NULL tenant (r17 mutation-audit
+      // finding: every derived tenant was non-null, so the null-SAFETY of
+      // the erasure filter — =!= alone silently drops null-tenant rows —
+      // was unobservable). Erasing t2 must keep it; it groups as 'none'.
+      """WITH docs AS (
+        |  SELECT doc_id, 't' || CAST(doc_id % 4 AS VARCHAR) AS tenant
+        |  FROM documents
+        |  UNION ALL SELECT 900002, NULL),
+        |kept AS (SELECT * FROM docs WHERE tenant IS NULL OR tenant <> 't2')
+        |SELECT coalesce(tenant, 'none') AS tenant_id,
         |       count(*) AS n_docs,
         |       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
-        |FROM documents
-        |WHERE 't' || CAST(doc_id % 4 AS VARCHAR) <> 't2'
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
     ) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
         .withColumn("tenant",
           concat(lit("t"), pmod(col("doc_id"), lit(4L)).cast("string")))
+        .select(col("doc_id"), col("tenant"))
+        .unionAll(s.range(1).select(lit(900002L).as("doc_id"),
+          lit(null).cast("string").as("tenant")))
       Tenancy.gdprDelete(docs, "tenant", "t2")
-        .groupBy(col("tenant").as("tenant_id"))
+        .groupBy(coalesce(col("tenant"), lit("none")).as("tenant_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
         .orderBy(col("tenant_id").asc)
     },

@@ -207,6 +207,23 @@ SELECT count(*) FROM (
              "myrtle walnut cedar 11 22 33 44 55").split()),
     ),
     dict(
+        name="gdpr_null_tenant_row",
+        why="the erasure filter's null-SAFETY (=!= alone silently drops "
+            "null-tenant rows) needs a null-tenant row to observe; every "
+            "derived tenant is non-null (r17 finding: gdpr_null_unsafe "
+            "mutation was GREEN) — doc 900002 is planted with tenant NULL",
+        greps=[
+            ("src/main/scala/graft/ops/Tenancy.scala",
+             "df.filter(col(tenantCol) =!= tenantId || col(tenantCol)"
+             ".isNull)"),
+            ("src/main/scala/graft/queries/EnterpriseQueries.scala",
+             "UNION ALL SELECT 900002, NULL"),
+            ("src/main/scala/graft/queries/EnterpriseQueries.scala",
+             'lit(null).cast("string").as("tenant")'),
+        ],
+        probe="SELECT count(*) FROM documents",
+    ),
+    dict(
         name="merge_patch_key_presence",
         why="value extraction (get_json_object / json_extract_string) "
             "returns NULL for both a REMOVED key and a stored JSON null, "

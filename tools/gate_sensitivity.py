@@ -512,12 +512,15 @@ MUTATIONS = [
         new="a.join(b, col(\"id\") < col(\"id_b\"))",
         queries=["vec_medoid"],
     ),
+    # the combine formula appears in both search (kg_search) and
+    # searchWithContext (kg_context_search); anchor through the
+    # graph_score coalesce line that only `search` has
     dict(
         name="kg_weight_swap",
         family="knowledge-graph scoring",
         file="src/main/scala/graft/ops/KnowledgeGraph.scala",
-        old="col(\"similarity\") * config.similarityWeight +\n          col(\"graph_score\") * config.graphWeight",
-        new="col(\"similarity\") * config.graphWeight +\n          col(\"graph_score\") * config.similarityWeight",
+        old=".withColumn(\"graph_score\", coalesce(col(\"graph_score\"), lit(0.0)))\n      .withColumn(\"similarity\",\n        lit(1.0) - Distances.distance(\"cosine\", col(\"embedding\"), lit(query)))\n      .withColumn(\"combined_score\",\n        col(\"similarity\") * config.similarityWeight +\n          col(\"graph_score\") * config.graphWeight)",
+        new=".withColumn(\"graph_score\", coalesce(col(\"graph_score\"), lit(0.0)))\n      .withColumn(\"similarity\",\n        lit(1.0) - Distances.distance(\"cosine\", col(\"embedding\"), lit(query)))\n      .withColumn(\"combined_score\",\n        col(\"similarity\") * config.graphWeight +\n          col(\"graph_score\") * config.similarityWeight)",
         queries=["kg_search"],
     ),
     dict(
