@@ -573,6 +573,82 @@ MUTATIONS = [
         new="JStr(pattern.replaceAll(\"^%+\", \"\"))",
         queries=["needleql_like_in"],
     ),
+    # --- sixth wave (r17): remaining distance kernels, cursor paging,
+    # exact-dedup keep rule, consensus ordering, SQL-analytics formula,
+    # stratified cap, fuzzy-contamination estimator.
+    dict(
+        name="manhattan_kernel_scale",
+        family="distance kernel (manhattan)",
+        file="src/main/scala/graft/functions/DistanceKernels.scala",
+        old="s += math.abs(a.getFloat(i).toDouble - b.getFloat(i).toDouble); i += 1",
+        new="s += math.abs(a.getFloat(i).toDouble - b.getFloat(i).toDouble) * 1.001; i += 1",
+        queries=["knn_manhattan"],
+    ),
+    dict(
+        name="chebyshev_kernel_scale",
+        family="distance kernel (chebyshev)",
+        file="src/main/scala/graft/functions/DistanceKernels.scala",
+        old="val d = math.abs(a.getFloat(i).toDouble - b.getFloat(i).toDouble)",
+        new="val d = math.abs(a.getFloat(i).toDouble - b.getFloat(i).toDouble) * 1.001",
+        queries=["knn_chebyshev"],
+    ),
+    dict(
+        name="hamming_kernel_inverted",
+        family="distance kernel (hamming)",
+        file="src/main/scala/graft/functions/DistanceKernels.scala",
+        old="if ((a.getFloat(i) != 0.0f) != (b.getFloat(i) != 0.0f)) c += 1",
+        new="if ((a.getFloat(i) != 0.0f) == (b.getFloat(i) != 0.0f)) c += 1",
+        queries=["knn_hamming"],
+    ),
+    # the cursor row itself is the boundary: strict-after must EXCLUDE it
+    dict(
+        name="search_after_inclusive",
+        family="cursor pagination",
+        file="src/main/scala/graft/ops/Search.scala",
+        old="(col(\"distance\") === cursorDistance && col(idCol) > lit(cursorId)))",
+        new="(col(\"distance\") === cursorDistance && col(idCol) >= lit(cursorId)))",
+        queries=["search_after"],
+    ),
+    dict(
+        name="dedup_exact_keeper",
+        family="exact dedup keep rule",
+        file="src/main/scala/graft/pipeline/Dedup.scala",
+        old="min(col(\"id\")).as(\"keeper\")",
+        new="max(col(\"id\")).as(\"keeper\")",
+        queries=["dedup_exact"],
+    ),
+    dict(
+        name="federated_consensus_order",
+        family="federated consensus ranking",
+        file="src/main/scala/graft/ops/Federated.scala",
+        old=".orderBy(col(\"consensus_count\").desc, col(distCol).asc,",
+        new=".orderBy(col(\"consensus_count\").asc, col(distCol).asc,",
+        queries=["federated_consensus"],
+    ),
+    dict(
+        name="q1_disc_price_sign",
+        family="SQL analytics aggregates",
+        file="src/main/scala/graft/queries/AnalyticsQueries.scala",
+        old="round(sum(col(\"l_extendedprice\") * (lit(1) - col(\"l_discount\"))), 4).as(\"sum_disc_price\"),",
+        new="round(sum(col(\"l_extendedprice\") * (lit(1) + col(\"l_discount\"))), 4).as(\"sum_disc_price\"),",
+        queries=["q1_agg"],
+    ),
+    dict(
+        name="stratified_cap_off_by_one",
+        family="stratified sampling cap",
+        file="src/main/scala/graft/pipeline/Sampling.scala",
+        old=".filter(col(\"__rn\") <= perStratum).drop(\"__rn\")",
+        new=".filter(col(\"__rn\") < perStratum).drop(\"__rn\")",
+        queries=["stratified_sample"],
+    ),
+    dict(
+        name="contamination_fuzzy_estimator",
+        family="fuzzy contamination (MinHash estimate)",
+        file="src/main/scala/graft/pipeline/Contamination.scala",
+        old="(x, y) => x === y), x => x)).cast(\"double\") / k)",
+        new="(x, y) => x === y), x => x)).cast(\"double\") / (k - 1))",
+        queries=["contamination_fuzzy"],
+    ),
 ]
 
 
