@@ -200,10 +200,19 @@ object Search {
     */
   def searchAfter(df: DataFrame, vecCol: Column, query: Column, k: Int,
                   cursorDistance: Double, cursorId: Any,
-                  metric: String = "cosine", idCol: String = "id"): DataFrame =
-    withDistance(df, vecCol, query, metric)
+                  metric: String = "cosine", idCol: String = "id",
+                  roundTo: Option[Int] = None): DataFrame = {
+    // roundTo (the Ivf.search precedent): a caller paging on ROUNDED
+    // distances must filter and sort on the same rounding, or rows whose
+    // raw distance straddles the cursor's rounded value paginate
+    // differently than they sorted
+    val base = withDistance(df, vecCol, query, metric)
+    val scored = roundTo.fold(base)(n =>
+      base.withColumn("distance", round(col("distance"), n)))
+    scored
       .filter(col("distance") > cursorDistance ||
         (col("distance") === cursorDistance && col(idCol) > lit(cursorId)))
       .orderBy(col("distance").asc, col(idCol).asc)
       .limit(k)
+  }
 }

@@ -63,18 +63,23 @@ object MoreSearchQueries {
         |WHERE s.distance > cursor.cd OR (s.distance = cursor.cd AND s.vec_id > cursor.cid)
         |ORDER BY s.distance, s.vec_id LIMIT 10""".stripMargin
     ) { (s, dir) =>
+      // drives the PRODUCTION Search.searchAfter (the r17 mutation audit
+      // caught the previous form re-deriving the keyset filter inline —
+      // a cursor-strictness mutation in Search was invisible). The cursor
+      // (page-1's last row) is a bounded 1-row collect, the same
+      // query-vector-read shape as the file's qv helper.
       val emb = Tables.load(s, dir, "embeddings")
       val scored = emb.crossJoin(broadcast(qv(s, dir)))
         .select(col("vec_id"),
           round(Distances.cosine(col("embedding"), col("qv")), 6).as("distance"))
-      val cursor = scored.orderBy(col("distance"), col("vec_id"))
+      val cur = scored.orderBy(col("distance"), col("vec_id"))
         .limit(10).orderBy(col("distance").desc, col("vec_id").desc).limit(1)
-        .select(col("distance").as("cd"), col("vec_id").as("cid"))
-      scored.crossJoin(broadcast(cursor))
-        .filter(col("distance") > col("cd") ||
-          (col("distance") === col("cd") && col("vec_id") > col("cid")))
-        .orderBy(col("distance"), col("vec_id"))
-        .limit(10)
+        .select(col("distance"), col("vec_id")).collect()(0)
+      Search.searchAfter(emb.crossJoin(broadcast(qv(s, dir))),
+          col("embedding"), col("qv"), k = 10,
+          cursorDistance = cur.getDouble(0), cursorId = cur.getLong(1),
+          idCol = "vec_id", roundTo = Some(6))
+        .select(col("vec_id"), col("distance"))
         .select(col("vec_id"), col("distance"))
     },
 

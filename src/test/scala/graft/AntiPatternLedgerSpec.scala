@@ -80,7 +80,10 @@ class AntiPatternLedgerSpec extends AnyFunSuite {
     "queries/HookQueries.scala" -> 1,
     "queries/LanguageSurfaceQueries.scala" -> 2,
     "queries/MemoryGraphQueries.scala" -> 1,
-    "queries/MoreSearchQueries.scala" -> 1,
+    // +1 r17: search_after's page-1 cursor — a 1-row bounded read, needed
+    // so the gate can call the production Search.searchAfter(cursor…)
+    // instead of re-deriving the keyset filter inline (audit finding)
+    "queries/MoreSearchQueries.scala" -> 2,
     "queries/MultimodalQueries.scala" -> 1,
     "queries/NeedleQLQueries.scala" -> 1,
     "queries/PipelineQueries.scala" -> 1,
