@@ -32,7 +32,8 @@ object FederatedQueries {
       |),
       |top AS (SELECT * FROM ranked WHERE rnk <= 10)""".stripMargin
 
-  private def sources(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private def sources(s: org.apache.spark.sql.SparkSession, dir: String,
+                      perShardK: Int => Int = _ => 10) = {
     val emb = Tables.load(s, dir, "embeddings")
     val q = emb.filter(col("vec_id") === 0)
       .select("embedding").collect()(0).getSeq[Float](0).toArray
@@ -43,9 +44,33 @@ object FederatedQueries {
           round(Distances.cosine(col("embedding"), lit(q)), 6)
             .as("distance"))
         .orderBy(col("distance").asc, col("id").asc)
-        .limit(10)
+        .limit(perShardK(i))
     }
   }
+
+  /** Consensus needs count VARIANCE in the pooled set to make its
+    * ordering observable: with all three shards at top-10, every pooled
+    * id lands in BOTH of its shards' top-10s (verified on sf0.01 — all 15
+    * pooled ids had consensus_count exactly 2, which left an
+    * ordering-direction mutation green in the r17 audit). Capping shard 2
+    * at top-5 drops its rank-6..10 ids to count 1.
+    */
+  private val consensusTop5Cap: Int => Int = i => if (i == 2) 5 else 10
+
+  private val consensusTop =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |scored AS (
+      |  SELECT g.s, e.vec_id AS id,
+      |         round(1 - list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS distance
+      |  FROM embeddings e CROSS JOIN q CROSS JOIN (VALUES (0), (1), (2)) g(s)
+      |  WHERE e.vec_id % 3 = g.s OR e.vec_id % 3 = (g.s + 1) % 3
+      |),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY s ORDER BY distance, id) AS rnk
+      |  FROM scored
+      |),
+      |top AS (SELECT * FROM ranked
+      |        WHERE rnk <= CASE WHEN s = 2 THEN 5 ELSE 10 END)""".stripMargin
 
   val defs: Map[String, Q] = Map(
     // RRF merge across shards: Σ 1/(60+per-source-rank), descending
@@ -66,17 +91,18 @@ object FederatedQueries {
     },
 
     // Consensus merge: ids seen by more sources first, ties by average
-    // distance (merger.rs:130-165). Shards overlap pairwise so every id
-    // has consensus_count = 2 among its shards' top-10s only when both
-    // rank it — counts genuinely vary.
+    // distance (merger.rs:130-165). Shard 2 is capped at top-5 (see
+    // consensusTop5Cap) so the pooled counts genuinely vary and the
+    // count-first ordering is falsifiable.
     "federated_consensus" -> Q(
-      s"""$shardedTop10
+      s"""$consensusTop
         |SELECT id, count(*) AS consensus_count,
         |       round(avg(distance), 6) AS distance
         |FROM top GROUP BY id
         |ORDER BY consensus_count DESC, avg(distance) ASC, id LIMIT 10""".stripMargin
     ) { (s, dir) =>
-      Federated.merge(sources(s, dir), k = 10, Federated.Strategy.Consensus)
+      Federated.merge(sources(s, dir, consensusTop5Cap), k = 10,
+          Federated.Strategy.Consensus)
         .select(col("id"), col("consensus_count"),
           round(col("distance"), 6).as("distance"))
     },

@@ -224,6 +224,34 @@ SELECT count(*) FROM (
         probe="SELECT count(*) FROM documents",
     ),
     dict(
+        name="federated_consensus_count_variance",
+        why="consensus ordering (count DESC first) is only observable when "
+            "pooled counts VARY; with all shards at top-10 every pooled id "
+            "was count 2 (r17 finding: ordering mutation was GREEN) — "
+            "shard 2 is capped at top-5 so its rank-6..10 ids drop to 1",
+        greps=[
+            ("src/main/scala/graft/ops/Federated.scala",
+             '.orderBy(col("consensus_count").desc, col(distCol).asc,'),
+            ("src/main/scala/graft/queries/FederatedQueries.scala",
+             "consensusTop5Cap"),
+        ],
+        probe="""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT g.s, e.vec_id AS id,
+         round(1 - list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS distance
+  FROM embeddings e CROSS JOIN q CROSS JOIN (VALUES (0), (1), (2)) g(s)
+  WHERE e.vec_id % 3 = g.s OR e.vec_id % 3 = (g.s + 1) % 3
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY s ORDER BY distance, id) AS rnk
+  FROM scored),
+top AS (SELECT * FROM ranked
+        WHERE rnk <= CASE WHEN s = 2 THEN 5 ELSE 10 END)
+SELECT count(*) FROM (
+  SELECT id FROM top GROUP BY id HAVING count(*) = 1)""",
+    ),
+    dict(
         name="merge_patch_key_presence",
         why="value extraction (get_json_object / json_extract_string) "
             "returns NULL for both a REMOVED key and a stored JSON null, "
