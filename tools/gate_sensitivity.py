@@ -649,6 +649,109 @@ MUTATIONS = [
         new="(x, y) => x === y), x => x)).cast(\"double\") / (k - 1))",
         queries=["contamination_fuzzy"],
     ),
+    # --- seventh wave (r17): mutations for DML precedence, bounded top-k
+    # buffer, LSH bucket encoding, PITR as-of, memory decay, schema
+    # validation, histogram clamp, boilerplate/trend boundaries, ACL
+    # default effect, dedup-insert wire contract, JSONL interchange.
+    dict(
+        name="upsert_precedence",
+        family="DML upsert precedence",
+        file="src/main/scala/graft/ops/Mutations.scala",
+        old="coll.join(updates.select(idCol), Seq(idCol), \"left_anti\")",
+        new="coll.join(updates.select(idCol), Seq(idCol), \"left_semi\")",
+        queries=["upsert_merge"],
+    ),
+    dict(
+        name="batch_topk_buffer",
+        family="bounded top-k aggregate buffer",
+        file="src/main/scala/graft/functions/TopKAgg.scala",
+        old="val m = math.min(n + 1, k)",
+        new="val m = math.min(n + 1, k + 1)",
+        queries=["batch_knn_cosine"],
+    ),
+    # table-side bucket bit weight detached from the query-side encoding —
+    # the encode/decode-skew bug class
+    dict(
+        name="lsh_bucket_bit",
+        family="LSH bucket encoding",
+        file="src/main/scala/graft/ann/Ivf.scala",
+        old="when(-graft.functions.Distances.dot(vecCol, lit(p)) > 0, lit(1L << i))",
+        new="when(-graft.functions.Distances.dot(vecCol, lit(p)) > 0, lit(1L << (i + 1)))",
+        queries=["lsh_ann"],
+    ),
+    dict(
+        name="pitr_asof_boundary",
+        family="PITR as-of boundary",
+        file="src/main/scala/graft/ops/Pitr.scala",
+        old="snapshots.filter(_.timestampMs <= ts).lastOption",
+        new="snapshots.filter(_.timestampMs < ts).lastOption",
+        queries=["pitr_roundtrip"],
+    ),
+    dict(
+        name="memory_decay_base",
+        family="agent-memory decay",
+        file="src/main/scala/graft/ops/AgentMemory.scala",
+        old="case Decay.Exponential(hl) => pow(lit(0.5), ageHours / hl)",
+        new="case Decay.Exponential(hl) => pow(lit(0.55), ageHours / hl)",
+        queries=["memory_recall"],
+    ),
+    dict(
+        name="schema_required_skip",
+        family="schema validation (required fields)",
+        file="src/main/scala/graft/core/Validation.scala",
+        old="if (!meta.has(f)) return Some(s\"missing required metadata field: '$f'\")",
+        new="if (!meta.has(f)) ()",
+        queries=["schema_validate"],
+    ),
+    # the max-distance row must land in the LAST bin, not one past it
+    dict(
+        name="vec_distribution_clamp",
+        family="distance histogram clamp",
+        file="src/main/scala/graft/ops/VectorAnalytics.scala",
+        old="least(floor((col(\"distance\") - col(\"min_d\")) / col(\"width\")), lit(bins - 1))",
+        new="least(floor((col(\"distance\") - col(\"min_d\")) / col(\"width\")), lit(bins))",
+        queries=["vec_distribution"],
+    ),
+    dict(
+        name="boilerplate_docfreq",
+        family="boilerplate line threshold",
+        file="src/main/scala/graft/pipeline/Dedup.scala",
+        old=".filter(col(\"df_\") >= minDocFreq)",
+        new=".filter(col(\"df_\") > minDocFreq)",
+        queries=["boilerplate_lines"],
+    ),
+    dict(
+        name="seq_trend_window",
+        family="temporal trend windows",
+        file="src/main/scala/graft/ops/Temporal.scala",
+        old="avg(when(col(\"rnk\") <= windowSize, col(\"x\"))).cast(\"float\").as(\"first_c\"),",
+        new="avg(when(col(\"rnk\") < windowSize, col(\"x\"))).cast(\"float\").as(\"first_c\"),",
+        queries=["seq_trend"],
+    ),
+    dict(
+        name="acl_default_flip",
+        family="ACL default effect",
+        file="src/main/scala/graft/ops/Acl.scala",
+        old="chain.foldRight(lit(defaultEffect == Effect.Allow))",
+        new="chain.foldRight(lit(defaultEffect != Effect.Allow))",
+        queries=["acl_search"],
+    ),
+    dict(
+        name="dedup_reject_label",
+        family="dedup-insert wire contract",
+        file="src/main/scala/graft/ops/Mutations.scala",
+        old="case DedupPolicy.Reject        => lit(\"rejected\")",
+        new="case DedupPolicy.Reject        => lit(\"dropped\")",
+        queries=["dedup_insert_reject"],
+    ),
+    dict(
+        name="jsonl_meta_raw",
+        family="JSONL interchange metadata",
+        file="src/main/scala/graft/sources/Interchange.scala",
+        old="case StringType => from_json(col(m), MapType(StringType, StringType)).as(\"metadata\")",
+        new="case StringType => col(m).as(\"metadata\")",
+        queries=["jsonl_roundtrip"],
+    ),
 ]
 
 
