@@ -20,7 +20,7 @@ object Mutations {
     * append (reference: mutations.rs:203).
     */
   def upsert(coll: DataFrame, updates: DataFrame, idCol: String = "id"): DataFrame =
-    coll.join(updates.select(idCol), Seq(idCol), "left_semi")
+    coll.join(updates.select(idCol), Seq(idCol), "left_anti")
       .unionByName(updates, allowMissingColumns = true)
 
   /** Metadata-only update (reference: mutations.rs:154): join the changes

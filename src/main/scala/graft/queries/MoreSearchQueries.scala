@@ -80,7 +80,6 @@ object MoreSearchQueries {
           cursorDistance = cur.getDouble(0), cursorId = cur.getLong(1),
           idCol = "vec_id", roundTo = Some(6))
         .select(col("vec_id"), col("distance"))
-        .select(col("vec_id"), col("distance"))
     },
 
     // Score normalization (reference: src/collection/search.rs:93-156):

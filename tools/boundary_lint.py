@@ -192,8 +192,11 @@ SELECT count(*) FROM (
         greps=[
             ("src/main/scala/graft/pipeline/TextAnalysis.scala",
              'g.getField("_3").cast("double") / nWords >= 0.8'),
+            # distinctive tail of the planted doc itself (not just the
+            # identifier) so the lint fails if the Scala text drifts from
+            # the validated copy in `static` below (r17 ADVICE)
             ("src/main/scala/graft/queries/PipelineQueries.scala",
-             "gopherBoundaryText"),
+             "saffron indigo myrtle walnut cedar 11 22 33 44 55"),
         ],
         static=lambda: (lambda ws: len(ws) == 50 and sum(
             1 for w in ws if any(c.isalpha() for c in w)) == 45 and sum(

@@ -774,7 +774,75 @@ def oracle_status(out_dir, queries):
     return status
 
 
+def residue_lint():
+    """Mutation-residue guard (VERDICT r17 'What's wrong' #3).
+
+    r17's snapshot commit shipped a live audit mutation (upsert left_semi)
+    because nothing asserted the tree was restored after a run. This lint
+    makes that structurally impossible to miss: for every MUTATIONS entry
+    it asserts the ORIGINAL `old` string is present in its file (exactly
+    once) and the mutated `new` form is NOT, and that
+    `git status --porcelain -- src/` is empty. Run standalone via
+    `--lint` in the round-end checklist; also runs automatically at the
+    end of every audit invocation.
+
+    Returns a list of problem strings; empty list = green.
+    """
+    problems = []
+    dirty = run(["git", "status", "--porcelain", "--", "src/"]) \
+        .stdout.strip()
+    if dirty:
+        problems.append("working tree dirty under src/ — commit or revert "
+                        "before certifying:\n" + dirty)
+    for m in MUTATIONS:
+        path = os.path.join(REPO, m["file"])
+        try:
+            with open(path) as fh:
+                src = fh.read()
+        except OSError:
+            problems.append(f"{m['name']}: {m['file']} unreadable")
+            continue
+        n_old = src.count(m["old"])
+        n_new = src.count(m["new"])
+        if m["old"] in m["new"]:
+            # every `new` occurrence embeds `old`; mutated iff new present
+            if n_new >= 1:
+                problems.append(f"{m['name']}: MUTATION APPLIED in "
+                                f"{m['file']} (mutated form present)")
+            elif n_old != 1:
+                problems.append(f"{m['name']}: anchor occurs {n_old}x in "
+                                f"{m['file']} (stale table)")
+            continue
+        if m["new"] in m["old"]:
+            # each clean `old` occurrence contains copies of `new`
+            n_new -= n_old * m["old"].count(m["new"])
+        if n_old == 0 and n_new >= 1:
+            problems.append(f"{m['name']}: MUTATION APPLIED in {m['file']} "
+                            f"(original absent, mutated form present)")
+        elif n_old == 0:
+            problems.append(f"{m['name']}: anchor drifted — original "
+                            f"string absent from {m['file']} (stale table)")
+        elif n_old > 1:
+            problems.append(f"{m['name']}: anchor occurs {n_old}x in "
+                            f"{m['file']} (ambiguous site)")
+        elif n_new >= 1:
+            problems.append(f"{m['name']}: mutated form ALSO present in "
+                            f"{m['file']} alongside the original")
+    return problems
+
+
 def main():
+    if "--lint" in sys.argv[1:]:
+        problems = residue_lint()
+        print(f"# mutation-residue lint over {len(MUTATIONS)} families")
+        if problems:
+            for p in problems:
+                print("RESIDUE:", p)
+            print("LINT FAILED")
+            sys.exit(1)
+        print("ALL CLEAN (every original anchor present exactly once, "
+              "no mutated form in the tree, src/ unmodified)")
+        sys.exit(0)
     sel = set(sys.argv[1:])
     muts = [m for m in MUTATIONS if not sel or m["name"] in sel]
     dirty = run(["git", "status", "--porcelain"]).stdout.strip()
@@ -850,6 +918,17 @@ def main():
 
     print("\nrestoring clean build ...")
     run(["sbt", "-batch", "compile"])
+
+    # residue guard: an audit run must NEVER exit leaving a mutation in
+    # the tree (r17 shipped exactly that). Hard-fail with a distinct exit
+    # code so the checklist can't mistake it for a gate verdict.
+    residue = residue_lint()
+    if residue:
+        print("\nRESIDUE GUARD FAILED — the tree is NOT restored:")
+        for p in residue:
+            print("  RESIDUE:", p)
+        sys.exit(3)
+    print("residue guard: clean (all anchors original, src/ unmodified)")
 
     print("\n| mutation | family | gate queries | verdict |")
     print("|---|---|---|---|")
