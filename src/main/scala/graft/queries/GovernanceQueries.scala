@@ -184,6 +184,14 @@ object GovernanceQueries {
       svc.createSnapshot("before")
       registry("docs") = registry("docs").filter(col("id") === "0") // wreck it
       svc.recoverTo(RecoveryTarget.Named("before"))
+      // wreck again and recover by TIMESTAMP, at exactly the snapshot's
+      // timestampMs (now() is pinned to 1): the as-of filter is
+      // `timestampMs <= ts` (pitr_service.rs as-of semantics) and this is
+      // the only query that sits AT that boundary — the r18 audit found
+      // the Named-only path left the `<=` unobservable (a `<` mutation
+      // finds no restore point and must make this gate throw).
+      registry("docs") = registry("docs").filter(col("id") === "0")
+      svc.recoverTo(RecoveryTarget.Timestamp(1L))
       registry("docs")
         .select(col("id"), size(col("vector")).as("dims"),
           expr("CAST(round((CAST(vector[0] AS DOUBLE) " +

@@ -898,6 +898,7 @@ object PipelineQueries {
         |pages AS (SELECT doc_id, concat_ws(chr(10),
         |    coalesce(array_to_string(ws[1:8], ' '), ''),
         |    CASE WHEN doc_id % 2 = 0 THEN 'Subscribe to our newsletter today!' END,
+        |    CASE WHEN doc_id < 100 THEN 'Limited time offer ends soon' END,
         |    'Copyright Example Corp',
         |    coalesce(array_to_string(ws[9:14], ' '), '')) AS text
         |  FROM w),
@@ -920,6 +921,11 @@ object PipelineQueries {
       val page = concat_ws("\n",
         array_join(slice(words, 1, 8), " "),
         when(col("doc_id") % 2 === 0, lit("Subscribe to our newsletter today!")),
+        // EXACTLY minDocFreq distinct docs (ids 0..99 all exist at sf0.01):
+        // the only line AT the df >= 100 boundary — the natural hot lines
+        // sit at 500 and 250, which left a `>` mutation invisible (r18
+        // audit); this one is dropped by `>=` and kept by `>`.
+        when(col("doc_id") < 100, lit("Limited time offer ends soon")),
         lit("Copyright Example Corp"),
         array_join(slice(words, 9, 6), " "))
       val paged = Tables.load(s, dir, "documents")

@@ -104,7 +104,14 @@ object VectorQueries {
         |SELECT query_id, vec_id, distance FROM ranked WHERE rn <= 5
         |ORDER BY query_id, distance, vec_id""".stripMargin
     ) { (s, dir) =>
+      // multi-partition input: the sf0.01 table is one file = one scan
+      // partition, which collapses the aggregate to a single
+      // merge(zero, partial) — a plan shape that masked a buffer-bound
+      // mutation in TopKAgg (r18 audit: partial buffers of k+1 self-repair
+      // when merged element-ascending into an empty buffer). Real scans
+      // are multi-partition; make the gate's plan match.
       val emb = Tables.load(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
       val qs = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       // Bounded top-k aggregate, ranked on the ROUNDED distance (same as

@@ -271,6 +271,56 @@ SELECT count(*) FROM (
         ],
         probe="SELECT count(*) FROM events WHERE event_id < 50",
     ),
+    dict(
+        name="boilerplate_docfreq_boundary",
+        why="boilerplateLines' `df_ >= minDocFreq` needs a line in "
+            "EXACTLY minDocFreq=100 distinct docs; the natural hot lines "
+            "sit at 500 and 250 (r18 finding: `>` mutation was GREEN) — "
+            "'Limited time offer ends soon' is planted in docs 0..99 on "
+            "both the Spark builder and the oracle SQL",
+        greps=[
+            ("src/main/scala/graft/pipeline/Dedup.scala",
+             '.filter(col("df_") >= minDocFreq)'),
+            ("src/main/scala/graft/queries/PipelineQueries.scala",
+             'when(col("doc_id") < 100, lit("Limited time offer ends '
+             'soon"))'),
+            ("src/main/scala/graft/queries/PipelineQueries.scala",
+             "CASE WHEN doc_id < 100 THEN 'Limited time offer ends soon'"),
+        ],
+        probe="SELECT CASE WHEN count(DISTINCT doc_id) = 100 THEN 1 "
+              "ELSE 0 END FROM documents WHERE doc_id < 100",
+    ),
+    dict(
+        name="pitr_asof_timestamp_boundary",
+        why="Pitr's as-of filter `timestampMs <= ts` is only observable "
+            "when a recovery queries EXACTLY the snapshot timestamp; the "
+            "gate's Named-only path never touched the Timestamp branch "
+            "(r18 finding: `<` mutation was GREEN) — the gate now also "
+            "recovers at Timestamp(1L) == the pinned now()",
+        greps=[
+            ("src/main/scala/graft/ops/Pitr.scala",
+             "snapshots.filter(_.timestampMs <= ts).lastOption"),
+            ("src/main/scala/graft/queries/GovernanceQueries.scala",
+             "svc.recoverTo(RecoveryTarget.Timestamp(1L))"),
+            ("src/main/scala/graft/queries/GovernanceQueries.scala",
+             "now = () => 1L"),
+        ],
+    ),
+    dict(
+        name="batch_topk_multipartition_plan",
+        why="a single-partition scan collapses the top-k aggregate to one "
+            "merge(zero, partial), a plan shape where a k+1 buffer bound "
+            "self-repairs (ascending re-insertion rejects the overflow "
+            "element) — r18 finding: the TopKAgg buffer mutation was "
+            "GREEN until the gate repartitioned its input like real "
+            "multi-file scans",
+        greps=[
+            ("src/main/scala/graft/functions/TopKAgg.scala",
+             "val m = math.min(n + 1, k)"),
+            ("src/main/scala/graft/queries/VectorQueries.scala",
+             ".repartition(s.sparkContext.defaultParallelism)"),
+        ],
+    ),
 ]
 
 

@@ -695,12 +695,17 @@ MUTATIONS = [
         new="case Decay.Exponential(hl) => pow(lit(0.55), ageHours / hl)",
         queries=["memory_recall"],
     ),
+    # r18 retarget: the original entry mutated core/Validation's
+    # JSON-Schema-subset validator, but the schema_validate gate drives
+    # TypedSchema.validateOne — a different validator (core/Validation has
+    # no production caller and is contract-pinned by ExtrasSpec). Same
+    # mistargeting class as r17's ivf_probe_skip.
     dict(
         name="schema_required_skip",
         family="schema validation (required fields)",
-        file="src/main/scala/graft/core/Validation.scala",
-        old="if (!meta.has(f)) return Some(s\"missing required metadata field: '$f'\")",
-        new="if (!meta.has(f)) ()",
+        file="src/main/scala/graft/ops/TypedSchema.scala",
+        old="if (f.required && !obj.exists(_.has(f.name)) && f.default.isEmpty)",
+        new="if (f.required && !obj.exists(_.has(f.name)) && f.default.nonEmpty)",
         queries=["schema_validate"],
     ),
     # the max-distance row must land in the LAST bin, not one past it
