@@ -27,6 +27,7 @@ Prereq: clean working tree (the script reverts via `git checkout --`).
 """
 import json
 import os
+import shutil
 import subprocess
 import sys
 
@@ -880,6 +881,12 @@ def main():
                 print(f"[{m['name']}] COMPILE-ERROR")
                 continue
             out_dir = f"{OUT_BASE}_{m['name']}"
+            # fresh dump dir EVERY run: Verify catches a throwing query and
+            # writes nothing for it (rc stays 0), so a stale passing parquet
+            # from an earlier run of the same mutation would satisfy the
+            # oracle and report a false GREEN (r18 finding: exactly this
+            # happened to pitr_asof_boundary across audit parts).
+            shutil.rmtree(out_dir, ignore_errors=True)
             v = run(["tools/run_main.sh", "graft.Verify", SF_DIR, out_dir]
                     + m["queries"])
             if v.returncode != 0:
