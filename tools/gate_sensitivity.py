@@ -758,6 +758,137 @@ MUTATIONS = [
         new="case StringType => col(m).as(\"metadata\")",
         queries=["jsonl_roundtrip"],
     ),
+    # --- eighth wave (r18): 12 families over gates no mutation reached
+    # yet — LOF reachability, CRDT/LWW arbitration, NeedleQL versioning,
+    # recommend algebra, RAG chunk stride, decay/sampling/drift
+    # boundaries, filter NOT null-safety, COW layer precedence, txn
+    # delete application.
+    # The classic LOF bug: reachability r(p,o) = max(d(p,o), k-dist(o))
+    # degraded to plain distance (anomaly.rs:87-131).
+    dict(
+        name="lof_reachability",
+        family="LOF reachability smoothing",
+        file="src/main/scala/graft/ops/Anomaly.scala",
+        # degenerate greatest == plain distance; keeps the mutated form a
+        # unique string (bare col("distance") occurs naturally in the file)
+        old='greatest(col("distance"), col("kdist"))',
+        new='greatest(col("distance"), col("distance"))',
+        queries=["lof_outliers", "lof_blocked_full_probe"],
+    ),
+    # delete-precedence inversion: an entry whose last Add out-ranks its
+    # last Delete must be alive (crdt.rs:370-437)
+    dict(
+        name="crdt_delete_precedence",
+        family="CRDT LWW delete precedence",
+        file="src/main/scala/graft/ops/Crdt.scala",
+        old='col("__last_add") > col("__last_delete")',
+        new='col("__last_add") < col("__last_delete")',
+        queries=["crdt_converge"],
+    ),
+    # typo-style: != "deleted" never matches the "delete" op string, so
+    # every converged register reports alive (10/40 fixture keys converge
+    # to a delete)
+    dict(
+        name="lww_alive_flag",
+        family="LWW register liveness",
+        file="src/main/scala/graft/streaming/StatefulLww.scala",
+        old='alive = s.op != "delete"',
+        new='alive = s.op != "deleted"',
+        queries=["lww_converge"],
+    ),
+    # 1-based vs 0-based version indexing: AS OF VERSION 1 must read
+    # history head, not the current state (needleql_executor.rs:124-134)
+    dict(
+        name="needleql_version_base",
+        family="NeedleQL AS OF VERSION indexing",
+        file="src/main/scala/graft/needleql/Compiler.scala",
+        old="(h((v - 1).toInt), None)",
+        new="(h(v.toInt), None)",
+        queries=["needleql_asof"],
+    ),
+    # negative-preference sign flip: query vector = pos_centroid MINUS
+    # neg_centroid (search.rs recommend semantics)
+    dict(
+        name="recommend_negative_sign",
+        family="recommend query-vector algebra",
+        file="src/main/scala/graft/ops/Search.scala",
+        old='zip_with(col("p"), col("n"), (a, b) => a - b)',
+        new='zip_with(col("p"), col("n"), (a, b) => a + b)',
+        queries=["recommend"],
+    ),
+    # stride off-by-one: step = chunkSize - overlap shifts every chunk
+    # after the first (rag.rs chunking contract)
+    dict(
+        name="rag_chunk_step",
+        family="RAG chunk stride",
+        file="src/main/scala/graft/ops/Rag.scala",
+        old="val step = math.max(chunkSize - overlap, 1)",
+        new="val step = math.max(chunkSize - overlap + 1, 1)",
+        queries=["rag_chunks"],
+    ),
+    # Step decay window is INCLUSIVE at age == windowSeconds
+    # (pipeline.rs:404-411)
+    dict(
+        name="step_decay_boundary",
+        family="step time-decay boundary",
+        file="src/main/scala/graft/ops/Pipeline.scala",
+        old="when(age <= windowSeconds, 1.0)",
+        new="when(age < windowSeconds, 1.0)",
+        queries=["pipeline_step_maxage"],
+    ),
+    # hash-sampling threshold is EXCLUSIVE: prefix < threshold
+    dict(
+        name="sample_hash_threshold",
+        family="hash sampling boundary",
+        file="src/main/scala/graft/pipeline/Sampling.scala",
+        old="df.filter(hashPrefix(idCol, 4) < lit(threshold(fraction, 4)))",
+        new="df.filter(hashPrefix(idCol, 4) <= lit(threshold(fraction, 4)))",
+        queries=["sample_hash"],
+    ),
+    # needle's NOT is boolean over false-on-missing: dropping the
+    # null-collapse turns NOT(null) into null and silently drops rows
+    # whose inner condition touches a missing field
+    dict(
+        name="filter_not_nullsafe",
+        family="filter NOT null-safety",
+        file="src/main/scala/graft/filter/FilterCompiler.scala",
+        old="!coalesce(compile(g, resolve), lit(false))",
+        new="!compile(g, resolve)",
+        queries=["filter_not"],
+    ),
+    # COW layer precedence: latest change per id wins (__seq desc);
+    # inverted, the ORIGINAL layer row survives every mutation
+    dict(
+        name="branch_layer_precedence",
+        family="COW branch layer precedence",
+        file="src/main/scala/graft/ops/Branching.scala",
+        old='.partitionBy(col(idCol)).orderBy(col("__seq").desc)',
+        new='.partitionBy(col(idCol)).orderBy(col("__seq").asc)',
+        queries=["branch_resolve", "branch_diff"],
+    ),
+    # transactional Delete silently skipped: the tombstone never lands in
+    # the snapshot, so the committed state keeps the row. (The mutated
+    # form keeps the call behind `if (false)` rather than bare `()` so it
+    # stays a UNIQUE string — the residue lint itself rejected the first
+    # draft because `()` occurs naturally all over the file.)
+    dict(
+        name="txn_delete_noop",
+        family="transaction delete application",
+        file="src/main/scala/graft/ops/Transactions.scala",
+        old="snapshot.remove(key)",
+        new="if (false) snapshot.remove(key)",
+        queries=["txn_commit"],
+    ),
+    # drift window A off-by-one: (mid-w, mid] becomes [mid-w, mid],
+    # w+1 entries in the first centroid (temporal_sequences.rs:305-365)
+    dict(
+        name="drift_window_assign",
+        family="drift midpoint windows",
+        file="src/main/scala/graft/ops/Temporal.scala",
+        old='when(col("rnk") > col("mid") - windowSize && col("rnk") <= col("mid"), "a")',
+        new='when(col("rnk") >= col("mid") - windowSize && col("rnk") <= col("mid"), "a")',
+        queries=["seq_drift"],
+    ),
 ]
 
 
