@@ -350,7 +350,13 @@ object AdvancedQueries {
 
     // Branch diff statuses against the target's visible state.
     "branch_diff" -> Q(
+      // ids 0 and 1 are upserted FIRST and deleted AFTER: latest-change-
+      // wins layer precedence must report them 'deleted' (an inverted
+      // precedence keeps the earlier upsert → 'modified' — the r18 audit
+      // found the previous disjoint-id fixture never arbitrated between
+      // two changes to the same id, leaving precedence unobservable here).
       """SELECT doc_id, CASE WHEN doc_id >= 1000 THEN 'added'
+        |                    WHEN doc_id < 2 THEN 'deleted'
         |                    WHEN doc_id < 10 THEN 'modified'
         |                    ELSE 'deleted' END AS status
         |FROM (SELECT doc_id FROM documents WHERE doc_id < 10
@@ -369,6 +375,7 @@ object AdvancedQueries {
         .select((col("doc_id") + 1000).as("doc_id"),
           concat(lit("new document "), col("doc_id").cast("string")).as("text")))
       t.delete("exp", (90 until 100).map(_.toString))
+      t.delete("exp", Seq("0", "1"))
       t.diff("exp", "main")
     },
 

@@ -113,6 +113,12 @@ object FilterQueries {
     },
 
     // $not over a compound inner filter (false-on-missing semantics).
+    // The third conjunct is NOT over a MISSING field: the inner condition
+    // resolves to null, false-on-missing makes it false, so the NOT keeps
+    // every row — vacuous in the oracle SQL, but it pins the null-collapse
+    // in the compiler (r18 audit: without a null-capable inner condition,
+    // dropping the coalesce — NOT(null)=null drops all rows — was
+    // unobservable).
     "filter_not" -> Q(
       """SELECT event_id, event_type FROM events
         |WHERE NOT (event_type = 'error' OR value < 50) AND user_id <= 5
@@ -121,7 +127,8 @@ object FilterQueries {
       filtered("events",
         """{"$and": [{"$not": {"$or": [{"event_type": "error"},
           |                            {"value": {"$lt": 50}}]}},
-          |          {"user_id": {"$lte": 5}}]}""".stripMargin)(s, dir)
+          |          {"user_id": {"$lte": 5}},
+          |          {"$not": {"no_such_field": {"$gt": 0}}}]}""".stripMargin)(s, dir)
         .select(col("event_id"), col("event_type"))
         .orderBy(col("event_id"))
     },

@@ -49,12 +49,22 @@ object SamplingQueries {
     },
 
     // Deterministic ~10% sample: same ids every run, every engine.
+    // doc 1015939 (md5 prefix EXACTLY '1999' == threshold(0.1, 4)) is
+    // planted AT the exclusive boundary: `prefix < thr` drops it, a `<=`
+    // mutation keeps it (r18 audit: the natural corpus had no id at the
+    // threshold, leaving the comparison unobservable).
     "sample_hash" -> Q(
-      """SELECT doc_id, lang FROM documents
+      """WITH docs AS (
+        |  SELECT doc_id, lang FROM documents
+        |  UNION ALL SELECT 1015939, 'zz')
+        |SELECT doc_id, lang FROM docs
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
         |ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
-      Sampling.sampleByHash(Tables.load(s, dir, "documents"),
+      Sampling.sampleByHash(
+          Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"))
+            .unionAll(s.range(1).select(lit(1015939L).as("doc_id"),
+              lit("zz").as("lang"))),
           col("doc_id"), 0.1)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))

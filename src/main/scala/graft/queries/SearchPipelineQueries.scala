@@ -81,9 +81,16 @@ object SearchPipelineQueries {
     // older than the window are pushed to f32::MAX (kept, not dropped) —
     // the reference's documented quirk (pipeline.rs:404-411, :617-655).
     "pipeline_step_maxage" -> Q(
+      // vec_id 0 (the query itself — always rank 1 at distance 0) is
+      // planted at inserted_at 300000, i.e. age EXACTLY the max_age
+      // window: the step boundary is inclusive (pipeline.rs:404-411) and
+      // no natural fetched row sat AT it (r18 audit: the <= mutation was
+      // GREEN until this plant).
       s"""WITH $collSql,
          |cand AS (
-         |  SELECT c.vec_id, c.inserted_at,
+         |  SELECT c.vec_id,
+         |         CASE WHEN c.vec_id = 0 THEN 300000
+         |              ELSE c.inserted_at END AS inserted_at,
          |         round(1 - list_cosine_similarity(c.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS distance
          |  FROM coll c, q
          |),
@@ -95,7 +102,9 @@ object SearchPipelineQueries {
          |ORDER BY 2, vec_id LIMIT 10""".stripMargin
     ) { (s, dir) =>
       val coll = Tables.load(s, dir, "embeddings")
-        .withColumn("inserted_at", col("vec_id") * 1000)
+        .withColumn("inserted_at",
+          when(col("vec_id") === 0, lit(300000L))
+            .otherwise(col("vec_id") * 1000))
       val qv = Tables.load(s, dir, "embeddings")
         .filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       SearchBuilder(
