@@ -307,6 +307,67 @@ SELECT count(*) FROM (
         ],
     ),
     dict(
+        name="step_decay_age_boundary",
+        why="Step decay is INCLUSIVE at age == windowSeconds "
+            "(pipeline.rs:404-411); the fetched top-10 had no row AT the "
+            "boundary (r18 finding: `<` mutation was GREEN) — vec_id 0 "
+            "(rank 1 by construction) is planted at inserted_at 300000 == "
+            "now - max_age on both sides",
+        greps=[
+            ("src/main/scala/graft/ops/Pipeline.scala",
+             "when(age <= windowSeconds, 1.0)"),
+            ("src/main/scala/graft/queries/SearchPipelineQueries.scala",
+             'when(col("vec_id") === 0, lit(300000L))'),
+            ("src/main/scala/graft/queries/SearchPipelineQueries.scala",
+             "CASE WHEN c.vec_id = 0 THEN 300000"),
+        ],
+    ),
+    dict(
+        name="sample_hash_threshold_boundary",
+        why="sampleByHash keeps prefix < threshold (EXCLUSIVE); no natural "
+            "doc hashes exactly to threshold(0.1,4)='1999' (r18 finding: "
+            "`<=` mutation was GREEN) — doc 1015939 is planted at the "
+            "boundary on both sides",
+        greps=[
+            ("src/main/scala/graft/pipeline/Sampling.scala",
+             "df.filter(hashPrefix(idCol, 4) < lit(threshold(fraction, "
+             "4)))"),
+            ("src/main/scala/graft/queries/SamplingQueries.scala",
+             'lit(1015939L).as("doc_id")'),
+            ("src/main/scala/graft/queries/SamplingQueries.scala",
+             "UNION ALL SELECT 1015939, 'zz'"),
+        ],
+        static=lambda: __import__("hashlib").md5(b"1015939")
+        .hexdigest()[:4] == "1999",
+    ),
+    dict(
+        name="filter_not_missing_field",
+        why="the compiler's NOT null-collapse (false-on-missing) needs an "
+            "inner condition that can BE null; every prior condition "
+            "touched a real column (r18 finding: dropping the coalesce "
+            "was GREEN) — the gate carries a NOT over 'no_such_field'",
+        greps=[
+            ("src/main/scala/graft/filter/FilterCompiler.scala",
+             "!coalesce(compile(g, resolve), lit(false))"),
+            ("src/main/scala/graft/queries/FilterQueries.scala",
+             '{"$not": {"no_such_field": {"$gt": 0}}}'),
+        ],
+    ),
+    dict(
+        name="branch_diff_same_id_arbitration",
+        why="layer precedence (latest change per id wins) is only "
+            "observable in diff when one id carries TWO changes whose "
+            "winners differ in __op (r18 finding: the disjoint-id fixture "
+            "left an inverted window GREEN for branch_diff) — ids 0,1 are "
+            "upserted then deleted",
+        greps=[
+            ("src/main/scala/graft/ops/Branching.scala",
+             '.partitionBy(col(idCol)).orderBy(col("__seq").desc)'),
+            ("src/main/scala/graft/queries/AdvancedQueries.scala",
+             't.delete("exp", Seq("0", "1"))'),
+        ],
+    ),
+    dict(
         name="batch_topk_multipartition_plan",
         why="a single-partition scan collapses the top-k aggregate to one "
             "merge(zero, partial), a plan shape where a k+1 buffer bound "
