@@ -192,11 +192,26 @@ SELECT count(*) FROM (
         greps=[
             ("src/main/scala/graft/pipeline/TextAnalysis.scala",
              'g.getField("_3").cast("double") / nWords >= 0.8'),
-            # distinctive tail of the planted doc itself (not just the
-            # identifier) so the lint fails if the Scala text drifts from
-            # the validated copy in `static` below (r17 ADVICE)
+            # EVERY line fragment of the planted Scala literal (r18
+            # ADVICE: tail-only anchoring let the leading words drift from
+            # the copy validated by `static` below). The literal is a
+            # 5-line string concat in PipelineQueries.scala:71-75; any
+            # edit to any line now fails the lint.
             ("src/main/scala/graft/queries/PipelineQueries.scala",
-             "saffron indigo myrtle walnut cedar 11 22 33 44 55"),
+             "the and pony river stone cloud maple ember quiet forest "
+             "meadow "),
+            ("src/main/scala/graft/queries/PipelineQueries.scala",
+             "copper winter salmon harbor violet timber faint marble "
+             "garden "),
+            ("src/main/scala/graft/queries/PipelineQueries.scala",
+             "sunset prairie willow canyon thunder breeze orchard "
+             "crystal "),
+            ("src/main/scala/graft/queries/PipelineQueries.scala",
+             "lantern pebble shadow spruce falcon harvest juniper cobalt "
+             "amber "),
+            ("src/main/scala/graft/queries/PipelineQueries.scala",
+             "raven tundra velvet saffron indigo myrtle walnut cedar "
+             "11 22 33 44 55"),
         ],
         static=lambda: (lambda ws: len(ws) == 50 and sum(
             1 for w in ws if any(c.isalpha() for c in w)) == 45 and sum(

@@ -32,11 +32,24 @@ python3 tools/boundary_lint.py >/tmp/boundary_lint_out.txt 2>&1 \
 
 if [ "$FAST" != "--fast" ]; then
   step "full Verify sweep + DuckDB oracle at sf0.01"
-  SPARK_GRAFT_CPUS=8 tools/run_main.sh graft.Verify \
-    /root/testdata/sf0.01 /tmp/round_checklist_verify >/dev/null 2>&1
+  # Fresh dump dir EVERY run (r18 ADVICE): Verify swallows per-query
+  # exceptions and writes nothing for a throwing query, so a stale
+  # passing parquet from a prior checklist run — or the entire stale
+  # dump if Verify crashes early — would satisfy check_oracle and print
+  # a false CERTIFIED. Same fix gate_sensitivity.py got via rmtree.
+  rm -rf /tmp/round_checklist_verify
+  if ! SPARK_GRAFT_CPUS=8 tools/run_main.sh graft.Verify \
+      /root/testdata/sf0.01 /tmp/round_checklist_verify \
+      >/tmp/round_checklist_verify.log 2>&1; then
+    echo "Verify FAILED (rc != 0) — tail of log:"
+    tail -20 /tmp/round_checklist_verify.log
+    FAIL=1
+  fi
   python3 tools/check_oracle.py /root/testdata/sf0.01 \
     /tmp/round_checklist_verify 2>&1 | tail -1 | tee /tmp/oracle_tail.txt
-  grep -q ", 0 fail ==" /tmp/oracle_tail.txt || FAIL=1
+  # positive pass count required: "== 0 pass, 0 fail ==" (empty or stale
+  # oracle_sql.json) must NOT certify (r18 ADVICE)
+  grep -Eq "== [1-9][0-9]* pass, 0 fail ==" /tmp/oracle_tail.txt || FAIL=1
 fi
 
 echo
