@@ -54,15 +54,19 @@ object AnalyticsQueries {
         |FROM orders
         |WHERE o_orderstatus = 'O'
         |GROUP BY o_orderpriority
-        |HAVING count(*) > 10
+        |HAVING count(*) > 1000
         |ORDER BY o_orderpriority""".stripMargin
     ) { (s, dir) =>
+      // threshold 1000 actually CUTS groups at sf0.01 (2-HIGH 989,
+      // 4-NOT SPECIFIED 977 drop; 1-URGENT/3-MEDIUM/5-LOW survive) — the
+      // former > 10 was vacuous there, so a skipped-HAVING mutation was
+      // gate-invisible (r19 audit)
       Analytics.AnalyticsQuery(
         where = Some(col("o_orderstatus") === "O"),
         groupBy = Seq("o_orderpriority"),
         aggs = Seq(CountAll("n_orders"), Sum("o_totalprice", "total"),
           Avg("o_totalprice", "avg_price")),
-        having = Some(col("n_orders") > 10),
+        having = Some(col("n_orders") > 1000),
         orderBy = Seq(col("o_orderpriority"))
       ).run(Tables.load(s, dir, "orders"))
         .select(col("o_orderpriority"), col("n_orders"),
