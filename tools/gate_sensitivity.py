@@ -889,6 +889,367 @@ MUTATIONS = [
         new='when(col("rnk") >= col("mid") - windowSize && col("rnk") <= col("mid"), "a")',
         queries=["seq_drift"],
     ),
+    # --- ninth wave (r19): 34 families over the 74 gates no mutation had
+    # reached — VERDICT r18 priorities first (NeedleQL layer-2, federated
+    # merge algebra, Bandits posterior, adaptive-fusion features,
+    # multimodal fusion weights), then one per remaining formula-dense
+    # family: kernels, reranking, analytics, pipeline, governance,
+    # profiling, memory/KG/graph, interchange seams.
+    # FETCH must widen RETRIEVAL, not the final result (ast.rs:222): with
+    # searchK collapsed to limit, the reranker sees only the top-10 by
+    # distance instead of the top-20, so the label-ordered cut differs.
+    dict(
+        name="needleql_fetch_widens",
+        family="NeedleQL RERANK FETCH over-fetch",
+        file="src/main/scala/graft/needleql/Compiler.scala",
+        old="val searchK = rerankFetch.getOrElse(limit)",
+        new="val searchK = limit",
+        queries=["needleql_rerank_field"],
+    ),
+    # ORDER BY direction through the language layer: 452 clicks match the
+    # gate's WHERE at sf0.01, LIMIT 100 — flipping the direction changes
+    # the result SET, not just its order (order alone is comparer-invisible).
+    dict(
+        name="needleql_order_direction",
+        family="NeedleQL ORDER BY compilation",
+        file="src/main/scala/graft/needleql/Compiler.scala",
+        old="if (asc) col(cn).asc else col(cn).desc",
+        new="if (asc) col(cn).desc else col(cn).asc",
+        queries=["needleql_filter"],
+    ),
+    # NEAREST_TO('euclidean') must override the collection metric (cosine);
+    # ignoring the per-query distanceFn is the classic default-fallback slip.
+    dict(
+        name="needleql_metric_fallback",
+        family="NeedleQL NEAREST_TO metric override",
+        file="src/main/scala/graft/needleql/Compiler.scala",
+        old="val metric = q.nearestTo.flatMap(_.distanceFn).getOrElse(c.metric)",
+        new="val metric = c.metric",
+        queries=["needleql_nearest"],
+    ),
+    # Materialized-view refresh becomes a no-op: v.cached stays None and the
+    # view path recompiles LIVE — observable since r19's fixture narrows the
+    # base collection after the refresh (rows >= 120 only exist in the
+    # snapshot).
+    dict(
+        name="needleql_view_stale",
+        family="NeedleQL materialized-view refresh",
+        file="src/main/scala/graft/needleql/Compiler.scala",
+        old="views.get(name).filter(_.materialized).foreach(refreshInto)",
+        new="views.get(name).filterNot(_.materialized).foreach(refreshInto)",
+        queries=["needleql_view"],
+    ),
+    # Bandits posterior fold: Beta(1,1) prior drifts to Jeffreys-style 0.5
+    # on the alpha side (reranker.rs:731-737 folds over Beta(1,1)).
+    dict(
+        name="bandits_posterior_prior",
+        family="Bandits posterior fold (prior)",
+        file="src/main/scala/graft/ops/Bandits.scala",
+        old='.agg((lit(1.0) + sum(col(rewardCol))).as("alpha"),',
+        new='.agg((lit(0.5) + sum(col(rewardCol))).as("alpha"),',
+        queries=["bandit_rerank"],
+    ),
+    # Thompson sample variance: the +1 in Beta variance's denominator
+    # (reranker.rs:651-663) dropped — the classic Beta-variance slip.
+    dict(
+        name="thompson_variance_plus1",
+        family="Bandits Thompson variance",
+        file="src/main/scala/graft/ops/Bandits.scala",
+        old="(pow(alpha + beta, 2) * (alpha + beta + 1.0))",
+        new="(pow(alpha + beta, 2) * (alpha + beta))",
+        queries=["bandit_rerank"],
+    ),
+    # ef_search learning direction: poorly-rated results must push recall
+    # effort UP (relevance_feedback.rs:293-343); the sign flip pushes it
+    # down.
+    dict(
+        name="feedback_lr_sign",
+        family="relevance-feedback ef_search direction",
+        file="src/main/scala/graft/ops/RelevanceFeedback.scala",
+        old='lit(1.0) + (lit(1.0) - col("avg_relevance")) * config.learningRate',
+        new='lit(1.0) - (lit(1.0) - col("avg_relevance")) * config.learningRate',
+        queries=["feedback_adjust"],
+    ),
+    # A/B winner = BEST avg relevance among eligible variants
+    # (relevance_feedback.rs:199-241); inverted, the worst variant wins.
+    dict(
+        name="ab_winner_order",
+        family="A/B winner arbitration",
+        file="src/main/scala/graft/ops/RelevanceFeedback.scala",
+        old='col("eligible").desc, col("avg_relevance").desc,',
+        new='col("eligible").desc, col("avg_relevance").asc,',
+        queries=["ab_report"],
+    ),
+    # MinScore merge keeps the LOWEST distance per id
+    # (cross_collection.rs:316-341); inverted it keeps the highest.
+    dict(
+        name="cross_collection_keep_rule",
+        family="cross-collection MinScore merge",
+        file="src/main/scala/graft/ops/AdvancedSearch.scala",
+        old="case Merge.MinScore =>\n        val w = Window.partitionBy(col(\"id\"))\n          .orderBy(col(\"distance\").asc, col(\"collection\").asc)",
+        new="case Merge.MinScore =>\n        val w = Window.partitionBy(col(\"id\"))\n          .orderBy(col(\"distance\").desc, col(\"collection\").asc)",
+        queries=["cross_collection_min"],
+    ),
+    # Weighted-RRF member contribution w/(k+rank) with k drifted by one —
+    # the ensemble analog of the federated/namespace k mutations, through
+    # Extras.ensembleRerank's per-member window.
+    dict(
+        name="ensemble_rrf_k",
+        family="ensemble weighted-RRF kernel",
+        file="src/main/scala/graft/ops/Extras.scala",
+        old="(lit(w) / (lit(rrfK) + row_number().over(",
+        new="(lit(w) / (lit(rrfK) + lit(1.0) + row_number().over(",
+        queries=["ensemble_rerank"],
+    ),
+    # WeightedSum fusion applies weights MULTIPLICATIVELY per distance
+    # (multimodal_fusion.rs:173-186); d/w inverts the emphasis (head
+    # modality 0.3 becomes dominant) and changes the fused top-k set.
+    dict(
+        name="multimodal_weight_apply",
+        family="multimodal fusion weight application",
+        file="src/main/scala/graft/ops/MultimodalFusion.scala",
+        old="when(d.isNotNull, d * w).otherwise(lit(0.0)) }.reduce(_ + _)",
+        new="when(d.isNotNull, d / w).otherwise(lit(0.0)) }.reduce(_ + _)",
+        queries=["multimodal_fusion"],
+    ),
+    # Cross-modal RRF rank kernel 1/(k+rank) with k drifted by one
+    # (multimodal_search.rs:470-525) — per-modality-collection path,
+    # distinct from MultimodalFusion's distance-kernel RRF.
+    dict(
+        name="crossmodal_rrf_rank",
+        family="cross-modal list-fusion RRF",
+        file="src/main/scala/graft/ops/CrossModal.scala",
+        old='.agg(sum(lit(1.0) / (lit(rrfK) + col("__rank"))).as("score"),',
+        new='.agg(sum(lit(1.0) / (lit(rrfK) + lit(1.0) + col("__rank"))).as("score"),',
+        queries=["crossmodal_rrf"],
+    ),
+    # Adaptive-fusion feature extraction (hybrid.rs:626-770): the
+    # forgot-single-quotes slip declassifies 'quoted term' from Keyword to
+    # Semantic, changing the recorded weights the learner folds.
+    dict(
+        name="adaptive_quote_feature",
+        family="adaptive-fusion query features",
+        file="src/main/scala/graft/ops/Extras.scala",
+        old="hasQuotes = query.contains('\"') || query.contains('\\''),",
+        new="hasQuotes = query.contains('\"'),",
+        queries=["adaptive_fusion"],
+    ),
+    # Temporal similarity mixes hour/day circular sims at 0.7/0.3
+    # (query_prewarming.rs:370-385); swapped weights rescore candidates
+    # and shift the predicted centroids + confidences.
+    dict(
+        name="prewarm_temporal_mix",
+        family="prewarm temporal-similarity weights",
+        file="src/main/scala/graft/ops/Prewarm.scala",
+        old="hourSim * 0.7 + daySim * 0.3",
+        new="hourSim * 0.3 + daySim * 0.7",
+        queries=["prewarm_predict"],
+    ),
+    # Dot-product DISTANCE is the negated dot (higher dot = closer); the
+    # dropped negation inverts the entire ranking.
+    dict(
+        name="dot_kernel_sign",
+        family="distance kernel (dot)",
+        file="src/main/scala/graft/functions/DistanceKernels.scala",
+        old="def dot(a: ArrayData, b: ArrayData): Double = -dotRaw(a, b)",
+        new="def dot(a: ArrayData, b: ArrayData): Double = dotRaw(a, b)",
+        queries=["knn_dot"],
+    ),
+    # Sparse dot scoring (sparse.rs:555-610): posting-list contribution
+    # scale drift observable in the score values at 6dp.
+    dict(
+        name="sparse_dot_scale",
+        family="sparse-vector dot scoring",
+        file="src/main/scala/graft/ops/AdvancedSearch.scala",
+        old='.agg(sum(col("value").cast("double") * col("qval").cast("double")).as("score"))\n      .orderBy(col("score").desc, col("id").asc)\n      .limit(k)\n  }\n\n  /** Cosine top-k',
+        new='.agg(sum(col("value").cast("double") * col("qval").cast("double") * 1.001).as("score"))\n      .orderBy(col("score").desc, col("id").asc)\n      .limit(k)\n  }\n\n  /** Cosine top-k',
+        queries=["sparse_dot"],
+    ),
+    # HAVING silently skipped in the analytics builder — observable since
+    # r19's fixture raised the threshold to one that actually cuts groups.
+    dict(
+        name="analytics_having_skip",
+        family="analytics builder HAVING",
+        file="src/main/scala/graft/ops/Analytics.scala",
+        old="val haved = having.fold(grouped)(grouped.filter)",
+        new="val haved = grouped",
+        queries=["q2_having"],
+    ),
+    # Spread = mean SQUARED distance to the centroid
+    # (vector_aggregation.rs:163-185); degraded to the plain mean.
+    dict(
+        name="vec_spread_meansq",
+        family="vector analytics (spread)",
+        file="src/main/scala/graft/ops/VectorAnalytics.scala",
+        old='g.agg(avg(col("distance") * col("distance")).as("spread"))',
+        new='g.agg(avg(col("distance")).as("spread"))',
+        queries=["vec_spread"],
+    ),
+    # Centroid mean denominator n -> n+1 inside the typed Aggregator's
+    # finish (vector_aggregation.rs:91-116 divides by count).
+    dict(
+        name="vec_centroid_mean_denom",
+        family="vector centroid aggregate",
+        file="src/main/scala/graft/functions/VectorAgg.scala",
+        old="if (b.n == 0) null else b.sums.map(s => (s / b.n).toFloat)",
+        new="if (b.n == 0) null else b.sums.map(s => (s / (b.n + 1)).toFloat)",
+        queries=["vec_centroid"],
+    ),
+    # Simplified-$regex translation keeps `.` as a single-char wildcard
+    # (metadata.rs:1339-1394); the escaping slip makes it literal and the
+    # gate's ^src1.$ stops matching src10..src19.
+    dict(
+        name="regex_dot_literal",
+        family="filter $regex dot wildcard",
+        file="src/main/scala/graft/filter/FilterCompiler.scala",
+        old="case '.' => \".\"",
+        new="case '.' => \"\\\\.\"",
+        queries=["filter_regex"],
+    ),
+    # Drift score weights 0.4/0.3/0.3 (drift.rs:352-418).
+    dict(
+        name="drift_score_weights",
+        family="drift report score weights",
+        file="src/main/scala/graft/ops/Drift.scala",
+        old='least(col("centroid_shift") / config.centroidThreshold, lit(1.0)) * 0.4 +',
+        new='least(col("centroid_shift") / config.centroidThreshold, lit(1.0)) * 0.5 +',
+        queries=["drift_report"],
+    ),
+    # Query-trajectory centroid mean denominator (temporal_sequences.rs
+    # centroid distance path).
+    dict(
+        name="trajectory_query_centroid",
+        family="trajectory centroid distance",
+        file="src/main/scala/graft/ops/Temporal.scala",
+        old="acc.map(s => (s / query.length).toFloat)",
+        new="acc.map(s => (s / (query.length + 1)).toFloat)",
+        queries=["trajectory_centroid"],
+    ),
+    # Near-zero epsilon in the sparsity profile (tuning.rs profile pass):
+    # 0.001 -> 0.002 counts more components as zero, shifting
+    # sparsity_ratio in the one-row report.
+    dict(
+        name="profile_nearzero_eps",
+        family="data profiler sparsity epsilon",
+        file="src/main/scala/graft/ann/DataProfiler.scala",
+        old='(acc, x) => acc + when(abs(x.cast("double")) < 0.001, 1).otherwise(0)))',
+        new='(acc, x) => acc + when(abs(x.cast("double")) < 0.002, 1).otherwise(0)))',
+        queries=["data_profile"],
+    ),
+    # Mock auto-embed LCG increment (auto_embed.rs:542-563: state =
+    # state*6364136223846793005 + 1); the full-hash oracle replays the
+    # +1 closed form.
+    dict(
+        name="autoembed_lcg_increment",
+        family="auto-embed LCG stream",
+        file="src/main/scala/graft/multimodal/Multimodal.scala",
+        old="state = state * 6364136223846793005L + 1L",
+        new="state = state * 6364136223846793005L + 3L",
+        queries=["auto_embed"],
+    ),
+    # Defaults must land ONLY on rows missing the field; always-overwrite
+    # clobbers the planted quality=0.9 rows.
+    dict(
+        name="schema_defaults_overwrite",
+        family="schema default filling",
+        file="src/main/scala/graft/ops/TypedSchema.scala",
+        old="if (!obj.has(name)) {",
+        new="if (obj != null) {",
+        queries=["schema_defaults"],
+    ),
+    # Union-find root choice: the canonical member is the component MINIMUM
+    # (dedup.rs "first added"; documented in DedupGroups); swapped, every
+    # group reports its maximum.
+    dict(
+        name="dedup_groups_canonical",
+        family="dedup-group canonical member",
+        file="src/main/scala/graft/pipeline/DedupGroups.scala",
+        old="if (ord.lt(a, b)) parent(b) = a else parent(a) = b",
+        new="if (ord.lt(a, b)) parent(a) = b else parent(b) = a",
+        queries=["dedup_groups"],
+    ),
+    # Consolidation promotes to long_term (agentic_memory.rs:417-430); the
+    # label typo is the dedup_reject_label wire-contract class.
+    dict(
+        name="memory_consolidate_label",
+        family="agent-memory consolidation target",
+        file="src/main/scala/graft/ops/AgentMemory.scala",
+        old='config.decay) >= config.consolidationThreshold, "long_term")',
+        new='config.decay) >= config.consolidationThreshold, "working")',
+        queries=["memory_consolidate"],
+    ),
+    # Anchor-reachable entities take graph_score 1.0
+    # (knowledge_graph.rs:388-466); the degraded boost rescores the
+    # context-search blend.
+    dict(
+        name="kg_context_anchor_boost",
+        family="KG context-search anchor boost",
+        file="src/main/scala/graft/ops/KnowledgeGraph.scala",
+        old='when(col("__rid").isNotNull, lit(1.0))',
+        new='when(col("__rid").isNotNull, lit(0.5))',
+        queries=["kg_context_search"],
+    ),
+    # GraphRAG hop decay graph_score = 1/(1+hop) (graph_rag.rs expansion
+    # scoring); the denominator drift rescores every expanded node.
+    dict(
+        name="graphrag_hop_decay",
+        family="GraphRAG hop-decay score",
+        file="src/main/scala/graft/ops/GraphRag.scala",
+        old="val g = 1.0 / (1.0 + hop)",
+        new="val g = 1.0 / (2.0 + hop)",
+        queries=["graphrag_search"],
+    ),
+    # Roles combine as OR across matched rules (rbac.rs policy algebra);
+    # AND silently intersects the reader/curator row scopes.
+    dict(
+        name="rbac_rule_combine",
+        family="RBAC cross-rule combination",
+        file="src/main/scala/graft/ops/Rbac.scala",
+        old="}.reduce(_ || _)",
+        new="}.reduce(_ && _)",
+        queries=["rbac_read"],
+    ),
+    # estimated_similarity = 1 - hamming/totalBits (encrypted_search.rs);
+    # the denominator drift is visible at 6dp in the output column.
+    dict(
+        name="encrypted_sim_denominator",
+        family="encrypted-search similarity estimate",
+        file="src/main/scala/graft/ann/EncryptedSearch.scala",
+        old='lit(1.0) - col("hamming_distance") / totalBits.toDouble',
+        new='lit(1.0) - col("hamming_distance") / (totalBits + 1).toDouble',
+        queries=["encrypted_search_fixed"],
+    ),
+    # The stored-fingerprint seam's hamming must be popcount(XOR); AND
+    # reports ~32 for identical fingerprints, dropping every planted dup
+    # pair past the <= 3 bound.
+    dict(
+        name="simhash_fromfps_xor",
+        family="simhash stored-fingerprint hamming",
+        file="src/main/scala/graft/pipeline/Dedup.scala",
+        old='bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming")',
+        new='bit_count(col("a.fp").bitwiseAND(col("b.fp"))).as("hamming")',
+        queries=["simhash_incremental"],
+    ),
+    # Jelinek-Mercer bigram conditional c(prev,t)/c(prev) with a smoothed
+    # denominator the reference does not have.
+    dict(
+        name="bigram_conditional_denom",
+        family="bigram LM conditional probability",
+        file="src/main/scala/graft/pipeline/Perplexity.scala",
+        old='(coalesce(col("c2"), lit(0L)).cast("double") / col("c1_prev"))',
+        new='(coalesce(col("c2"), lit(0L)).cast("double") / (col("c1_prev") + 1))',
+        queries=["bigram_perplexity"],
+    ),
+    # Quality punct penalty 1 - min(2·punct_ratio, 1) — the multiplier is
+    # replayed by the oracle.
+    dict(
+        name="quality_punct_penalty",
+        family="quality-score punctuation penalty",
+        file="src/main/scala/graft/pipeline/TextAnalysis.scala",
+        old="val punctScore = lit(1.0) - least(punctRatio(text) * 2.0, lit(1.0))",
+        new="val punctScore = lit(1.0) - least(punctRatio(text) * 2.5, lit(1.0))",
+        queries=["quality_score"],
+    ),
 ]
 
 
