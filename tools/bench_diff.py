@@ -2,8 +2,10 @@
 """Round-over-round bench comparison (VERDICT r4 item 7).
 
 Usage: python3 tools/bench_diff.py OLD NEW [--threshold 2.0]
+       python3 tools/bench_diff.py --composite REF RUN [RUN ...]
+                                   [--threshold 2.0]
 
-OLD / NEW are either
+OLD / NEW / REF / RUN are either
   - full-precision detail files written by graft.Bench
     (bench_history/rNN.json or target/bench_detail.json), or
   - driver BENCH_rNN.json artifacts (their truncated stdout "tail" is
@@ -14,6 +16,17 @@ Per the methodology in Bench.scala: per-query comparisons diff the MIN
 exceed the suite-level ratio (host variance is multiplicative and hits
 every query in a run), so each query's ratio is normalized by the
 old/new total ratio before the threshold is applied.
+
+--composite (VERDICT r18 item 3) is the contaminated-host adjudication
+that was assembled by hand in r18: the per-query MIN across N noisy
+runs composites into one synthetic quiet run (ambient noise only ever
+adds time, and it moves between queries across runs; a code regression
+cannot — it slows the same query in every run, so it survives the
+min). Prints the composite suite total, the suite ratio vs REF, and
+the per-query worst-ratio table; exits nonzero when any query's
+composite min exceeds threshold x its REF min after suite-level
+normalization. r18's four runs reproduce 83.52 s / ratio 1.14 vs
+r17's certified-quiet 73.14 s through this flag.
 """
 import json
 import re
@@ -106,9 +119,56 @@ def load(path):
     return qs, total, False
 
 
+def composite(ref_path, run_paths, threshold):
+    """Min-composite adjudication across N noisy runs vs a reference."""
+    ref_q, ref_t, _ = load(ref_path)
+    if not ref_q:
+        sys.exit(f"no per-query data in reference {ref_path}")
+    runs = []
+    for p in run_paths:
+        q, t, _ = load(p)
+        if not q:
+            sys.exit(f"no per-query data in run {p}")
+        runs.append((p, q, t))
+        print(f"# run {p}: total {t} over {len(q)} queries")
+    common = set(ref_q)
+    for _, q, _ in runs:
+        common &= set(q)
+    comp = {q: min(r[1][q] for r in runs) for q in common}
+    comp_total = sum(comp.values())
+    # the reference 'total' is graft.Bench's sum of medians; fall back to
+    # the sum of its per-query values when the field is absent
+    ref_total = ref_t if ref_t else sum(ref_q[q] for q in common)
+    level = comp_total / ref_total
+    print(f"# composite of {len(runs)} runs over {len(common)} common "
+          f"queries: {comp_total:.2f}s vs reference {ref_total:.2f}s "
+          f"-> suite ratio {level:.2f}")
+    rows = []
+    for q in common:
+        o, n = ref_q[q], comp[q]
+        if o <= 0 or n <= 0:
+            continue
+        rows.append((n / o, q, o, n))
+    rows.sort(reverse=True)
+    print("# per-query worst ratios (composite min / reference, raw):")
+    for ratio, q, o, n in rows[:10]:
+        print(f"  {ratio:5.2f}x  {q}: {o:.4f}s -> {n:.4f}s")
+    flagged = [(r / level, q, o, n) for r, q, o, n in rows
+               if r / level >= threshold]
+    if flagged:
+        print(f"REGRESSION CANDIDATES (>{threshold}x after suite-level "
+              f"normalization by {level:.2f}):")
+        for ratio, q, o, n in flagged:
+            print(f"  {ratio:5.2f}x  {q}: {o:.4f}s -> {n:.4f}s")
+        sys.exit(1)
+    print(f"OK: no query beyond {threshold}x its reference after "
+          "normalization — a code regression would survive the min; "
+          "the suite-level inflation is ambient")
+
+
 def main():
     argv = sys.argv[1:]
-    args, threshold, i = [], 2.0, 0
+    args, threshold, comp_mode, i = [], 2.0, False, 0
     while i < len(argv):
         a = argv[i]
         if a.startswith("--threshold"):
@@ -117,9 +177,16 @@ def main():
             else:  # space-separated form consumes the next token
                 i += 1
                 threshold = float(argv[i])
+        elif a == "--composite":
+            comp_mode = True
         elif not a.startswith("--"):
             args.append(a)
         i += 1
+    if comp_mode:
+        if len(args) < 2:
+            sys.exit(__doc__)
+        composite(args[0], args[1:], threshold)
+        return
     if len(args) != 2:
         sys.exit(__doc__)
     old_q, old_t, old_p = load(args[0])
