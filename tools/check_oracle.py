@@ -42,6 +42,17 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         spark_dir = os.path.join(out_dir, name)
+        # read the Spark dump FIRST: a missing/unreadable dump fails without
+        # paying for the oracle SQL (the audit runs Verify for 1-2 queries
+        # against the full oracle_sql.json — running all ~168 oracle
+        # queries per mutation dominated gate_sensitivity wall time)
+        try:
+            sres = con.sql(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+            scols, srows = canon(sres.fetchall(), [c for c in sres.columns])
+        except Exception as e:
+            print(f"FAIL {name}: spark result unreadable: {e}")
+            n_fail += 1
+            continue
         try:
             res = con.sql(sql)
             ocols, orows = canon(res.fetchall(), [c for c in res.columns])
@@ -50,8 +61,6 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
-            sres = con.sql(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
-            scols, srows = canon(sres.fetchall(), [c for c in sres.columns])
             # Mirror the driver, which cannot sort array cells (pandas
             # factorize dies on numpy arrays): any array-typed column in
             # EITHER result is a hard failure here, not a tolerated sort.
