@@ -79,32 +79,31 @@ object LanguageSurfaceQueries {
         "ORDER BY doc_id LIMIT 100")
     },
 
-    // Materialized view: defined once, queried through the catalog after a
-    // refresh (reference materialized_views.rs); the oracle replays the
-    // view SQL inline AGAINST THE PRE-CHANGE STATE. The base collection is
-    // re-registered (narrowed to doc_id < 120) AFTER the refresh, so the
-    // cached snapshot is the only thing that can produce rows ≥ 120 — a
-    // broken refresh (or a view path that recompiles live) returns the
-    // post-change state and fails the gate (r19 audit: without the
-    // post-refresh base change, the live-recompile fallback repaired every
-    // materialization mutation).
+    // Materialized view: defined over a NARROW base state (doc_id < 120),
+    // then the base is re-registered at full width and refreshView pulls
+    // the new state into the snapshot — so the rows ≥ 120 in the result
+    // exist ONLY if the refresh actually re-materialized (reference
+    // materialized_views.rs staleness-driven recompute). r19 audit: the
+    // first fixture refreshed a base that never changed, so CREATE's own
+    // materialization made refreshView dead code and its mutation was
+    // gate-invisible.
     "needleql_view" -> Q(
       """SELECT doc_id, source FROM documents WHERE doc_id BETWEEN 100 AND 160
         |ORDER BY doc_id LIMIT 100""".stripMargin
     ) { (s, dir) =>
       val ns = session(s, dir)
       val d = Tables.load(s, dir, "documents")
-      ns.register("docsrc", CollectionDef(d, idCol = "doc_id",
-        vectorCol = "none", textCol = Some("text")))
+      ns.register("docsrc", CollectionDef(d.filter(col("doc_id") < 120),
+        idCol = "doc_id", vectorCol = "none", textCol = Some("text")))
       // the language's default LIMIT is 10 (reference default k), so the
       // view definition carries its own LIMIT covering the full range
       ns.sql("CREATE MATERIALIZED VIEW recent AS " +
         "SELECT doc_id, source FROM docsrc WHERE doc_id BETWEEN 100 AND 160 " +
         "ORDER BY doc_id LIMIT 100")
+      // base widens AFTER create; the stale snapshot holds only 100-119
+      ns.register("docsrc", CollectionDef(d, idCol = "doc_id",
+        vectorCol = "none", textCol = Some("text")))
       ns.refreshView("recent")
-      // post-refresh base change: the view must keep serving the snapshot
-      ns.register("docsrc", CollectionDef(d.filter(col("doc_id") < 120),
-        idCol = "doc_id", vectorCol = "none", textCol = Some("text")))
       ns.sql("SELECT doc_id, source FROM recent ORDER BY doc_id LIMIT 100")
     },
 
