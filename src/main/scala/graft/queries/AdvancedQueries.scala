@@ -414,21 +414,27 @@ object AdvancedQueries {
         .orderBy(col("id"))
     },
 
-    // Cross-collection search: two collections over the same id space with
-    // different queries; MinScore merge dedups by id keeping the lower
-    // distance (reference: src/search/cross_collection.rs:316-341).
+    // Cross-collection search: two collections over the same id space,
+    // same query, DIFFERENT metrics (cosine vs euclidean); MinScore merge
+    // dedups by id keeping the lower distance (reference:
+    // src/search/cross_collection.rs:316-341). The metric split makes the
+    // two top-20 lists overlap completely (measured: 20/20 common ids at
+    // sf0.01) with distinct distance values per collection, so the
+    // keep-LOWEST arbitration decides every merged row — r19 audit: the
+    // original fixture queried two different vectors, whose isotropic
+    // top-20 neighborhoods were disjoint, leaving the keep rule with
+    // nothing to arbitrate (its inversion was gate-invisible).
     "cross_collection_min" -> Q(
       """WITH q0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        |q1 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
         |a AS (
         |  SELECT vec_id AS id, round(1 - list_cosine_similarity(embedding::DOUBLE[], q0.qv::DOUBLE[]), 6) AS distance,
         |         'colA' AS collection
         |  FROM embeddings, q0 ORDER BY distance, id LIMIT 20
         |),
         |b AS (
-        |  SELECT vec_id AS id, round(1 - list_cosine_similarity(embedding::DOUBLE[], q1.qv::DOUBLE[]), 6) AS distance,
+        |  SELECT vec_id AS id, round(list_distance(embedding::DOUBLE[], q0.qv::DOUBLE[]), 6) AS distance,
         |         'colB' AS collection
-        |  FROM embeddings, q1 ORDER BY distance, id LIMIT 20
+        |  FROM embeddings, q0 ORDER BY distance, id LIMIT 20
         |),
         |u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
         |best AS (
@@ -439,16 +445,17 @@ object AdvancedQueries {
         |ORDER BY distance, id LIMIT 10""".stripMargin
     ) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
-      def top20(qid: Int) = {
-        val qv = emb.filter(col("vec_id") === qid).select(col("embedding").as("qv"))
+      def top20(metric: String) = {
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
         emb.crossJoin(broadcast(qv))
           .select(col("vec_id").as("id"),
-            round(Distances.cosine(col("embedding"), col("qv")), 6).as("distance"))
+            round(Distances.distance(metric, col("embedding"), col("qv")), 6)
+              .as("distance"))
           .orderBy(col("distance").asc, col("id").asc)
           .limit(20)
       }
       CrossCollection.merge(
-        Seq("colA" -> top20(0), "colB" -> top20(1)), k = 10,
+        Seq("colA" -> top20("cosine"), "colB" -> top20("euclidean")), k = 10,
         CrossCollection.Merge.MinScore)
         .select(col("id"), col("distance"), col("collection"))
     },
