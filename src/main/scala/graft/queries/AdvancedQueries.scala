@@ -204,7 +204,8 @@ object AdvancedQueries {
         |),
         |cent AS (SELECT entity_id, dim, avg(x)::FLOAT AS v FROM unn GROUP BY entity_id, dim),
         |evec AS (SELECT entity_id, list(v ORDER BY dim) AS vec FROM cent GROUP BY entity_id),
-        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |q AS (SELECT vec AS qv FROM evec
+        |      WHERE entity_id = (SELECT min(entity_id) FROM evec)),
         |seed0 AS (
         |  SELECT e.entity_id AS id,
         |         1 - list_cosine_similarity(e.vec::DOUBLE[], q.qv::DOUBLE[]) AS d
@@ -279,10 +280,17 @@ object AdvancedQueries {
           .persist()
         (ev, e)
       }
-      // deterministic query vector: vec_id 0 (was limit(1), which is
-      // partition-order-dependent — an oracle needs a pinned seed)
-      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 0)
-        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      // deterministic query vector: the MIN entity's own centroid. With an
+      // arbitrary corpus vector (the old vec_id 0 query), isotropic seed
+      // distances made every seed's vector_score ≤ 0.14, so hop nodes
+      // (combined ≤ 0.7·vs + 0.15) could never displace the weakest seed
+      // (combined 0.3) and the whole expansion loop was gate-dead (r19
+      // audit: the hop-decay mutation was GREEN). Querying an entity
+      // centroid pins vs=1.0 at the top, so its non-seed co-occurrence
+      // neighbors outrank weak seeds and hop-1 rows reach the output.
+      val q = entVecs.filter(col("id") ===
+          entVecs.agg(min(col("id"))).collect()(0).getString(0))
+        .select("vector").collect()(0).getSeq[Float](0).toArray
       GraphRag.search(entVecs, edges, q, k = 10, maxHops = 2)
         .select(col("id"),
           round(col("vector_score"), 6).as("vector_score"),

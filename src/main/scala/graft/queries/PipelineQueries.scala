@@ -131,7 +131,9 @@ object PipelineQueries {
          |           regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'),
          |           p -> CASE WHEN regexp_full_match(p, '[A-Za-z]+')
          |                     THEN CAST(ceil(length(p) / 4.0) AS INT) ELSE 1 END)) AS bpe
-         |  FROM documents WHERE doc_id < 100
+         |  FROM (SELECT doc_id, text FROM documents WHERE doc_id < 100
+         |        UNION ALL SELECT 900100,
+         |          'graft quality fixture, with punct; the fox jumps. over!')
          |)
          |SELECT doc_id, CAST(bpe AS BIGINT) AS n_tokens_bpe,
          |       round((len_score
@@ -140,8 +142,17 @@ object PipelineQueries {
          |            + (1.0 - least(pr * 2.0, 1.0))) / 4.0, 6) AS quality
          |FROM f ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
+      // planted doc 900100: the natural word-salad corpus contains ZERO
+      // punctuation (measured: max punct ratio 0.0 over doc_id < 100), so
+      // the punct penalty was 1.0 on every row and its 2.0 multiplier was
+      // gate-invisible (r19 audit). This row's ratio sits strictly inside
+      // (0, 0.5) where the multiplier is live and unsaturated.
       Tables.load(s, dir, "documents")
         .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+        .unionAll(s.range(1).select(lit(900100L).as("doc_id"),
+          lit("graft quality fixture, with punct; the fox jumps. over!")
+            .as("text")))
         .select(col("doc_id"),
           // long on both sides: DuckDB list_sum yields HUGEINT, which the
           // driver's pandas bridge turns into float64 — int32 here would
