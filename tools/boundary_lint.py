@@ -397,6 +397,105 @@ SELECT count(*) FROM (
              ".repartition(s.sparkContext.defaultParallelism)"),
         ],
     ),
+    # --- ninth wave (r19): five fixture hardenings, each found by a GREEN
+    # (or vacuous) first mutation run and fixed by giving the gate real
+    # arbitration pressure.
+    dict(
+        name="q2_having_cuts_groups",
+        why="HAVING > 10 was vacuous at sf0.01 (all five 'O' priority "
+            "groups ~1000 rows), so analytics_having_skip was "
+            "gate-invisible; the threshold is 1000 and must keep cutting "
+            "at least one group",
+        greps=[
+            ("src/main/scala/graft/queries/AnalyticsQueries.scala",
+             "HAVING count(*) > 1000"),
+            ("src/main/scala/graft/queries/AnalyticsQueries.scala",
+             'having = Some(col("n_orders") > 1000)'),
+        ],
+        probe="SELECT count(*) FROM (SELECT o_orderpriority FROM orders "
+              "WHERE o_orderstatus = 'O' GROUP BY 1 "
+              "HAVING count(*) <= 1000)",
+    ),
+    dict(
+        name="needleql_view_refresh_loadbearing",
+        why="CREATE MATERIALIZED VIEW materializes at create time, so "
+            "refreshing a never-changed base made refreshView dead code "
+            "(needleql_view_stale was GREEN); the fixture must create the "
+            "view over the NARROW base then widen and refresh — the probe "
+            "asserts rows >= 120 exist to widen INTO",
+        greps=[
+            ("src/main/scala/graft/queries/LanguageSurfaceQueries.scala",
+             'ns.register("docsrc", CollectionDef(d.filter(col("doc_id") '
+             '< 120),'),
+            ("src/main/scala/graft/queries/LanguageSurfaceQueries.scala",
+             "// base widens AFTER create; the stale snapshot holds only "
+             "100-119"),
+        ],
+        probe="SELECT count(*) FROM documents "
+              "WHERE doc_id BETWEEN 120 AND 160",
+    ),
+    dict(
+        name="cross_collection_lists_overlap",
+        why="two different isotropic query vectors gave DISJOINT top-20 "
+            "lists, so MinScore's keep-LOWEST rule never arbitrated "
+            "(cross_collection_keep_rule was GREEN); the fixture shares "
+            "one query across cosine/euclidean and the probe asserts the "
+            "two top-20s still overlap",
+        greps=[
+            ("src/main/scala/graft/queries/AdvancedQueries.scala",
+             'Seq("colA" -> top20("cosine"), "colB" -> top20("euclidean"))'),
+        ],
+        probe="WITH q0 AS (SELECT embedding AS qv FROM embeddings "
+              "WHERE vec_id = 0), "
+              "a AS (SELECT vec_id AS id FROM embeddings, q0 ORDER BY "
+              "round(1 - list_cosine_similarity(embedding::DOUBLE[], "
+              "qv::DOUBLE[]), 6), vec_id LIMIT 20), "
+              "b AS (SELECT vec_id AS id FROM embeddings, q0 ORDER BY "
+              "round(list_distance(embedding::DOUBLE[], qv::DOUBLE[]), 6),"
+              " vec_id LIMIT 20) "
+              "SELECT count(*) FROM a JOIN b USING (id)",
+    ),
+    dict(
+        name="graphrag_expansion_reachable",
+        why="with an arbitrary corpus query vector, isotropic seed "
+            "distances capped vector_score at ~0.14 and hop nodes "
+            "(<= 0.7*vs + 0.15) could never displace the weakest seed "
+            "(0.3) — the expansion loop was gate-dead (graphrag_hop_decay "
+            "GREEN); the query must be an entity's own centroid "
+            "(vs = 1.0 at the top). Verified after the fix: 9 of 10 "
+            "result rows are hop-1 (bench_history/gate_sensitivity_"
+            "r19_p5b.json); the greps pin the query construction",
+        greps=[
+            ("src/main/scala/graft/queries/AdvancedQueries.scala",
+             "val q = entVecs.filter(col(\"id\") ==="),
+            ("src/main/scala/graft/queries/AdvancedQueries.scala",
+             "WHERE entity_id = (SELECT min(entity_id) FROM evec)),"),
+        ],
+    ),
+    dict(
+        name="quality_punct_doc",
+        why="the word-salad corpus holds ZERO punctuation in doc_id < 100 "
+            "(measured r19), so the punct penalty was vacuously 1.0 and "
+            "its 2.0 multiplier unobservable; doc 900100 is planted with "
+            "a ratio strictly inside (0, 0.5) — live and unsaturated",
+        greps=[
+            ("src/main/scala/graft/queries/PipelineQueries.scala",
+             "'graft quality fixture, with punct; the fox jumps. over!'"),
+            ("src/main/scala/graft/queries/PipelineQueries.scala",
+             "lit(\"graft quality fixture, with punct; the fox jumps. "
+             "over!\")"),
+            ("src/main/scala/graft/pipeline/TextAnalysis.scala",
+             "val punctScore = lit(1.0) - least(punctRatio(text) * 2.0, "
+             "lit(1.0))"),
+        ],
+        # the planted ratio must stay strictly inside (0, 0.5): penalty
+        # live (ratio > 0) and unsaturated under both the real 2.0 and a
+        # mutated 2.5 multiplier
+        static=lambda: (lambda t: 0.0 <
+            sum(1 for ch in t if ch in
+                "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~") / len(t) < 0.5)(
+            "graft quality fixture, with punct; the fox jumps. over!"),
+    ),
 ]
 
 
