@@ -72,7 +72,11 @@ class AntiPatternLedgerSpec extends AnyFunSuite {
     "pipeline/Sampling.scala" -> 1,
     // oracle query surfaces: bounded ground-truth/query-vector reads
     // +1 r14: namespace_fusion's 1-row query-vector read
-    "queries/AdvancedQueries.scala" -> 4,
+    // +1 r19: graphrag_search's entity-centroid query setup — a 1-row
+    // agg(min(id)).collect plus a 1-row vector read (replaced the old
+    // single vec_id=0 read; both are driver-side query-vector bootstrap,
+    // bounded by construction)
+    "queries/AdvancedQueries.scala" -> 5,
     // +1 r14: encrypted_search_fixed's 16-row pinned hyperplane read
     "queries/AnnQueries.scala" -> 8,
     "queries/ExtrasQueries.scala" -> 2,
