@@ -1250,6 +1250,70 @@ MUTATIONS = [
         new="val punctScore = lit(1.0) - least(punctRatio(text) * 2.5, lit(1.0))",
         queries=["quality_score"],
     ),
+    # --- tenth mini-wave (r19): six more uncovered gates.
+    # $gt is STRICT (metadata.rs comparator table); observable because the
+    # events table holds exactly one row with value == 100.
+    dict(
+        name="filter_gt_boundary",
+        family="filter $gt strictness",
+        file="src/main/scala/graft/filter/FilterCompiler.scala",
+        old="case Gt  => numCmp(r, v, _ > _)",
+        new="case Gt  => numCmp(r, v, _ >= _)",
+        queries=["count_filtered"],
+    ),
+    # $contains on strings is substring membership, not a prefix check —
+    # rows matched only mid-text (the gate's text-contains-'spark' arm)
+    # vanish under the dispatch slip.
+    dict(
+        name="filter_contains_dispatch",
+        family="filter $contains string dispatch",
+        file="src/main/scala/graft/filter/FilterCompiler.scala",
+        old="case (Some(StringType) | None, JStr(s)) => asString(r).contains(s)",
+        new="case (Some(StringType) | None, JStr(s)) => asString(r).startsWith(s)",
+        queries=["filter_string_ops"],
+    ),
+    # Top-k revenue is DESCENDING (sql_analytics.rs top-k semantics); with
+    # LIMIT 10 over 25 nations the direction decides the result SET.
+    dict(
+        name="q4_topk_direction",
+        family="SQL analytics top-k direction",
+        file="src/main/scala/graft/queries/AnalyticsQueries.scala",
+        old=".join(broadcast(n), col(\"c_nationkey\") === col(\"n_nationkey\"))\n        .groupBy(col(\"n_name\"))\n        .agg(round(sum(col(\"l_extendedprice\") * (lit(1) - col(\"l_discount\"))), 4).as(\"revenue\"),\n          count(lit(1)).as(\"n_lines\"))\n        .orderBy(col(\"revenue\").desc, col(\"n_name\"))",
+        new=".join(broadcast(n), col(\"c_nationkey\") === col(\"n_nationkey\"))\n        .groupBy(col(\"n_name\"))\n        .agg(round(sum(col(\"l_extendedprice\") * (lit(1) - col(\"l_discount\"))), 4).as(\"revenue\"),\n          count(lit(1)).as(\"n_lines\"))\n        .orderBy(col(\"revenue\").asc, col(\"n_name\"))",
+        queries=["q4_join_topk"],
+    ),
+    # Per-vector storage estimate dims*4 + 100 fixed overhead
+    # (multi_tenancy.rs usage accounting) — the overhead constant is
+    # replayed by the oracle.
+    dict(
+        name="tenant_storage_overhead",
+        family="tenancy storage estimate",
+        file="src/main/scala/graft/ops/Tenancy.scala",
+        old='sum(size(col(vecCol)).cast("long") * 4L + 100L)',
+        new='sum(size(col(vecCol)).cast("long") * 4L + 104L)',
+        queries=["tenant_usage"],
+    ),
+    # Context recall relevance = sim·eff_importance·(1−tw) + recency·tw
+    # (agentic_memory.rs:935-985); dropping the importance factor is the
+    # classic blend slip.
+    dict(
+        name="memory_context_mix",
+        family="agent-memory context-recall blend",
+        file="src/main/scala/graft/ops/AgentMemory.scala",
+        old='col("similarity") * col("effective_importance") * (1.0 - tw) +',
+        new='col("similarity") * (1.0 - tw) +',
+        queries=["memory_context_recall"],
+    ),
+    # Diff status labels are a wire contract (the CLI's -/+ output);
+    # the dedup_reject_label class.
+    dict(
+        name="collection_diff_added_label",
+        family="collection-diff status contract",
+        file="src/main/scala/graft/ops/CollectionDiff.scala",
+        old='.when(col("__va").isNull, "added")',
+        new='.when(col("__va").isNull, "new")',
+        queries=["collection_diff"],
+    ),
 ]
 
 
